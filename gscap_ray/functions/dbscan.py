@@ -1,0 +1,225 @@
+"""Grid-accelerated DBSCAN (pure numpy) with sklearn-compatible labeling.
+
+Replicates the semantics the reference gets from sklearn's DBSCAN
+(/root/reference/gscap/gps.py:1574-1603, defaults gps.py:1804-1828:
+eps=0.005 deg, min_samples=100, euclidean on raw (lat, lon) degrees):
+
+- a point is *core* iff |{j : dist(i,j) <= eps}| >= min_samples (self counts);
+- labels are assigned by scanning points in index order; each unlabeled core
+  point seeds a new cluster and expands depth-first through core neighbors;
+  border points keep the first label that reaches them; unreached points are
+  noise (-1).  This is sklearn's ``dbscan_inner`` traversal, so cluster ids
+  and memberships match exactly (inter-cluster border conflicts resolve by
+  cluster seed order, which is identical).
+
+Neighbor queries use an eps-sized uniform grid (3x3 cell window) instead of a
+ball tree: the core-count pass is vectorized per cell (chunked distance
+blocks), and the expansion pass queries neighbors on demand against the
+not-yet-labeled subset only, so no O(n * k) neighbor lists are materialized.
+Intended to run per-key inside ``map_groups``; a cross-partition variant
+(tile-local DBSCAN + eps-halo merge) lives at the pipeline layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CHUNK = 2048  # rows per distance block in the core-count pass
+
+
+def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Euclidean DBSCAN over 2-D points; returns int64 labels (-1 = noise)."""
+    n = x.shape[0]
+    labels = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return labels
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+
+    eps2 = eps * eps
+    cx = np.floor(x / eps).astype(np.int64)
+    cy = np.floor(y / eps).astype(np.int64)
+    cx -= cx.min()
+    cy -= cy.min()
+    ncx = int(cx.max()) + 1
+    ncy = int(cy.max()) + 1
+    cell = cy * ncx + cx
+
+    order = np.argsort(cell, kind="stable")
+    sorted_cells = cell[order]
+    uniq_cells, starts = np.unique(sorted_cells, return_index=True)
+    ends = np.append(starts[1:], n)
+    cell_slice = {int(c): (int(s), int(e)) for c, s, e in zip(uniq_cells, starts, ends)}
+
+    def window_members(ci: int) -> np.ndarray:
+        """indices of all points in the 3x3 cell window around cell ci."""
+        cyi, cxi = divmod(ci, ncx)
+        parts = []
+        for dy in (-1, 0, 1):
+            yy = cyi + dy
+            if yy < 0 or yy >= ncy:
+                continue
+            base = yy * ncx
+            for dx in (-1, 0, 1):
+                xx = cxi + dx
+                if xx < 0 or xx >= ncx:
+                    continue
+                sl = cell_slice.get(base + xx)
+                if sl is not None:
+                    parts.append(order[sl[0]:sl[1]])
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    # ---- pass 1: core mask, vectorized per cell in row chunks ----
+    # candidate side is also chunked with an early exit: once every row in the
+    # chunk has reached min_samples the remaining candidates can't change the
+    # core decision (dense cells finish after one candidate chunk).
+    core = np.zeros(n, dtype=bool)
+    for c, s, e in zip(uniq_cells, starts, ends):
+        members = order[s:e]
+        cand = window_members(int(c))
+        cxv, cyv = x[cand], y[cand]
+        m_cand = cand.shape[0]
+        if m_cand < min_samples:
+            continue  # no point in this cell can be core
+        for off in range(0, members.shape[0], _CHUNK):
+            rows = members[off:off + _CHUNK]
+            counts = np.zeros(rows.shape[0], dtype=np.int64)
+            undecided = np.arange(rows.shape[0])
+            for coff in range(0, m_cand, _CHUNK):
+                rr = rows[undecided]
+                d2 = (x[rr, None] - cxv[None, coff:coff + _CHUNK]) ** 2 \
+                    + (y[rr, None] - cyv[None, coff:coff + _CHUNK]) ** 2
+                counts[undecided] += (d2 <= eps2).sum(axis=1)
+                undecided = undecided[counts[undecided] < min_samples]
+                if undecided.shape[0] == 0:
+                    break
+            core[rows] = counts >= min_samples
+
+    # ---- pass 2: dbscan_inner-equivalent expansion ----
+    # dbscan_inner labels a point at pop time, but the label is constant for
+    # the whole expansion, so labeling at *discovery* time yields identical
+    # final labels while letting us query only still-unlabeled candidates.
+    # Per-cell "active" (unlabeled) index lists shrink as the cluster grows,
+    # which makes dense blobs near-linear instead of quadratic.
+    active: dict[int, np.ndarray] = {
+        int(c): order[s:e] for c, s, e in zip(uniq_cells, starts, ends)
+    }
+
+    def window_cells(ci: int):
+        cyi, cxi = divmod(ci, ncx)
+        for dy in (-1, 0, 1):
+            yy = cyi + dy
+            if yy < 0 or yy >= ncy:
+                continue
+            base = yy * ncx
+            for dx in (-1, 0, 1):
+                xx = cxi + dx
+                if 0 <= xx < ncx:
+                    yield base + xx
+
+    label = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        labels[i] = label
+        frontier = [i]
+        while frontier:
+            j = frontier.pop()
+            if not core[j]:
+                continue  # border point: labeled, not expanded
+            xj, yj = x[j], y[j]
+            for wc in window_cells(int(cell[j])):
+                a = active.get(wc)
+                if a is None:
+                    continue
+                a = a[labels[a] == -1]
+                if a.shape[0] == 0:
+                    active[wc] = a
+                    continue
+                d2 = (x[a] - xj) ** 2 + (y[a] - yj) ** 2
+                hit = a[d2 <= eps2]
+                if hit.shape[0]:
+                    labels[hit] = label
+                    frontier.extend(hit.tolist())
+                    a = a[d2 > eps2]
+                active[wc] = a
+        label += 1
+    return labels
+
+
+def gps_dbscan(lat: np.ndarray, lon: np.ndarray, eps: float = 0.005, min_samples: int = 100):
+    """Reference ``gps_dbscan`` semantics (gps.py:1574-1603).
+
+    <2 records -> all noise, no clusters. Returns (labels, centers) where
+    centers is the list of per-cluster stats dicts from
+    :func:`extract_cluster_centers`.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    if lat.shape[0] < 2:
+        return np.full(lat.shape[0], -1, dtype=np.int64), []
+    labels = dbscan_labels(lat, lon, eps, min_samples)
+    centers = extract_cluster_centers(lat, lon, labels)
+    return labels, centers
+
+
+def extract_cluster_centers(lat: np.ndarray, lon: np.ndarray, labels: np.ndarray):
+    """Per-cluster centroid + dispersion stats (gps.py:1002-1067).
+
+    Reference quirks preserved: the 'IQR' uses np.percentile([.25, .75]) —
+    the 0.25th/0.75th *percentile*, not quartiles (gps.py:1031,1040); std is
+    the sample std (ddof=1, NaN for singleton); max_distance_from_center is
+    measured against the unrounded mean; coords rounded to 5 dp, distance to
+    3 dp.
+    """
+    from .geo import haversine_m
+
+    centers = []
+    for ci in np.unique(labels):
+        if ci == -1:
+            continue
+        m = labels == ci
+        la, lo = lat[m], lon[m]
+        lat_mean, lon_mean = la.mean(), lo.mean()
+        lat_iqr = np.percentile(la, [0.25, 0.75])
+        lon_iqr = np.percentile(lo, [0.25, 0.75])
+        with np.errstate(invalid="ignore"):
+            lat_std = la.std(ddof=1) if la.size > 1 else np.nan
+            lon_std = lo.std(ddof=1) if lo.size > 1 else np.nan
+        maxd = float(np.max(haversine_m(la, lo, lat_mean, lon_mean)))
+        centers.append(
+            dict(
+                lat=float(np.round(lat_mean, 5)),
+                lon=float(np.round(lon_mean, 5)),
+                cid=int(ci),
+                lat_range=float(np.round(la.max() - la.min(), 5)),
+                lat_IQR=float(np.round(lat_iqr[1] - lat_iqr[0], 5)),
+                lat_min=float(np.round(la.min(), 5)),
+                lat_max=float(np.round(la.max(), 5)),
+                lat_std=float(np.round(lat_std, 5)) if not np.isnan(lat_std) else np.nan,
+                lon_range=float(np.round(lo.max() - lo.min(), 5)),
+                lon_IQR=float(np.round(lon_iqr[1] - lon_iqr[0], 5)),
+                lon_min=float(np.round(lo.min(), 5)),
+                lon_max=float(np.round(lo.max(), 5)),
+                lon_std=float(np.round(lon_std, 5)) if not np.isnan(lon_std) else np.nan,
+                max_distance_from_center=float(np.round(maxd, 3)),
+            )
+        )
+    return centers
+
+
+def top_cluster(labels: np.ndarray, centers: list[dict]):
+    """Most frequent non-noise label's center (gps.py:1788-1801).
+
+    Ties resolve to the smallest label (scipy.stats.mode semantics).
+    Returns (center_dict | None, labels).
+    """
+    lbl = labels[labels != -1]
+    if lbl.size == 0:
+        return None, labels
+    vals, counts = np.unique(lbl, return_counts=True)
+    best = int(vals[np.argmax(counts)])
+    for c in centers:
+        if c.get("cid") == best:
+            return c, labels
+    return None, labels
