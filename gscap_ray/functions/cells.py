@@ -1,0 +1,261 @@
+"""Spatial cell encoders (pure vectorized numpy, no third-party geo libs).
+
+Three tilings, all uint64 ids:
+
+- :func:`s2_cell_id` — an S2 cell id encoder implemented from the public S2
+  geometry spec (s2geometry.io: cube-face projection, quadratic ST transform,
+  Hilbert space-filling curve via 4-bit lookup tables). Bit-layout-compatible
+  with canonical S2 ids (face << 61 | hilbert_pos << 1 | 1, parent via
+  lsb trick), validated here by self-consistency tests (hierarchy, locality,
+  round-trip through :func:`s2_cell_center`).
+- :func:`hex_cell_id` — an H3-*style* hierarchical hexagon tiling: pointy-top
+  axial hex grid over equirectangular (lon, lat) degrees with aperture-7
+  resolution steps sized to match H3's average edge lengths (res 7 ~ 1.22 km).
+  NOT byte-compatible with canonical H3 (which needs icosahedral gnomonic
+  projection); the reference has no H3 analog (its tiling is 5-dp coordinate
+  rounding, /root/reference/gscap/gps.py:94-95), so self-consistent ids are
+  the contract (SURVEY.md §7 "Hard parts").
+- :func:`grid_cell_id` — plain quantized lat/lon grid (SQL-expressible, used
+  for DuckDB-oracle'd tile-assignment checks).
+
+The gSCAP analog of tiling is the 5-decimal-place cache-key rounding
+(gps.py:94-95) and the zipcode-KDTree lookup (utils.py:57-61); these encoders
+generalize that into hierarchical cell ids usable as partition / dedup /
+join keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- S2 -------
+
+_LOOKUP_BITS = 4
+_SWAP = 1
+_INVERT = 2
+_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENT = (_SWAP, 0, 0, _INVERT | _SWAP)
+_MAX_LEVEL = 30
+_MAX_SIZE = 1 << _MAX_LEVEL
+
+
+def _build_lookup():
+    lookup_pos = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int32)
+    lookup_ij = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int32)
+
+    def init(level, i, j, orig_orient, pos, orient):
+        if level == _LOOKUP_BITS:
+            ij = (i << _LOOKUP_BITS) + j
+            lookup_pos[(ij << 2) + orig_orient] = (pos << 2) + orient
+            lookup_ij[(pos << 2) + orig_orient] = (ij << 2) + orient
+            return
+        level += 1
+        i <<= 1
+        j <<= 1
+        pos <<= 2
+        r = _POS_TO_IJ[orient]
+        for idx in range(4):
+            ij = r[idx]
+            init(level, i + (ij >> 1), j + (ij & 1), orig_orient, pos + idx,
+                 orient ^ _POS_TO_ORIENT[idx])
+
+    for o in range(4):
+        init(0, 0, 0, o, 0, o)
+    return lookup_pos, lookup_ij
+
+
+_LOOKUP_POS, _LOOKUP_IJ = _build_lookup()
+
+
+def _latlon_to_xyz(lat_deg, lon_deg):
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    clat = np.cos(lat)
+    return clat * np.cos(lon), clat * np.sin(lon), np.sin(lat)
+
+
+def _xyz_to_face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    comp = np.choose(face, [x, y, z])
+    face = np.where(comp < 0, face + 3, face).astype(np.int64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y],
+            default=-y / z,
+        )
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y],
+            default=-x / z,
+        )
+    return face, u, v
+
+
+def _uv_to_st(u):
+    # S2 quadratic projection; np.where evaluates both branches so one sqrt
+    # sees out-of-domain values — harmless, silenced
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def _st_to_uv(s):
+    return np.where(s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0),
+                    (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
+
+
+def _st_to_ij(s):
+    return np.clip(np.floor(_MAX_SIZE * s), 0, _MAX_SIZE - 1).astype(np.int64)
+
+
+def s2_cell_id(lat_deg, lon_deg, level: int = 12) -> np.ndarray:
+    """Vectorized lat/lon (degrees) -> S2 cell id (uint64) at ``level``."""
+    if not 0 <= level <= _MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {_MAX_LEVEL}]")
+    x, y, z = _latlon_to_xyz(lat_deg, lon_deg)
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    i = _st_to_ij(_uv_to_st(u))
+    j = _st_to_ij(_uv_to_st(v))
+
+    n = face.astype(np.uint64) << np.uint64(60)
+    bits = (face & _SWAP).astype(np.int64)
+    mask = (1 << _LOOKUP_BITS) - 1
+    for k in range(7, -1, -1):
+        bits += ((i >> (k * _LOOKUP_BITS)) & mask) << (_LOOKUP_BITS + 2)
+        bits += ((j >> (k * _LOOKUP_BITS)) & mask) << 2
+        bits = _LOOKUP_POS[bits].astype(np.int64)
+        n |= (bits >> 2).astype(np.uint64) << np.uint64(k * 2 * _LOOKUP_BITS)
+        bits &= _SWAP | _INVERT
+    leaf = n * np.uint64(2) + np.uint64(1)
+    return s2_parent(leaf, level)
+
+
+def s2_parent(cell_id: np.ndarray, level: int) -> np.ndarray:
+    """Ancestor of (leaf or finer) cell ids at ``level``."""
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    lsb = np.uint64(1) << np.uint64(2 * (_MAX_LEVEL - level))
+    neg_lsb = ~lsb + np.uint64(1)  # two's complement -lsb
+    return (cell_id & neg_lsb) | lsb
+
+
+def s2_level(cell_id) -> np.ndarray:
+    """Level of each cell id (position of lowest set bit)."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    lsb = cid & (~cid + np.uint64(1))
+    return (_MAX_LEVEL - (np.log2(lsb.astype(np.float64)) / 2.0)).astype(np.int64)
+
+
+def _id_to_face_ij(cell_id: np.ndarray):
+    """Decode cell id -> (face, leaf i, leaf j) of the id's position."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    face = (cid >> np.uint64(61)).astype(np.int64)
+    pos = (cid & np.uint64((1 << 61) - 1)) >> np.uint64(1)
+    i = np.zeros(cid.shape, dtype=np.int64)
+    j = np.zeros(cid.shape, dtype=np.int64)
+    bits = face & _SWAP
+    nbits = _MAX_LEVEL - 7 * _LOOKUP_BITS  # 2 top bits on first iteration
+    for k in range(7, -1, -1):
+        bits += ((pos >> np.uint64(k * 2 * _LOOKUP_BITS)).astype(np.int64)
+                 & ((1 << (2 * nbits)) - 1)) << 2
+        bits = _LOOKUP_IJ[bits].astype(np.int64)
+        i += (bits >> (_LOOKUP_BITS + 2)) << (k * _LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << _LOOKUP_BITS) - 1)) << (k * _LOOKUP_BITS)
+        bits &= _SWAP | _INVERT
+        nbits = _LOOKUP_BITS
+    return face, i, j
+
+
+def s2_cell_center(cell_id: np.ndarray):
+    """Approximate (lat, lon) degrees of the cell's position (leaf-precision)."""
+    face, i, j = _id_to_face_ij(cell_id)
+    u = _st_to_uv((i.astype(np.float64) + 0.5) / _MAX_SIZE)
+    v = _st_to_uv((j.astype(np.float64) + 0.5) / _MAX_SIZE)
+    one = np.ones_like(u)
+    # inverse of _xyz_to_face_uv's per-face (u, v) definitions (unnormalized
+    # xyz is fine for lat/lon recovery)
+    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [one, -u, -u, -one, v, v])
+    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [u, one, -v, -v, -one, u])
+    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [v, v, one, -u, -u, -one])
+    lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon
+
+
+# ------------------------------------------------------------- hex ---------
+
+# res-0 edge length in degrees, aperture 7 (sqrt(7) linear shrink per res);
+# sized so res 7 ~ 0.011 deg ~ 1.22 km, matching H3's published average edge
+_HEX_EDGE0_DEG = 9.96
+_SQRT3 = np.sqrt(3.0)
+_HEX_OFFSET = 1 << 27
+
+
+def _hex_edge(res: int) -> float:
+    return _HEX_EDGE0_DEG / (7.0 ** (res / 2.0))
+
+
+def hex_cell_id(lat_deg, lon_deg, res: int = 7) -> np.ndarray:
+    """Vectorized lat/lon -> H3-style hex cell id (uint64): res<<56|q<<28|r.
+
+    Pointy-top axial coordinates over equirectangular degrees with
+    cube-rounding to the nearest hex center.
+    """
+    if not 0 <= res <= 15:
+        raise ValueError("res must be in [0, 15]")
+    x = np.asarray(lon_deg, dtype=np.float64)
+    y = np.asarray(lat_deg, dtype=np.float64)
+    size = _hex_edge(res)
+    q = (_SQRT3 / 3.0 * x - y / 3.0) / size
+    r = (2.0 / 3.0 * y) / size
+    q, r = _cube_round(q, r)
+    return ((np.uint64(res) << np.uint64(56))
+            | ((q + _HEX_OFFSET).astype(np.uint64) << np.uint64(28))
+            | (r + _HEX_OFFSET).astype(np.uint64))
+
+
+def _cube_round(qf, rf):
+    sf = -qf - rf
+    q = np.round(qf)
+    r = np.round(rf)
+    s = np.round(sf)
+    dq = np.abs(q - qf)
+    dr = np.abs(r - rf)
+    ds = np.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def hex_cell_center(cell_id) -> tuple[np.ndarray, np.ndarray]:
+    """(lat, lon) degrees of hex cell centers."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    res = (cid >> np.uint64(56)).astype(np.int64)
+    q = ((cid >> np.uint64(28)) & np.uint64((1 << 28) - 1)).astype(np.int64) - _HEX_OFFSET
+    r = (cid & np.uint64((1 << 28) - 1)).astype(np.int64) - _HEX_OFFSET
+    size = _HEX_EDGE0_DEG / (7.0 ** (res / 2.0))
+    x = size * (_SQRT3 * q + _SQRT3 / 2.0 * r)
+    y = size * (1.5 * r)
+    return y, x  # lat, lon
+
+
+# ------------------------------------------------------------- grid --------
+
+def grid_cell_id(lat_deg, lon_deg, cell_deg: float = 0.1) -> np.ndarray:
+    """Quantized lat/lon grid cell (int64), SQL-expressible:
+
+    ``floor((lat+90)/cell) * ncols + floor((lon+180)/cell)``.
+    """
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    ncols = np.int64(np.ceil(360.0 / cell_deg))
+    cy = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
+    cx = np.floor((lon + 180.0) / cell_deg).astype(np.int64)
+    return cy * ncols + cx
