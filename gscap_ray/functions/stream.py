@@ -1,0 +1,487 @@
+"""Per-stream (per-key) pipeline kernels: resample, impute, velocity frame,
+cluster context, sessionization, daily metrics, cluster metrics.
+
+These run on ONE key's records (a host's geocoded pages, the analog of one
+participant's GPS trace) inside ``groupby(host).map_groups`` — pandas in /
+pandas out, internally vectorized. Semantics replicate the reference:
+
+- resample_minute            -> gps.py:1757-1780
+- impute_stationary          -> gps.py:1611-1746
+- velocity_frame             -> gps.py:799-854
+- clusters_with_context      -> gps.py:1103-1276
+- next_phase_clusters        -> gps.py:1507-1571
+- cluster_times (sessionize) -> gps.py:1279-1363
+- daily_metrics              -> gps.py:1366-1504
+- cluster_metrics            -> gps.py:656-796
+
+Reference quirks preserved and documented inline (fence membership is purely
+distance-determined; the work fence only re-evaluates 08-19 h points; the
+161 km home-work sanity bound uses the 5-dp-rounded centers; timedelta
+``.seconds`` day wrap; sleep carry-over rules).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from .dbscan import gps_dbscan, top_cluster
+from .geo import haversine_m
+from .velocity import (
+    BIN_STATIONARY,
+    codes_to_labels,
+    stream_velocity_features,
+)
+
+DEFAULT_EPS = 0.005
+DEFAULT_MIN_SAMPLES = 100
+FENCE_M = 500.0
+HOME_WORK_MAX_KM = 161.0
+IMPUTE_MAX_DISP_M = 75.0
+IMPUTE_MAX_GAP_S = 60 ** 2 * 12
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    return s.values.astype("datetime64[us]").astype(np.int64)
+
+
+def resample_minute(df: pd.DataFrame) -> pd.DataFrame:
+    """Minute-mean downsample of (lat, lon, ts) (gps.py:1757-1780)."""
+    ts = df["ts"].values.astype("datetime64[m]")
+    out = (
+        pd.DataFrame({"lat": df["lat"].values, "lon": df["lon"].values, "gv": ts})
+        .groupby("gv", sort=True)
+        .mean()
+        .reset_index()
+    )
+    out["ts"] = out["gv"].values.astype("datetime64[us]")
+    return out.drop(columns="gv")
+
+
+def velocity_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """process_velocities: sort by ts, lagged velocity features (gps.py:799-854)."""
+    df = df.sort_values("ts", kind="stable").reset_index(drop=True)
+    df = df.drop(columns=["displacement", "time_delta", "velocity", "binning"], errors="ignore")
+    disp, td, vel, codes = stream_velocity_features(
+        df["lat"].values, df["lon"].values, _ts_us(df["ts"])
+    )
+    df["displacement"] = disp
+    df["time_delta"] = td
+    df["velocity"] = vel
+    df["binning"] = codes_to_labels(codes)
+    return df
+
+
+def impute_stationary(df: pd.DataFrame, freq: str = "10Min") -> pd.DataFrame:
+    """impute_stationary_coordinates (gps.py:1611-1746).
+
+    Between each consecutive pair that is stationary, <=75 m apart and <=12 h
+    separated, insert linearly interpolated rows at ``freq`` (endpoints
+    exclusive), then recompute velocities, then set each day's first row's
+    time_delta to seconds-since-midnight, then NaN-scrub 'null' rows.
+    """
+    if len(df) < 2:
+        return df
+    df = df.sort_values("ts", kind="stable").reset_index(drop=True)
+    lat = df["lat"].values
+    lon = df["lon"].values
+    ts_us = _ts_us(df["ts"])
+
+    from .velocity import apply_stream_caps, discrete_velocity_arrays
+
+    disp, td, vel, codes = discrete_velocity_arrays(
+        lat[1:], lon[1:], ts_us[1:], lat[:-1], lon[:-1], ts_us[:-1]
+    )
+    # impute_between guards (gps.py:1624-1626): binning (pre-cap) must be
+    # stationary, displacement <= 75 m, gap <= 12 h
+    ok = (codes == 1) & (disp <= IMPUTE_MAX_DISP_M) & (td <= IMPUTE_MAX_GAP_S)
+
+    step_us = int(pd.tseries.frequencies.to_offset(freq).nanos // 1000)
+    new_lat, new_lon, new_ts = [], [], []
+    for i in np.where(ok)[0]:
+        a_us, b_us = ts_us[i], ts_us[i + 1]
+        # pd.date_range(a, b, freq) inclusive; drop endpoints
+        fill = np.arange(a_us, b_us + 1, step_us)
+        fill = fill[(fill != a_us) & (fill != b_us)]
+        if fill.size == 0:
+            continue
+        n = fill.size
+        new_ts.append(fill)
+        new_lat.append(np.linspace(lat[i], lat[i + 1], n))
+        new_lon.append(np.linspace(lon[i], lon[i + 1], n))
+
+    if new_ts:
+        add = pd.DataFrame({
+            "lat": np.concatenate(new_lat),
+            "lon": np.concatenate(new_lon),
+            "ts": np.concatenate(new_ts).astype("datetime64[us]"),
+        })
+        df = pd.concat([df[["lat", "lon", "ts"]], add], sort=False) \
+            .sort_values("ts", kind="stable").reset_index(drop=True)
+    else:
+        df = df[["lat", "lon", "ts"]]
+
+    df = velocity_frame(df)
+
+    # day-start fix (gps.py:1720-1731): first record of each date gets
+    # time_delta = whole seconds since that day's midnight
+    dates = df["ts"].values.astype("datetime64[D]")
+    df["date"] = dates
+    first_of_day = np.zeros(len(df), dtype=bool)
+    first_of_day[np.unique(dates, return_index=True)[1]] = True
+    secs_into_day = ((_ts_us(df["ts"]) - dates.astype("datetime64[us]").astype(np.int64))
+                     // 1_000_000).astype(np.float64)
+    td = df["time_delta"].values.copy()
+    td[first_of_day] = secs_into_day[first_of_day]
+    df["time_delta"] = td
+
+    # null-row scrub (gps.py:1734-1736)
+    nulls = (df["binning"] == "null").values
+    for c in ("time_delta", "displacement", "velocity"):
+        v = df[c].values.copy()
+        v[nulls] = np.nan
+        df[c] = v
+    df["date"] = pd.Series(df["ts"]).dt.date
+    return df
+
+
+def _hour_of(ts: pd.Series) -> np.ndarray:
+    return ts.dt.hour.values
+
+
+def _estimate_location(stationary: pd.DataFrame, mask: np.ndarray, eps, min_samples):
+    """Shared core of estimate_home/work_location (gps.py:940-998):
+    DBSCAN over the masked subset, top cluster, positions in ``stationary``."""
+    pos = np.where(mask)[0]
+    sub = stationary.iloc[pos]
+    labels, centers = gps_dbscan(sub["lat"].values, sub["lon"].values, eps, min_samples)
+    center, _ = top_cluster(np.asarray(labels), centers)
+    if center is None:
+        return None, np.empty(0, dtype=np.int64)
+    member = pos[np.asarray(labels) == center["cid"]]
+    return dict(center), member
+
+
+def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
+                          min_samples: int = DEFAULT_MIN_SAMPLES,
+                          fence: float = FENCE_M,
+                          validation_metrics: bool = False):
+    """get_clusters_with_context (gps.py:1103-1276), vectorized.
+
+    Returns (records, clusters_df | None). Records keep every input row
+    (conservation invariant, gps.py:1241-1243) with added ``cid`` and
+    ``distance_from_home`` columns.
+    """
+    a = len(df)
+    df = df.copy()
+    df["cid"] = "xNot"
+    if a < 3:
+        return df, None
+
+    stat_mask = (df["binning"] == BIN_STATIONARY).values
+    stationary = df.loc[stat_mask].reset_index(drop=True)
+    others = df.loc[~stat_mask]
+
+    hours = _hour_of(stationary["ts"])
+
+    # ---- home (gps.py:1115-1144) ----
+    home_filter = ((hours > 0) & (hours < 6)) | ((hours > 19) & (hours < 24))
+    home, hmask = _estimate_location(stationary, home_filter, eps, min_samples)
+    home_records = None
+    if hmask.size > 0:
+        # fence relabel: membership is purely distance-to-median (<= fence)
+        hlat = float(np.median(stationary["lat"].values[hmask]))
+        hlon = float(np.median(stationary["lon"].values[hmask]))
+        hdist = haversine_m(hlat, hlon, stationary["lat"].values, stationary["lon"].values)
+        hsel = hdist <= fence
+        home["cid"] = "home"
+        home_records = stationary.loc[hsel].copy()
+        home_records["cid"] = "home"
+        stationary = stationary.loc[~hsel].reset_index(drop=True)
+        hours = _hour_of(stationary["ts"])
+    else:
+        home = None
+
+    # ---- work (gps.py:1149-1198) ----
+    work, work_records = None, None
+    if "working" not in df.columns or df["working"].sum() > 0:
+        weekday = stationary["ts"].dt.weekday.values
+        work_filter = (hours >= 9) & (hours <= 17) & (weekday < 5)
+        work, wmask = _estimate_location(stationary, work_filter, eps, min_samples)
+        if wmask.size > 0:
+            valid = True
+            if home is not None:
+                # sanity bound uses the 5-dp-rounded centers (gps.py:1156-1162)
+                hw = float(haversine_m(work["lat"], work["lon"], home["lat"], home["lon"]))
+                if hw / 1000.0 > HOME_WORK_MAX_KM:
+                    valid = False
+            if valid:
+                wlat = float(np.median(stationary["lat"].values[wmask]))
+                wlon = float(np.median(stationary["lon"].values[wmask]))
+                wdist = haversine_m(wlat, wlon, stationary["lat"].values, stationary["lon"].values)
+                # work fence only re-evaluates 08-19 h points (gps.py:1170-1179);
+                # original members are all 9-17 h so membership reduces to this
+                wsel = (hours > 7) & (hours < 20) & (wdist <= fence)
+                work["cid"] = "work"
+                work_records = stationary.loc[wsel].copy()
+                work_records["cid"] = "work"
+                stationary = stationary.loc[~wsel].reset_index(drop=True)
+            else:
+                work = None
+        else:
+            work = None
+
+    # ---- residual clustering (gps.py:1201-1237) ----
+    labels, centers = gps_dbscan(stationary["lat"].values, stationary["lon"].values,
+                                 eps, min_samples)
+    labels = np.asarray(labels)
+    stationary = stationary.copy()
+    stationary["cid"] = np.where(labels != -1,
+                                 np.char.add("x", labels.astype(str)), "xNot")
+
+    clusters = pd.DataFrame(centers)
+    if len(clusters) > 0:
+        clusters["cid"] = ["x" + str(int(c)) for c in clusters["cid"]]
+    rows = [clusters] if len(clusters) > 0 else []
+    if home is not None:
+        rows.append(pd.DataFrame([home]))
+    if work is not None:
+        rows.append(pd.DataFrame([work]))
+    if rows:
+        clusters = pd.concat(rows, axis=0, ignore_index=True, sort=False)
+    else:
+        clusters = pd.DataFrame(columns=["cid", "lat", "lon"])
+    clusters["name"] = "nap"
+    clusters["categories"] = "nap"
+    clusters.loc[clusters.cid == "home", ["name", "categories"]] = "home"
+    clusters.loc[clusters.cid == "work", ["name", "categories"]] = "work"
+
+    parts = [p for p in (home_records, work_records, stationary, others) if p is not None]
+    records = pd.concat(parts, sort=False).sort_values("ts", kind="stable")
+    assert len(records) == a, "record conservation violated"
+
+    if not validation_metrics:
+        clusters = clusters.drop(columns=[
+            "lat_IQR", "lat_max", "lat_min", "lat_range", "lat_std",
+            "lon_IQR", "lon_max", "lon_min", "lon_range", "lon_std",
+            "max_distance_from_center",
+        ], errors="ignore")
+
+    records["distance_from_home"] = np.nan
+    if home is not None:
+        records["distance_from_home"] = haversine_m(
+            home["lat"], home["lon"], records["lat"].values, records["lon"].values
+        )
+    return records.reset_index(drop=True), clusters
+
+
+def next_phase_clusters(records: pd.DataFrame, clusters: pd.DataFrame,
+                        eps: float = DEFAULT_EPS, min_samples: int = DEFAULT_MIN_SAMPLES,
+                        min_distance: float = 100.0,
+                        validation_metrics: bool = False):
+    """get_next_phase_clusters (gps.py:1507-1571): per-day DBSCAN over
+    still-unlabeled stationary points >= min_distance from existing clusters,
+    continuing the x{n} numbering."""
+    records = records.copy()
+    exmask = ((records["cid"] == "xNot") & (records["binning"] == BIN_STATIONARY)).values
+    day = pd.Series(records["ts"]).dt.date.values
+
+    existing = [int(c[1:]) for c in records["cid"] if c.startswith("x") and c[1:].isdigit()]
+    next_cid = max(existing) + 1 if existing else 0
+
+    clat = clusters["lat"].values.astype(np.float64) if len(clusters) else np.empty(0)
+    clon = clusters["lon"].values.astype(np.float64) if len(clusters) else np.empty(0)
+
+    # anti-join by distance (J8): drop candidates within min_distance of any
+    # existing cluster center
+    if clat.size and exmask.any():
+        from .knn import nearest_neighbor
+        idx = np.where(exmask)[0]
+        _, dmin = nearest_neighbor(records["lat"].values[idx], records["lon"].values[idx],
+                                   clat, clon, metric="haversine")
+        exmask[idx[dmin < min_distance]] = False
+
+    cids = records["cid"].values.copy().astype(object)
+    new_centers = []
+    for d in pd.unique(day):
+        m = exmask & (day == d)
+        if not m.any():
+            continue
+        pos = np.where(m)[0]
+        labels, centers = gps_dbscan(records["lat"].values[pos],
+                                     records["lon"].values[pos], eps, min_samples)
+        labels = np.asarray(labels)
+        if len(centers) > 0:
+            cids[pos] = ["x" + str(next_cid + l) if l != -1 else "xNot" for l in labels]
+            for c in centers:
+                c = dict(c)
+                c["cid"] = "x" + str(int(c["cid"]) + next_cid)
+                new_centers.append(c)
+            next_cid += len(centers)
+    records["cid"] = cids
+
+    if new_centers:
+        cs = pd.DataFrame(new_centers)
+        cs["categories"] = cs["name"] = "nap"
+        clusters = pd.concat([clusters, cs], sort=False, ignore_index=True)
+        if not validation_metrics:
+            clusters = clusters.drop(columns=[
+                "lat_IQR", "lat_max", "lat_min", "lat_range", "lat_std",
+                "lon_IQR", "lon_max", "lon_min", "lon_range", "lon_std",
+                "max_distance_from_center",
+            ], errors="ignore")
+    return records, clusters
+
+
+def cluster_times(records: pd.DataFrame, tz_lookup=None) -> pd.DataFrame:
+    """get_cluster_times (gps.py:1279-1363): sessionize stationary records
+    into visit entries via per-day run-length encoding, with midnight merge.
+
+    ``tz_lookup``: optional callable (lat_array, lon_array) -> tz strings;
+    defaults to 'UTC' (the reference's zipcode gazetteer blob is not
+    shipped; the engine treats the gazetteer as a pluggable context layer).
+    """
+    r = records.loc[records["binning"] == BIN_STATIONARY].copy()
+    if "date" not in r.columns:
+        r["date"] = pd.Series(r["ts"]).dt.date
+    r["date"] = r["date"].astype(str)
+    r = r.sort_values("ts", kind="stable").reset_index(drop=True)
+    if len(r) == 0:
+        return pd.DataFrame(columns=[
+            "cid", "date", "tod", "tod_bin", "time_in", "midpoint", "time_out",
+            "duration", "pos", "n_points", "lat", "lon", "local_tz"])
+
+    # per-day run-length position counter (vectorized cid_of_day)
+    new_day = r["date"].ne(r["date"].shift()).values
+    cid_change = r["cid"].ne(r["cid"].shift()).values | new_day
+    run_id = np.cumsum(cid_change)
+    # pos restarts at 1 each day
+    day_first_run = pd.Series(run_id).groupby(r["date"].values).transform("min").values
+    pos = run_id - day_first_run + 1
+
+    g = pd.DataFrame({
+        "date": r["date"].values, "pos": pos, "cid": r["cid"].values,
+        "ts": r["ts"].values, "lat": r["lat"].values, "lon": r["lon"].values,
+        "run": run_id,
+    })
+    agg = g.groupby(["date", "pos", "cid"], sort=True).agg(
+        time_in=("ts", "first"), time_out=("ts", "last"),
+        n_points=("ts", "size"), lat=("lat", "median"), lon=("lon", "median"),
+    ).reset_index()
+
+    # midnight merge (gps.py:1307-1321)
+    dates = pd.to_datetime(agg["date"]).dt.date.values
+    time_in = agg["time_in"].values.astype("datetime64[us]")
+    time_out = agg["time_out"].values.astype("datetime64[us]")
+    for i in range(1, len(agg)):
+        if agg["pos"].values[i] == 1 and agg["cid"].values[i - 1] == agg["cid"].values[i] \
+                and dates[i - 1] == dates[i] - dt.timedelta(days=1):
+            d_prev = np.datetime64(dates[i - 1], "us")
+            time_out[i - 1] = d_prev + np.timedelta64(23 * 3600 + 59 * 60 + 59, "s")
+            time_in[i] = np.datetime64(dates[i], "us")
+    agg["time_in"] = time_in
+    agg["time_out"] = time_out
+    agg["date"] = dates
+
+    dur = pd.Series(time_out - time_in).dt.round("1s")
+    agg["duration"] = dur
+    agg["midpoint"] = pd.Series(pd.to_datetime(time_in) + dur / 2).dt.round("1s")
+    agg["tod"] = agg["midpoint"].dt.time
+    agg["tod_bin"] = np.nan
+    if tz_lookup is not None:
+        agg["local_tz"] = tz_lookup(agg["lat"].values, agg["lon"].values)
+    else:
+        agg["local_tz"] = "UTC"
+    return agg.reindex(columns=[
+        "cid", "date", "tod", "tod_bin", "time_in", "midpoint", "time_out",
+        "duration", "pos", "n_points", "lat", "lon", "local_tz"])
+
+
+_VBINS = ["stationary", "walking", "active", "powered_vehicle", "high_speed_transportation"]
+
+
+def daily_metrics(records: pd.DataFrame) -> pd.DataFrame:
+    """get_daily_metrics (gps.py:1366-1504): one row per date, ~20 features."""
+    r = records.copy()
+    if "date" not in r.columns:
+        r["date"] = pd.Series(r["ts"]).dt.date
+    gb = r.groupby("date", sort=True)
+    dates = gb.size().index
+    out = pd.DataFrame(index=dates)
+
+    def _masked_sum(mask: np.ndarray, col: str, scale: float) -> pd.Series:
+        s = r.loc[mask].groupby("date")[col].sum().reindex(dates, fill_value=0.0)
+        return np.round(s / scale, 3)
+
+    # location_variance = round(log(std(lat)+std(lon)), 3), population std
+    lv = gb["lat"].std(ddof=0) + gb["lon"].std(ddof=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["location_variance"] = np.where(lv > 0, np.round(np.log(lv), 3), np.nan)
+    out["hours_accounted_for"] = r.assign(_h=r["ts"].dt.hour).groupby("date")["_h"].nunique()
+    binv = r["binning"].values
+    cidv = r["cid"].values
+    out["hours_stationary_nhw"] = _masked_sum(
+        (binv == "stationary") & (cidv != "home") & (cidv != "work"), "time_delta", 3600)
+    out["came_to_work"] = gb["cid"].agg(lambda s: bool((s == "work").any()))
+    out["number_of_clusters"] = gb["cid"].nunique()
+    for b in _VBINS:
+        out[f"hours_{b}"] = _masked_sum(binv == b, "time_delta", 3600)
+        out[f"distance_{b}"] = _masked_sum(binv == b, "displacement", 1.0)
+    for cid in ("home", "work"):
+        out[f"hours_in_{cid}"] = _masked_sum(cidv == cid, "time_delta", 3600)
+
+    # top-3 non-home/work/xNot clusters by total time (gps.py:1441-1456)
+    pool = r.loc[~r["cid"].isin(["home", "work", "xNot"]), ["cid", "time_delta"]]
+    top3 = (pool.groupby("cid")["time_delta"].sum().reset_index()
+            .sort_values("time_delta", ascending=False)["cid"].iloc[:3].tolist())
+    out["hours_in_top3"] = _masked_sum(np.isin(cidv, top3), "time_delta", 3600)
+
+    # hours_of_sleep: sequential cross-day scan (gps.py:1462-1501)
+    sleep = {}
+    t_last = None
+    for d in pd.unique(r["date"].values):
+        day_rows = r.loc[r["date"].values == d]
+        t_start = day_rows.loc[day_rows["ts"] == day_rows["ts"].min()].iloc[0]
+        midnight = pd.Timestamp(dt.datetime(t_start["ts"].year, t_start["ts"].month,
+                                            t_start["ts"].day))
+        ln_seconds = 0
+        if t_last is not None:
+            gap = (t_start["ts"] - t_last["ts"]).total_seconds()
+            far = float(haversine_m(t_start["lat"], t_start["lon"],
+                                    t_last["lat"], t_last["lon"])) > 500
+            if gap <= 24 * 3600 and not far:
+                ln_seconds = (midnight - t_last["ts"]).seconds
+        sleep[d] = np.round(((t_start["ts"] - midnight).seconds + ln_seconds) / 3600, 3)
+        t_last = day_rows.loc[day_rows["ts"] == day_rows["ts"].max()].iloc[0]
+    out["hours_of_sleep"] = pd.Series(sleep)
+
+    return out.reset_index().rename(columns={"index": "date"})
+
+
+def cluster_metrics(clusters: pd.DataFrame, entries: pd.DataFrame) -> pd.DataFrame:
+    """cluster_metrics (gps.py:656-796): per-cid visit statistics joined onto
+    the clusters table (outer, sorted by cid)."""
+    e = entries.loc[entries["cid"] != "xNot"]
+    stats = []
+    for cid, g in e.groupby("cid"):
+        g = g.sort_values("midpoint", kind="stable")
+        dur_h = g["duration"].dt.total_seconds() / 3600.0
+        mid_s = g["midpoint"].astype("int64") / 1e9
+        gaps = np.diff(mid_s)
+        mti = np.round(np.mean(gaps) / 3600, 3) if gaps.size else np.nan
+        stats.append(dict(
+            cid=cid,
+            times_entered=len(g),
+            total_duration=np.round(dur_h.sum(), 3),
+            mean_duration=np.round(dur_h.mean(), 3),
+            std_duration=np.round(dur_h.std(), 3),
+            max_duration=np.round(dur_h.max(), 3),
+            min_duration=np.round(dur_h.min(), 3),
+            mean_ti_between_visits=mti,
+        ))
+    if not stats:
+        return None
+    stats = pd.DataFrame(stats).set_index("cid")
+    return clusters.join(stats, on="cid", how="outer", sort=True)
