@@ -1,0 +1,143 @@
+"""Flagship pipeline: pages -> geocode -> tiles -> context enrichment ->
+per-host stream labeling -> entries / daily features / cluster tables.
+
+Ray-Data mapping of the reference's canonical flow (SURVEY.md §3.1,
+gps.py demo notebook cells 2-10):
+
+    read_parquet(pages, columns=...)            # prune: html never read
+      -> map_batches(geocode_batch)             # stateless, zero-copy Arrow
+      -> map_batches(tile_batch)                # S2/H3-style/grid cell ids
+      -> map_batches(PipEnricher, concurrency=N)  # actor pool, broadcast layer
+      -> groupby(host).map_groups(label_host)   # shuffle #1 (key = host):
+                                                #   velocity -> clusters ->
+                                                #   cid + distance_from_home
+      -> write_parquet(partition by part_key)   # resumable unit
+    entries  = labeled.groupby(host).map_groups(cluster_times)
+    daily    = labeled.groupby(host).map_groups(daily_metrics)   # (host,date)
+    clusters = labeled.groupby(host,cid).aggregate(mean/count)   # small table
+
+Scale notes: the single wide shuffle is the host groupby; `text` travels
+through it exactly once (html is never read). Cluster tables and feature
+tables are small. Per-host DBSCAN state never leaves the group; the polygon
+layer is broadcast via ray.put once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..functions.stream import (
+    cluster_times,
+    clusters_with_context,
+    daily_metrics,
+    velocity_frame,
+)
+from ..stages.enrich import PipEnricher
+from ..stages.geocode import geocode_batch, tile_batch
+
+PAGE_COLUMNS = ["url", "warc_ts", "text", "lang"]
+
+
+def label_host_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-host: velocity features + cluster context labels (M3 + C4)."""
+    g = g.rename(columns={"warc_ts": "ts"})
+    vf = velocity_frame(g)
+    records, _clusters = clusters_with_context(vf)
+    return records.rename(columns={"ts": "warc_ts"})
+
+
+def entries_host_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-host sessionization (C6) -> entries table rows."""
+    g = g.rename(columns={"warc_ts": "ts"})
+    g["date"] = g["ts"].dt.date
+    e = cluster_times(g)
+    if len(e) == 0:
+        return pd.DataFrame()
+    host = g["host"].iloc[0]
+    return pd.DataFrame({
+        "host": host,
+        "cid": e["cid"].astype(str),
+        "date": e["date"].astype(str),
+        "time_in": e["time_in"],
+        "midpoint": e["midpoint"],
+        "time_out": e["time_out"],
+        "duration_s": e["duration"].dt.total_seconds(),
+        "pos": e["pos"].astype(np.int64),
+        "n_points": e["n_points"].astype(np.int64),
+        "lat": e["lat"],
+        "lon": e["lon"],
+        "local_tz": e["local_tz"].astype(str),
+    })
+
+
+def daily_host_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-host daily metrics (A4) -> (host, date) feature rows."""
+    g = g.rename(columns={"warc_ts": "ts"})
+    g["date"] = g["ts"].dt.date
+    dm = daily_metrics(g)
+    dm.insert(0, "host", g["host"].iloc[0])
+    dm["date"] = dm["date"].astype(str)
+    return dm
+
+
+def geocoded_pages(pages_dir: str, columns=None) -> rd.Dataset:
+    ds = rd.read_parquet(pages_dir, columns=columns or PAGE_COLUMNS)
+    ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
+    return ds.map_batches(tile_batch, batch_format="pyarrow")
+
+
+def labeled_pages(pages_dir: str, polygons: list | None = None,
+                  enrich_concurrency: int = 4) -> rd.Dataset:
+    """Full record-level labeling pipeline (lazy Dataset)."""
+    ds = geocoded_pages(pages_dir)
+    if polygons is not None:
+        ref = ray.put(polygons)
+        ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=enrich_concurrency)
+    return ds.groupby("host").map_groups(label_host_group, batch_format="pandas")
+
+
+def entries_table(labeled: rd.Dataset) -> rd.Dataset:
+    cols = ["host", "warc_ts", "lat", "lon", "binning", "cid"]
+    return (labeled.select_columns(cols)
+            .groupby("host").map_groups(entries_host_group, batch_format="pandas"))
+
+
+def daily_features(labeled: rd.Dataset) -> rd.Dataset:
+    cols = ["host", "warc_ts", "lat", "lon", "binning", "cid",
+            "time_delta", "displacement"]
+    return (labeled.select_columns(cols)
+            .groupby("host").map_groups(daily_host_group, batch_format="pandas"))
+
+
+def cluster_table(labeled: rd.Dataset) -> rd.Dataset:
+    """Engine-convention cluster table: per (host, cid != xNot) centroid of
+    final members (5 dp) + member count. (The reference's home/work rows keep
+    the pre-fence DBSCAN centroid — gps.py:1050-1065; the engine standardizes
+    on final-membership centroids, documented deviation.)"""
+    from ray.data.aggregate import Count, Mean
+
+    agg = (labeled.select_columns(["host", "cid", "lat", "lon"])
+           .groupby(["host", "cid"])
+           .aggregate(Mean("lat", alias_name="lat"), Mean("lon", alias_name="lon"),
+                      Count(alias_name="n_points")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t["cid"], "xNot"))
+        cid = t["cid"].to_numpy(zero_copy_only=False)
+        name = np.where(np.isin(cid, ["home", "work"]), cid, "nap")
+        t = t.set_column(t.schema.get_field_index("lat"), "lat",
+                         pa.array(np.round(t["lat"].to_numpy(), 5)))
+        t = t.set_column(t.schema.get_field_index("lon"), "lon",
+                         pa.array(np.round(t["lon"].to_numpy(), 5)))
+        return (t.append_column("name", pa.array(name, pa.string()))
+                .append_column("categories", pa.array(name, pa.string())))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,86 @@
+"""Stateful enrichment stages (actor pools): point-in-polygon context join,
+kNN assignment, raster sampling.
+
+Pattern (SURVEY.md §2.3): state (prepared polygon index / reference points /
+raster tiles) is built ONCE per actor in ``__init__`` from a broadcast
+``ray.put`` object ref, then every ``__call__`` handles one Arrow batch
+vectorized. This replaces the reference's per-call HTTP + single-writer
+sqlite cache design (gps.py:504-624) with shared-nothing lookups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.knn import nearest_neighbor
+from ..functions.pip import PolygonIndex
+from ..functions.raster import RasterLayer
+
+
+class PipEnricher:
+    """Adds place_id / place_category via point-in-polygon (J10).
+
+    ``polygons_ref``: ray.ObjectRef of the polygon layer (list of dicts) —
+    pass the ref, not the list, so the layer ships once per node, not per
+    batch."""
+
+    def __init__(self, polygons_ref, cell_deg: float = 0.25):
+        import ray
+
+        polys = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) else polygons_ref
+        self.index = PolygonIndex(polys, cell_deg=cell_deg)
+        self.place_ids = np.array([p["place_id"] for p in polys] + [None], dtype=object)
+        self.categories = np.array([p["major_category"] for p in polys] + [None], dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index.query(batch["lat"].to_numpy(), batch["lon"].to_numpy())
+        return (batch
+                .append_column("place_id", pa.array(self.place_ids[idx], pa.string()))
+                .append_column("place_category", pa.array(self.categories[idx], pa.string())))
+
+
+class KnnAssigner:
+    """Assigns each row the id of its nearest reference point (J1/J3 analog:
+    the reference's zipcode-KDTree lookup)."""
+
+    def __init__(self, ref_table_ref, id_col: str = "id",
+                 metric: str = "haversine", max_distance: float | None = None,
+                 out_col: str = "nn_id"):
+        import ray
+
+        ref = ray.get(ref_table_ref) if isinstance(ref_table_ref, ray.ObjectRef) else ref_table_ref
+        self.rlat = np.asarray(ref["lat"], dtype=np.float64)
+        self.rlon = np.asarray(ref["lon"], dtype=np.float64)
+        self.ids = np.asarray(ref[id_col])
+        self.metric = metric
+        self.max_distance = max_distance
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx, dist = nearest_neighbor(batch["lat"].to_numpy(), batch["lon"].to_numpy(),
+                                     self.rlat, self.rlon, metric=self.metric,
+                                     max_distance=self.max_distance)
+        ids = np.where(idx >= 0, self.ids[np.maximum(idx, 0)], None)
+        return (batch
+                .append_column(self.out_col, pa.array(ids.astype(object)))
+                .append_column(self.out_col + "_dist", pa.array(dist, pa.float64())))
+
+
+class RasterSampler:
+    """Samples a context raster at each point (C10; reference analog: the
+    hourly-weather grid lookup, weather.py:405-489). Tiles are built/cached
+    per actor."""
+
+    def __init__(self, raster_ref, out_col: str = "raster_value",
+                 method: str = "bilinear"):
+        import ray
+
+        r = ray.get(raster_ref) if isinstance(raster_ref, ray.ObjectRef) else raster_ref
+        self.raster = r
+        self.out_col = out_col
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = self.raster.sample(batch["lat"].to_numpy(), batch["lon"].to_numpy(),
+                               method=self.method)
+        return batch.append_column(self.out_col, pa.array(v, pa.float64()))

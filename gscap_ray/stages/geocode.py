@@ -1,0 +1,64 @@
+"""Geocode + tile-encode stages (stateless, zero-copy Arrow batches).
+
+M13/C9 in SURVEY.md §2: derive (host, lat, lon) from (url, warc_ts) and
+attach hierarchical cell ids. Pure numpy over ``batch_format='pyarrow'``
+batches; every input column passes through untouched (byte-identity
+invariant for ``text``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.cells import grid_cell_id, hex_cell_id, s2_cell_id
+from ..synth import geocode, hash64
+
+DEFAULT_PARTITIONS = 256
+
+
+def extract_host(urls: np.ndarray) -> np.ndarray:
+    """Vectorized host extraction from https://host/path urls."""
+    # str.partition via pandas (vectorized C path)
+    import pandas as pd
+
+    s = pd.Series(urls, dtype="object").str.replace("https://", "", regex=False)
+    return s.str.split("/", n=1).str[0].values
+
+
+def geocode_batch(batch: pa.Table) -> pa.Table:
+    """Add host, lat, lon columns."""
+    urls = batch["url"].to_numpy(zero_copy_only=False)
+    hosts = extract_host(urls)
+    ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy()
+    lat, lon = geocode(hash64(hosts), hash64(urls), ts_us)
+    return (batch
+            .append_column("host", pa.array(hosts, pa.string()))
+            .append_column("lat", pa.array(lat, pa.float64()))
+            .append_column("lon", pa.array(lon, pa.float64())))
+
+
+def tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) -> pa.Table:
+    """Add h3_r7/8/9, s2_cell (level 12), grid_cell and part_key columns.
+
+    ``part_key`` is the hash-partition of the *host* (the per-stream shuffle
+    key) — pages of one host always land in one partition, the unit of
+    checkpointing and resume."""
+    lat = batch["lat"].to_numpy()
+    lon = batch["lon"].to_numpy()
+    host_h = hash64(batch["host"].to_numpy(zero_copy_only=False))
+    return (batch
+            .append_column("h3_r7", pa.array(hex_cell_id(lat, lon, 7), pa.uint64()))
+            .append_column("h3_r8", pa.array(hex_cell_id(lat, lon, 8), pa.uint64()))
+            .append_column("h3_r9", pa.array(hex_cell_id(lat, lon, 9), pa.uint64()))
+            .append_column("s2_cell", pa.array(s2_cell_id(lat, lon, 12), pa.uint64()))
+            .append_column("grid_cell", pa.array(grid_cell_id(lat, lon, 0.1), pa.int64()))
+            .append_column("part_key", pa.array((host_h % np.uint64(partitions)).astype(np.uint32), pa.uint32())))
+
+
+def text_hash_batch(batch: pa.Table) -> pa.Table:
+    """Attach a deterministic uint64 hash of ``text`` (the byte-identity
+    invariant is verified hash-wise at stage boundaries instead of carrying
+    the bytes everywhere; SURVEY.md §7 'Wide binary rows')."""
+    th = hash64(batch["text"].to_numpy(zero_copy_only=False))
+    return batch.append_column("text_hash", pa.array(th, pa.uint64()))
