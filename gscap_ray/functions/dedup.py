@@ -1,0 +1,95 @@
+"""Deduplication kernels: exact hash, k-shingle Jaccard, MinHash(+LSH bands),
+SimHash.
+
+Reference analog: the 5-dp coordinate rounding that collapses nearby cache
+requests onto one cache line (/root/reference/gscap/gps.py:94-95,
+SURVEY.md §2.7 D1-D3) — generalized to content-based near-dedup for web-scale
+document tables. All kernels are deterministic (fixed hash key / seeds) and
+mergeable: per-batch signatures explode to (band, bucket, doc) rows that a
+groupby collects into candidate groups (the LSH shuffle pattern,
+ray_guide 'Aggregation at scale').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..synth import hash64
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_key(texts: np.ndarray) -> np.ndarray:
+    """uint64 content hash for exact dedup (hash-partition + first-wins)."""
+    return hash64(texts)
+
+
+def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    """uint64 hashes of the k-word shingles of one document."""
+    if len(tokens) < k:
+        if not tokens:
+            return np.empty(0, dtype=np.uint64)
+        return hash64(np.asarray([" ".join(tokens)], dtype=object))
+    sh = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    return np.unique(hash64(np.asarray(sh, dtype=object)))
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard similarity of two shingle-hash sets."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def _perm_params(n_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, n_perm: int = 64, seed: int = 7) -> np.ndarray:
+    """(a*h + b) mod Mersenne61 min over shingles, per permutation."""
+    a, b = _perm_params(n_perm, seed)
+    if shingles.size == 0:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (n_perm, n_shingles) in uint64 with Mersenne modulus via python-free numpy
+    h = shingles.astype(np.uint64)
+    prod = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Hash each band of the signature -> (bands,) uint64 bucket keys.
+    Docs sharing any (band_id, key) are candidate near-dups."""
+    rows = sig.shape[0] // bands
+    out = np.empty(bands, dtype=np.uint64)
+    for bi in range(bands):
+        chunk = sig[bi * rows:(bi + 1) * rows]
+        acc = np.uint64(1469598103934665603)
+        for v in chunk.tolist():
+            acc = np.uint64((int(acc) ^ int(v)) * 1099511628211 % (1 << 64))
+        out[bi] = acc
+    return out
+
+
+def simhash64(tokens: list[str]) -> np.uint64:
+    """64-bit SimHash over whitespace tokens (unit weights)."""
+    if not tokens:
+        return np.uint64(0)
+    th = hash64(np.asarray(tokens, dtype=object))
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return np.uint64(int("".join("1" if x > 0 else "0" for x in v[::-1]), 2))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays (broadcast)."""
+    x = np.bitwise_xor(a, b)
+    # popcount via bit tricks on uint64
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

@@ -1,0 +1,113 @@
+"""Text-analysis kernels for document tables (language-ID, quality scoring,
+token counting, fingerprinting).
+
+These are the large-scale training-data operators layered on the engine
+(driver brief: "Beyond the reference's own operators..."); each runs
+vectorized (pandas str / numpy) inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+
+STOPWORDS_EN = frozenset("the and of a to in is it you that was for on are".split())
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (public common-word lists)
+_LANG_MARKERS = {
+    "en": frozenset("the and of to in is that it for was with as are be this".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit von für auf dem den".split()),
+    "fr": frozenset("le la les et de des un une est pour que dans sur pas".split()),
+    "es": frozenset("el la los las de y que en un una es por para con no".split()),
+}
+
+
+def tokenize(texts: np.ndarray) -> list[list[str]]:
+    """Whitespace tokenization (empty string -> no tokens)."""
+    s = pd.Series(texts, dtype="object").fillna("")
+    return [t.split() if t.strip() else [] for t in s]
+
+
+def token_counts(texts: np.ndarray) -> np.ndarray:
+    """Whitespace token count, SQL-matchable:
+    0 if trim(text)='' else len(regexp_split_to_array(trim(text),'\\s+'))."""
+    s = pd.Series(texts, dtype="object").fillna("").str.strip()
+    n = s.str.split(_WS).str.len().values.astype(np.int64)
+    n[s.values == ""] = 0
+    return n
+
+
+def stopword_ratio(texts: np.ndarray, stopwords=STOPWORDS_EN) -> np.ndarray:
+    """fraction of lowercase whitespace tokens that are stopwords (0.0 for
+    empty docs), rounded to 4 dp."""
+    out = np.zeros(len(texts), dtype=np.float64)
+    for i, toks in enumerate(tokenize(texts)):
+        if toks:
+            low = [t.lower() for t in toks]
+            out[i] = sum(t in stopwords for t in low) / len(low)
+    return np.round(out, 4)
+
+
+def quality_features(texts: np.ndarray) -> dict[str, np.ndarray]:
+    """Heuristic quality features: lengths, token stats, symbol ratios."""
+    s = pd.Series(texts, dtype="object").fillna("")
+    n_chars = s.str.len().values.astype(np.int64)
+    toks = tokenize(texts)
+    n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
+    mean_tok = np.array([np.mean([len(w) for w in t]) if t else 0.0 for t in toks])
+    alpha = s.str.count(r"[A-Za-z]").values.astype(np.float64)
+    digit = s.str.count(r"[0-9]").values.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha_ratio = np.where(n_chars > 0, alpha / n_chars, 0.0)
+        digit_ratio = np.where(n_chars > 0, digit / n_chars, 0.0)
+    return dict(
+        n_chars=n_chars,
+        n_tokens=n_tokens,
+        mean_token_len=np.round(mean_tok, 4),
+        alpha_ratio=np.round(alpha_ratio, 4),
+        digit_ratio=np.round(digit_ratio, 4),
+        stop_ratio=stopword_ratio(texts),
+    )
+
+
+def detect_language(texts: np.ndarray) -> np.ndarray:
+    """Stopword/codepoint language-ID heuristic over {en, de, fr, es, ja}.
+
+    'ja' on any CJK/kana codepoint; otherwise the language with the most
+    marker-stopword hits ('en' tie/default). Deterministic."""
+    out = np.empty(len(texts), dtype=object)
+    cjk = re.compile(r"[぀-ヿ㐀-鿿]")
+    for i, t in enumerate(pd.Series(texts, dtype="object").fillna("")):
+        if cjk.search(t):
+            out[i] = "ja"
+            continue
+        toks = [w.lower() for w in t.split()]
+        best, best_n = "en", -1
+        for lang in ("en", "de", "fr", "es"):  # fixed order -> deterministic ties
+            n = sum(w in _LANG_MARKERS[lang] for w in toks)
+            if n > best_n:
+                best, best_n = lang, n
+        out[i] = best
+    return out
+
+
+def rolling_fingerprint(texts: np.ndarray, base: int = 1000003,
+                        mod: int = (1 << 61) - 1) -> np.ndarray:
+    """Deterministic rolling polynomial hash over whitespace tokens
+    (document fingerprint, uint64)."""
+    from ..synth import hash64
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, toks in enumerate(tokenize(texts)):
+        h = 0
+        if toks:
+            th = hash64(np.asarray(toks, dtype=object))
+            for v in th.tolist():
+                h = (h * base + int(v)) % mod
+        out[i] = h
+    return out

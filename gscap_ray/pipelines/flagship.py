@@ -102,6 +102,31 @@ def labeled_pages(pages_dir: str, polygons: list | None = None,
     return ds.groupby("host").map_groups(label_host_group, batch_format="pandas")
 
 
+def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
+                     polygons: list | None = None,
+                     enrich_concurrency: int = 4) -> dict:
+    """Checkpointed flagship run: completed partitions are filtered out
+    right after tiling (cheap), the rest flow through enrichment + labeling
+    and are written atomically with per-partition manifests."""
+    from ..state.checkpoint import (
+        completed_partitions,
+        filter_out_partitions,
+        run_partitioned,
+    )
+
+    done = completed_partitions(out_dir, input_fingerprint)
+    ds = geocoded_pages(pages_dir)
+    ds = filter_out_partitions(ds, done)
+    if polygons is not None:
+        ref = ray.put(polygons)
+        ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=enrich_concurrency)
+    labeled = ds.groupby("host").map_groups(label_host_group, batch_format="pandas")
+    summary = run_partitioned(labeled, out_dir, input_fingerprint)
+    summary["skipped_at_read"] = len(done)
+    return summary
+
+
 def entries_table(labeled: rd.Dataset) -> rd.Dataset:
     cols = ["host", "warc_ts", "lat", "lon", "binning", "cid"]
     return (labeled.select_columns(cols)

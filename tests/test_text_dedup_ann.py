@@ -1,0 +1,138 @@
+"""Tests for text-analysis, dedup and ANN kernels."""
+
+import numpy as np
+
+from gscap_ray.functions.ann import (
+    cosine_pairs_above,
+    cosine_topk,
+    hyperplane_lsh_codes,
+    ivf_assign,
+    normalize,
+)
+from gscap_ray.functions.dedup import (
+    exact_key,
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from gscap_ray.functions.text import (
+    detect_language,
+    quality_features,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_counts,
+)
+
+RNG = np.random.default_rng(99)
+
+
+def test_token_counts():
+    t = np.array(["a b  c", "", "   ", "one"], dtype=object)
+    assert token_counts(t).tolist() == [3, 0, 0, 1]
+
+
+def test_stopword_ratio():
+    t = np.array(["the cat and the dog", "zebra quartz"], dtype=object)
+    r = stopword_ratio(t)
+    assert r[0] == 0.6 and r[1] == 0.0
+
+
+def test_quality_features():
+    q = quality_features(np.array(["Hello world 42", ""], dtype=object))
+    assert q["n_tokens"].tolist() == [3, 0]
+    assert q["digit_ratio"][0] > 0 and q["alpha_ratio"][1] == 0.0
+
+
+def test_detect_language():
+    t = np.array([
+        "the cat is on the mat and it is happy",
+        "der hund ist nicht mit der katze und das ist gut",
+        "le chat est dans la maison et les oiseaux",
+        "el perro es de la casa y los gatos no",
+        "これは日本語のテキストです",
+    ], dtype=object)
+    assert detect_language(t).tolist() == ["en", "de", "fr", "es", "ja"]
+
+
+def test_fingerprint_deterministic_order_sensitive():
+    a = rolling_fingerprint(np.array(["a b c", "a b c", "c b a"], dtype=object))
+    assert a[0] == a[1] and a[0] != a[2]
+
+
+def test_exact_key_and_shingles():
+    k = exact_key(np.array(["x", "x", "y"], dtype=object))
+    assert k[0] == k[1] != k[2]
+    s1 = shingle_hashes("the quick brown fox jumps".split())
+    s2 = shingle_hashes("the quick brown fox leaps".split())
+    assert 0 < jaccard(s1, s2) < 1
+    assert jaccard(s1, s1) == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    base = [f"w{i}" for i in range(200)]
+    a_toks = base
+    b_toks = base[:150] + [f"v{i}" for i in range(50)]
+    sa = shingle_hashes(a_toks)
+    sb = shingle_hashes(b_toks)
+    true_j = jaccard(sa, sb)
+    ma = minhash_signature(sa, n_perm=128)
+    mb = minhash_signature(sb, n_perm=128)
+    est = (ma == mb).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_lsh_bands_collide_for_near_dups():
+    toks = [f"w{i}" for i in range(300)]
+    sa = minhash_signature(shingle_hashes(toks))
+    sb = minhash_signature(shingle_hashes(toks[:295] + ["x"] * 5))
+    sc = minhash_signature(shingle_hashes([f"z{i}" for i in range(300)]))
+    ba, bb, bc = lsh_band_keys(sa), lsh_band_keys(sb), lsh_band_keys(sc)
+    assert (ba == bb).any()          # near-dup shares >=1 band
+    assert not (ba == bc).any()      # unrelated shares none
+
+
+def test_simhash_hamming():
+    a = simhash64("the quick brown fox jumps over the lazy dog".split())
+    b = simhash64("the quick brown fox jumps over the lazy cat".split())
+    c = simhash64("completely different words entirely unrelated content here".split())
+    assert hamming64(np.array([a]), np.array([b]))[0] < hamming64(np.array([a]), np.array([c]))[0]
+    assert hamming64(np.array([a]), np.array([a]))[0] == 0
+
+
+def test_cosine_topk_exact():
+    corpus = RNG.standard_normal((500, 16))
+    ids = np.arange(1000, 1500)
+    q = corpus[[3, 77]] + RNG.standard_normal((2, 16)) * 0.01
+    top_ids, scores = cosine_topk(q, corpus, ids, k=5)
+    assert top_ids[0, 0] == 1003 and top_ids[1, 0] == 1077
+    # exact check vs full computation
+    full = normalize(q) @ normalize(corpus).T
+    want = np.argsort(-full[0], kind="stable")[:5]
+    assert top_ids[0].tolist() == ids[want].tolist()
+    assert np.all(np.diff(scores, axis=1) <= 1e-12)
+
+
+def test_cosine_pairs_above():
+    e = RNG.standard_normal((100, 8))
+    e[50] = e[10] * 2.0  # same direction -> cos = 1
+    ids = np.arange(100)
+    a, b, s = cosine_pairs_above(e, ids, threshold=0.999)
+    assert (10, 50) in set(zip(a.tolist(), b.tolist()))
+    # brute-force check
+    full = normalize(e) @ normalize(e).T
+    iu = np.triu_indices(100, k=1)
+    want = int((full[iu] > 0.999).sum())
+    assert len(a) == want
+
+
+def test_lsh_codes_and_ivf():
+    e = RNG.standard_normal((200, 16))
+    e[100:] = e[:100] + RNG.standard_normal((100, 16)) * 0.01
+    codes = hyperplane_lsh_codes(e)
+    assert (codes[:100] == codes[100:]).mean() > 0.7
+    assign, cent = ivf_assign(e, n_cells=8)
+    assert assign.shape == (200,) and cent.shape[0] == 8
+    assert (assign[:100] == assign[100:]).mean() > 0.8
