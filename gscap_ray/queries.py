@@ -1,0 +1,919 @@
+"""Named query/operator registry: Ray Data implementation + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+testdata tables. The geospatial queries derive deterministic coordinates from
+``events`` with *integer arithmetic only* (identical in numpy and SQL) so the
+haversine / binning / tiling / join kernels can be oracle-checked exactly:
+
+    base_lat = (user_id*37) % 120 - 60 + 0.5
+    base_lon = (user_id*91) % 300 - 150 + 0.5
+    lat = base_lat + ((event_id*7919)  % 2001 - 1000) / 100000.0
+    lon = base_lon + ((event_id*104729) % 2001 - 1000) / 100000.0
+
+Column names match the oracle exactly (the driver hashes values under sorted
+column names). Aggregated floats are rounded on both sides; rounding digits
+are chosen so FP summation-order differences (Ray partial aggregation vs
+DuckDB sequential) vanish.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .functions.geo import haversine_m
+
+
+# --------------------------------------------------------------- helpers ---
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def derive_points_batch(t: pa.Table) -> pa.Table:
+    """events batch -> + (lat, lon), integer-arithmetic deterministic."""
+    u = t["user_id"].to_numpy().astype(np.int64)
+    e = t["event_id"].to_numpy().astype(np.int64)
+    base_lat = ((u * 37) % 120 - 60).astype(np.float64) + 0.5
+    base_lon = ((u * 91) % 300 - 150).astype(np.float64) + 0.5
+    lat = base_lat + (((e * 7919) % 2001) - 1000).astype(np.float64) / 100000.0
+    lon = base_lon + (((e * 104729) % 2001) - 1000).astype(np.float64) / 100000.0
+    return (t.append_column("lat", pa.array(lat, pa.float64()))
+            .append_column("lon", pa.array(lon, pa.float64())))
+
+
+_PTS_SQL = """
+    SELECT event_id, user_id, ts, value, event_type,
+           ((user_id*37) % 120 - 60 + 0.5)
+             + (((event_id*7919) % 2001) - 1000) / 100000.0 AS lat,
+           ((user_id*91) % 300 - 150 + 0.5)
+             + (((event_id*104729) % 2001) - 1000) / 100000.0 AS lon
+    FROM events
+"""
+
+_HAVERSINE_SQL = """
+    2.0 * 6371000.0 * atan2(
+        sqrt(pow(sin(radians({lat2} - {lat1}) / 2), 2)
+             + cos(radians({lat1})) * cos(radians({lat2}))
+               * pow(sin(radians({lon2} - {lon1}) / 2), 2)),
+        sqrt(1.0 - (pow(sin(radians({lat2} - {lat1}) / 2), 2)
+             + cos(radians({lat1})) * cos(radians({lat2}))
+               * pow(sin(radians({lon2} - {lon1}) / 2), 2))))
+"""
+
+
+def _points_ds(sf_dir: str) -> rd.Dataset:
+    return _read(sf_dir, "events").map_batches(derive_points_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ relational core ----
+
+def q_groupby_agg(sf_dir: str):
+    """A1/A5: grouped aggregate with partial pre-aggregation semantics."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["avg_disc"] = out["avg_disc"].round(6)
+    return out
+
+
+SQL_GROUPBY_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       round(sum(l_extendedprice), 2)  AS sum_price,
+       round(avg(l_discount), 6)       AS avg_disc,
+       count(*)                        AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_users(sf_dir: str):
+    """SRT2: grouped sum -> global top-3 with deterministic tiebreak."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="total"))
+    top = agg.sort(["total", "user_id"], descending=[True, False]).limit(3).to_pandas()
+    top["total"] = top["total"].round(4)
+    return top
+
+
+SQL_TOPK_USERS = """
+SELECT user_id, round(sum(value), 4) AS total
+FROM events GROUP BY user_id
+ORDER BY sum(value) DESC, user_id LIMIT 3
+"""
+
+
+def q_join_nation_region(sf_dir: str):
+    """J2/J5: broadcast (map-side) join against small dimension tables."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lut_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        rn = pd.Series(t["c_nationkey"].to_numpy()).map(lut).values
+        return t.append_column("r_name", pa.array(rn, pa.string()))
+
+    from ray.data.aggregate import Count, Mean
+
+    out = (_read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+           .map_batches(attach, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Mean("c_acctbal", alias_name="avg_acctbal"))).to_pandas()
+    out["avg_acctbal"] = out["avg_acctbal"].round(4)
+    return out
+
+
+SQL_JOIN_NATION_REGION = """
+SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_orders_customers(sf_dir: str):
+    """J9: fact-to-dimension hash join (broadcast side = customer)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lut_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        seg = pd.Series(t["o_custkey"].to_numpy()).map(lut).values
+        return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .map_batches(attach, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="sum_totalprice"))).to_pandas()
+    out["sum_totalprice"] = out["sum_totalprice"].round(2)
+    return out
+
+
+SQL_JOIN_ORDERS_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_minute_resample(sf_dir: str):
+    """M6: truncate-to-minute downsample, mean value per (user, minute)."""
+    from ray.data.aggregate import Mean
+
+    def trunc(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t["ts"], unit="minute")
+        return t.append_column("minute", m)
+
+    out = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+           .map_batches(trunc, batch_format="pyarrow")
+           .groupby(["user_id", "minute"])
+           .aggregate(Mean("value", alias_name="mean_value"))).to_pandas()
+    out["mean_value"] = out["mean_value"].round(6)
+    return out
+
+
+SQL_MINUTE_RESAMPLE = """
+SELECT user_id, date_trunc('minute', ts) AS minute,
+       round(avg(value), 6) AS mean_value
+FROM events GROUP BY user_id, date_trunc('minute', ts)
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    """D1/D2: exact dedup — first (min doc_id) per distinct text.
+    Hash-partition by content key, per-group min."""
+    from ray.data.aggregate import Min
+
+    from .functions.dedup import exact_key
+
+    def key(t: pa.Table) -> pa.Table:
+        # uint64 -> int64 bit-reinterpret: Ray's groupby key path is int64
+        k = exact_key(t["text"].to_numpy(zero_copy_only=False)).view(np.int64)
+        return t.append_column("tkey", pa.array(k, pa.int64())).drop_columns(["text"])
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(key, batch_format="pyarrow")
+            .groupby("tkey")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"]))
+
+
+SQL_EXACT_DEDUP = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_distinct_types(sf_dir: str):
+    """A8: distinct values."""
+    vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+SQL_DISTINCT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_validity_filter(sf_dir: str):
+    """M10: vectorized validity mask + quarantine counts (invalid rows are
+    counted, never silently dropped)."""
+    def mark(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.greater_equal(t["value"], 0.0), pc.less(t["value"], 100.0))
+        return t.append_column("valid", ok)
+
+    from ray.data.aggregate import Count
+
+    out = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(mark, batch_format="pyarrow")
+           .groupby(["event_type", "valid"])
+           .aggregate(Count(alias_name="n"))).to_pandas()
+    return out
+
+
+SQL_VALIDITY_FILTER = """
+SELECT event_type, (value >= 0 AND value < 100) AS valid, count(*) AS n
+FROM events GROUP BY event_type, (value >= 0 AND value < 100)
+"""
+
+
+# ------------------------------------------------------------ geospatial ---
+
+def q_geocode_points(sf_dir: str):
+    """M13: deterministic geocode derivation."""
+    return _points_ds(sf_dir).select_columns(["event_id", "lat", "lon"])
+
+
+SQL_GEOCODE_POINTS = f"SELECT event_id, lat, lon FROM ({_PTS_SQL})"
+
+
+def q_grid_cells(sf_dir: str):
+    """C9 (oracle-checkable tiling): quantized 0.1-deg grid cell per point."""
+    from .functions.cells import grid_cell_id
+
+    def cellify(t: pa.Table) -> pa.Table:
+        c = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        return t.append_column("cell", pa.array(c, pa.int64()))
+
+    return (_points_ds(sf_dir).map_batches(cellify, batch_format="pyarrow")
+            .select_columns(["event_id", "cell"]))
+
+
+SQL_GRID_CELLS = f"""
+SELECT event_id,
+       CAST(floor((lat+90)/0.1) AS BIGINT)*3600
+         + CAST(floor((lon+180)/0.1) AS BIGINT) AS cell
+FROM ({_PTS_SQL})
+"""
+
+
+def q_pair_distances(sf_dir: str):
+    """M1 + SRT1: per-user consecutive haversine displacement (lag join)."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        d = haversine_m(g["lat"].values[:-1], g["lon"].values[:-1],
+                        g["lat"].values[1:], g["lon"].values[1:])
+        return pd.DataFrame({"event_id": g["event_id"].values[1:],
+                             "dist_m": np.round(d, 1)})
+
+    return (_points_ds(sf_dir)
+            .select_columns(["user_id", "event_id", "ts", "lat", "lon"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_PAIR_DISTANCES = f"""
+WITH p AS ({_PTS_SQL}),
+l AS (SELECT event_id, lat, lon,
+             lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+             lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+      FROM p)
+SELECT event_id,
+       round({_HAVERSINE_SQL.format(lat1='plat', lon1='plon', lat2='lat', lon2='lon')}, 1) AS dist_m
+FROM l WHERE plat IS NOT NULL
+"""
+
+
+def q_velocity_bins(sf_dir: str):
+    """M2/M3: the reference's discrete-velocity binning over per-user
+    streams (thresholds gps.py:896-930, caps gps.py:824-828), counted."""
+    from .functions.velocity import codes_to_labels, stream_velocity_features
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        _, _, _, codes = stream_velocity_features(g["lat"].values, g["lon"].values, ts_us)
+        lab = codes_to_labels(codes)
+        u, c = np.unique(lab, return_counts=True)
+        return pd.DataFrame({"binning": u, "n_part": c})
+
+    from ray.data.aggregate import Sum
+
+    out = (_points_ds(sf_dir)
+           .select_columns(["user_id", "event_id", "ts", "lat", "lon"])
+           .groupby("user_id").map_groups(per_user, batch_format="pandas")
+           .groupby("binning").aggregate(Sum("n_part", alias_name="n"))).to_pandas()
+    return out
+
+
+SQL_VELOCITY_BINS = f"""
+WITH p AS ({_PTS_SQL}),
+l AS (SELECT user_id, ts, event_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+             lag(ts)  OVER w AS pts
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (SELECT *,
+             CASE WHEN pts IS NULL THEN NULL
+                  ELSE ((epoch_us(ts) - epoch_us(pts)) // 1000000) % 86400 END AS td,
+             CASE WHEN pts IS NULL THEN NULL
+                  ELSE {_HAVERSINE_SQL.format(lat1='plat', lon1='plon', lat2='lat', lon2='lon')} END AS meters
+      FROM l),
+v AS (SELECT *, CASE WHEN td IS NULL OR td = 0 THEN NULL ELSE meters / td END AS vel FROM m),
+b AS (SELECT CASE
+        WHEN pts IS NULL THEN 'null'
+        WHEN td > 64800 THEN 'null'
+        WHEN meters < 4.9 THEN 'stationary'
+        WHEN vel > 0 AND vel < 0.7 THEN 'stationary'
+        WHEN vel < 1.5 THEN 'walking'
+        WHEN vel < 5.9 THEN (CASE WHEN td > 43200 THEN 'null' ELSE 'active' END)
+        WHEN vel < 67.056 THEN 'powered_vehicle'
+        WHEN vel < 312.928 THEN 'high_speed_transportation'
+        ELSE 'anomaly' END AS binning
+      FROM v)
+SELECT binning, count(*) AS n FROM b GROUP BY binning
+"""
+
+
+_RECTS = [dict(region_id=i,
+               lat_min=float(i * 12 - 72), lat_max=float(i * 12 - 64),
+               lon_min=float(i * 25 - 150), lon_max=float(i * 25 - 135))
+          for i in range(12)]
+
+
+def q_pip_rect_join(sf_dir: str):
+    """J10: point-in-polygon join against a deterministic 12-rectangle layer
+    via the generic PolygonIndex (grid-bucketed ray casting); -1 = outside.
+
+    NOTE on boundary semantics: the even-odd ray cast is half-open (a point
+    exactly on the max edge is outside); the oracle uses closed BETWEEN, so
+    the rectangles here are sized so no derived point falls on an edge
+    (coords end in 1e-5 offsets, edges are integers)."""
+    from .functions.pip import PolygonIndex
+
+    polys = [dict(place_id=r["region_id"],
+                  ring_lat=[r["lat_min"], r["lat_min"], r["lat_max"], r["lat_max"]],
+                  ring_lon=[r["lon_min"], r["lon_max"], r["lon_max"], r["lon_min"]])
+             for r in _RECTS]
+
+    class Assign:
+        def __init__(self):
+            self.index = PolygonIndex(polys, cell_deg=4.0)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = self.index.query(t["lat"].to_numpy(), t["lon"].to_numpy())
+            rid = np.where(idx >= 0, idx, -1)
+            return t.append_column("region_id", pa.array(rid, pa.int64()))
+
+    return (_points_ds(sf_dir).map_batches(Assign, batch_format="pyarrow", concurrency=2)
+            .select_columns(["event_id", "region_id"]))
+
+
+SQL_PIP_RECT_JOIN = f"""
+WITH p AS ({_PTS_SQL}),
+r AS (SELECT i AS region_id, i*12 - 72 AS lat_min, i*12 - 64 AS lat_max,
+             i*25 - 150 AS lon_min, i*25 - 135 AS lon_max
+      FROM range(12) t(i))
+SELECT p.event_id, coalesce(min(r.region_id), -1) AS region_id
+FROM p LEFT JOIN r
+  ON p.lat > r.lat_min AND p.lat < r.lat_max
+ AND p.lon > r.lon_min AND p.lon < r.lon_max
+GROUP BY p.event_id
+"""
+
+
+_CENTERS = [dict(center_id=j, lat=float(j * 15 - 52.5), lon=float(j * 40 - 140.0))
+            for j in range(8)]
+
+
+def q_knn_centers(sf_dir: str):
+    """J1/J3: batched 1-NN assignment against a broadcast center table
+    (haversine metric, lowest-id tiebreak)."""
+    import ray
+
+    from .stages.enrich import KnnAssigner
+
+    ref = ray.put(dict(lat=[c["lat"] for c in _CENTERS],
+                       lon=[c["lon"] for c in _CENTERS],
+                       id=[c["center_id"] for c in _CENTERS]))
+    ds = _points_ds(sf_dir).map_batches(
+        KnnAssigner, fn_constructor_args=(ref,),
+        fn_constructor_kwargs=dict(out_col="center_id"),
+        batch_format="pyarrow", concurrency=2)
+
+    def clean(t: pa.Table) -> pa.Table:
+        return t.select(["event_id"]).append_column(
+            "center_id", t["center_id"].cast(pa.int64()))
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+SQL_KNN_CENTERS = f"""
+WITH p AS ({_PTS_SQL}),
+c AS (SELECT j AS center_id, j*15 - 52.5 AS clat, j*40 - 140.0 AS clon
+      FROM range(8) t(j)),
+d AS (SELECT p.event_id, c.center_id,
+             {_HAVERSINE_SQL.format(lat1='p.lat', lon1='p.lon', lat2='c.clat', lon2='c.clon')} AS dist,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY {_HAVERSINE_SQL.format(lat1='p.lat', lon1='p.lon', lat2='c.clat', lon2='c.clon')}, c.center_id) AS rk
+      FROM p CROSS JOIN c)
+SELECT event_id, center_id FROM d WHERE rk = 1
+"""
+
+
+def q_s2_tiles(sf_dir: str):
+    """C9: real S2 cell ids (level 12) — no SQL analog (rows-only check +
+    self-consistency tests in tests/test_kernels_cells.py)."""
+    from .functions.cells import s2_cell_id
+
+    def cellify(t: pa.Table) -> pa.Table:
+        c = s2_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 12)
+        hexs = np.array([f"{v:016x}" for v in c.tolist()], dtype=object)
+        return (t.select(["event_id"])
+                .append_column("s2_cell", pa.array(hexs, pa.string())))
+
+    return _points_ds(sf_dir).map_batches(cellify, batch_format="pyarrow")
+
+
+def q_hex_tiles(sf_dir: str):
+    """C9: H3-style hex ids at res 7/8/9 — rows-only check."""
+    from .functions.cells import hex_cell_id
+
+    def cellify(t: pa.Table) -> pa.Table:
+        lat, lon = t["lat"].to_numpy(), t["lon"].to_numpy()
+        out = t.select(["event_id"])
+        for r in (7, 8, 9):
+            c = hex_cell_id(lat, lon, r)
+            out = out.append_column(f"h3_r{r}", pa.array(c.astype(np.int64), pa.int64()))
+        return out
+
+    return _points_ds(sf_dir).map_batches(cellify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- sessions ----
+
+def q_sessionize(sf_dir: str):
+    """C6 (run-length sessionization) over per-user ordered event streams."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        change = g["event_type"].ne(g["event_type"].shift()).values
+        run = np.cumsum(change)
+        out = g.groupby(run).agg(
+            event_type=("event_type", "first"), time_in=("ts", "first"),
+            time_out=("ts", "last"), n_points=("ts", "size"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out.reset_index(drop=True)
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, ts, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                  AS island
+           FROM events)
+SELECT user_id, any_value(event_type) AS event_type,
+       min(ts) AS time_in, max(ts) AS time_out, count(*) AS n_points
+FROM e GROUP BY user_id, event_type, island
+"""
+
+
+def q_session_metrics(sf_dir: str):
+    """A3/C8: per-session-type visit statistics (duration sums/means)."""
+    sess = q_sessionize(sf_dir).to_pandas()
+    dur = (sess["time_out"] - sess["time_in"]).dt.total_seconds()
+    sess = sess.assign(dur=dur)
+    out = sess.groupby("event_type").agg(
+        times_entered=("dur", "size"),
+        total_duration_s=("dur", "sum"),
+        mean_duration_s=("dur", "mean"),
+        max_duration_s=("dur", "max"),
+    ).reset_index()
+    out["total_duration_s"] = out["total_duration_s"].round(3)
+    out["mean_duration_s"] = out["mean_duration_s"].round(3)
+    out["max_duration_s"] = out["max_duration_s"].round(3)
+    return out
+
+
+SQL_SESSION_METRICS = """
+WITH e AS (SELECT user_id, ts, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                  AS island
+           FROM events),
+s AS (SELECT user_id, event_type,
+             epoch_us(max(ts) - min(ts)) / 1000000.0 AS dur
+      FROM e GROUP BY user_id, event_type, island)
+SELECT event_type, count(*) AS times_entered,
+       round(sum(dur), 3) AS total_duration_s,
+       round(avg(dur), 3) AS mean_duration_s,
+       round(max(dur), 3) AS max_duration_s
+FROM s GROUP BY event_type
+"""
+
+
+def q_daily_user_metrics(sf_dir: str):
+    """A4 analog: per (user, date) longitudinal features incl. the
+    reference's location_variance = round(ln(std(lat)+std(lon)), 3)
+    (gps.py:1368-1371, population std)."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        lv = np.std(g["lat"].values) + np.std(g["lon"].values)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "date": [g["date"].iloc[0]],
+            "n_events": [len(g)],
+            "distinct_hours": [g["ts"].dt.hour.nunique()],
+            "sum_value": [round(g["value"].sum(), 4)],
+            "location_variance": [round(float(np.log(lv)), 3) if lv > 0 else None],
+        })
+
+    def add_date(t: pa.Table) -> pa.Table:
+        d = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return t.append_column("date", d)
+
+    return (_points_ds(sf_dir)
+            .map_batches(add_date, batch_format="pyarrow")
+            .select_columns(["user_id", "date", "ts", "value", "lat", "lon"])
+            .groupby(["user_id", "date"])
+            .map_groups(per_group, batch_format="pandas"))
+
+
+SQL_DAILY_USER_METRICS = f"""
+WITH p AS ({_PTS_SQL})
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS date,
+       count(*) AS n_events,
+       count(DISTINCT extract(hour FROM ts)) AS distinct_hours,
+       round(sum(value), 4) AS sum_value,
+       CASE WHEN stddev_pop(lat) + stddev_pop(lon) > 0
+            THEN round(ln(stddev_pop(lat) + stddev_pop(lon)), 3)
+            ELSE NULL END AS location_variance
+FROM p GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+"""
+
+
+def q_daily_value_stats(sf_dir: str):
+    """A5 analog (weather daily summary): per-date mean/std/sum stats."""
+    from ray.data.aggregate import Count, Mean, Std, Sum
+
+    def add_date(t: pa.Table) -> pa.Table:
+        return t.append_column("date", pc.strftime(t["ts"], format="%Y-%m-%d"))
+
+    out = (_read(sf_dir, "events", ["ts", "value"])
+           .map_batches(add_date, batch_format="pyarrow")
+           .groupby("date")
+           .aggregate(Mean("value", alias_name="v_mean"),
+                      Std("value", ddof=0, alias_name="v_std"),
+                      Sum("value", alias_name="v_sum"),
+                      Count(alias_name="n"))).to_pandas()
+    for c in ("v_mean", "v_std", "v_sum"):
+        out[c] = out[c].round(4)
+    return out
+
+
+SQL_DAILY_VALUE_STATS = """
+SELECT strftime(ts, '%Y-%m-%d') AS date,
+       round(avg(value), 4) AS v_mean,
+       round(stddev_pop(value), 4) AS v_std,
+       round(sum(value), 4) AS v_sum,
+       count(*) AS n
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+def q_daily_value_quantiles(sf_dir: str):
+    """A5 exact reference semantics: np.nanpercentile(interpolation='nearest')
+    median/IQR per date (weather.py:353-367) — rows-only (NumPy 'nearest'
+    interpolation has no exact DuckDB analog)."""
+    def per_date(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].values
+        qs = np.nanpercentile(v, [25, 50, 75], method="nearest")
+        return pd.DataFrame({
+            "date": [g["date"].iloc[0]],
+            "v_median": [round(float(qs[1]), 4)],
+            "v_iqr": [round(float(qs[2] - qs[0]), 4)],
+        })
+
+    def add_date(t: pa.Table) -> pa.Table:
+        return t.append_column("date", pc.strftime(t["ts"], format="%Y-%m-%d"))
+
+    return (_read(sf_dir, "events", ["ts", "value"])
+            .map_batches(add_date, batch_format="pyarrow")
+            .groupby("date").map_groups(per_date, batch_format="pandas"))
+
+
+# ------------------------------------------------------------------ text ---
+
+def q_text_stats(sf_dir: str):
+    """Token counting + length stats (vectorized pandas str kernels)."""
+    from .functions.text import token_counts
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        return (t.select(["doc_id"])
+                .append_column("n_tokens", pa.array(token_counts(txt), pa.int64()))
+                .append_column("n_chars2", pc.utf8_length(t["text"]).cast(pa.int64())))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars2
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality scoring: stopword ratio (lowercased whitespace tokens)."""
+    from .functions.text import stopword_ratio
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        return (t.select(["doc_id"])
+                .append_column("stop_ratio", pa.array(stopword_ratio(txt), pa.float64())))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+SQL_QUALITY_SCORES = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0.0
+            ELSE round_even(
+              len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  x -> x IN ('the','and','of','a','to','in','is','it','you','that','was','for','on','are')))
+              * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4) END AS stop_ratio
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic — rows-only (no SQL analog)."""
+    from .functions.text import detect_language
+
+    def lid(t: pa.Table) -> pa.Table:
+        pred = detect_language(t["text"].to_numpy(zero_copy_only=False))
+        return (t.select(["doc_id"])
+                .append_column("lang_pred", pa.array(pred, pa.string())))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(lid, batch_format="pyarrow")
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints — rows-only."""
+    from .functions.text import rolling_fingerprint
+
+    def fp(t: pa.Table) -> pa.Table:
+        f = rolling_fingerprint(t["text"].to_numpy(zero_copy_only=False))
+        hexs = np.array([f"{v:016x}" for v in f.tolist()], dtype=object)
+        return t.select(["doc_id"]).append_column("fingerprint", pa.array(hexs, pa.string()))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    """SimHash codes — rows-only."""
+    from .functions.dedup import simhash64
+
+    def sh(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        codes = np.array([f"{int(simhash64(x.split())):016x}" for x in txt], dtype=object)
+        return t.select(["doc_id"]).append_column("simhash", pa.array(codes, pa.string()))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(sh, batch_format="pyarrow")
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dedup: shingle -> signature -> band buckets ->
+    groupby(bucket) -> candidate pairs -> exact-Jaccard verify. Rows-only
+    (deterministic seeds). Returns (doc_a, doc_b, jaccard) pairs >= 0.5."""
+    from .functions.dedup import jaccard, lsh_band_keys, minhash_signature, shingle_hashes
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, bands, keys = [], [], []
+        for d, txt in zip(t["doc_id"].to_numpy(), t["text"].to_numpy(zero_copy_only=False)):
+            sig = minhash_signature(shingle_hashes(txt.split()))
+            for bi, k in enumerate(lsh_band_keys(sig).view(np.int64)):
+                ids.append(int(d)); bands.append(bi); keys.append(int(k))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band": pa.array(bands, pa.int32()),
+                         "key": pa.array(keys, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].unique())
+        if len(d) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ii, jj = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"doc_a": d[ii], "doc_b": d[jj]})
+
+    cand = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+            ).to_pandas().drop_duplicates().astype(np.int64)
+
+    # verify candidates with exact jaccard (small candidate set by design)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
+    rows = []
+    for a, b in cand.itertuples(index=False):
+        j = jaccard(shingle_hashes(docs[a].split()), shingle_hashes(docs[b].split()))
+        if j >= 0.5:
+            rows.append((int(a), int(b), round(j, 4)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------ embeddings ---
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: query vectors (vec_id < 5) broadcast, corpus
+    streams through map_batches emitting per-batch partial top-k, merged."""
+    import ray
+
+    from .functions.ann import cosine_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qpd = _read(sf_dir, "embeddings").to_pandas()
+    qpd = qpd[qpd["vec_id"] < 5]
+    qmat = np.stack(qpd["embedding"].values).astype(np.float64)
+    qids = qpd["vec_id"].values
+    qref = ray.put((qids, qmat))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, q = ray.get(qref)
+        corpus = np.stack(t["embedding"].to_pandas().values).astype(np.float64)
+        cids = t["vec_id"].to_numpy()
+        top_ids, scores = cosine_topk(q, corpus, cids, k=10)
+        nq, k = top_ids.shape
+        return pa.table({
+            "query_id": pa.array(np.repeat(ids, k), pa.int64()),
+            "neighbor_id": pa.array(top_ids.ravel(), pa.int64()),
+            "score": pa.array(scores.ravel(), pa.float64()),
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # merge partial top-ks -> global top-10 per query
+    parts = parts.sort_values(["query_id", "score", "neighbor_id"],
+                              ascending=[True, False, True], kind="stable")
+    out = parts.groupby("query_id").head(10).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+s AS (SELECT query_id, cid, list_cosine_similarity(qe, ce) AS sc
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, cid, row_number() OVER
+        (PARTITION BY query_id ORDER BY sc DESC, cid) AS rank
+      FROM s)
+SELECT query_id, cid AS neighbor_id, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_embedding_dupes(sf_dir: str):
+    """Embedding-cosine near-dup pairs (> 0.95), exact blocked matmul."""
+    from .functions.ann import cosine_pairs_above
+
+    pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    emb = np.stack(pdf["embedding"].values).astype(np.float64)
+    a, b, _s = cosine_pairs_above(emb, pdf["vec_id"].values, threshold=0.95)
+    return pd.DataFrame({"id_a": a, "id_b": b})
+
+
+SQL_EMBEDDING_DUPES = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.95
+"""
+
+
+# ---------------------------------------------------------------- pages ----
+
+def _pages_dir_for(sf_dir: str) -> str:
+    """Deterministic synthetic pages dataset sized to the sf (docs x 20)."""
+    import pyarrow.parquet as pq
+
+    from .synth import ensure_pages
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = n_docs * 20
+    tag = sf_dir.strip("/").split("/")[-1]
+    return ensure_pages(f"/tmp/gscap_pages_{tag}", n_pages,
+                        n_hosts=max(8, n_pages // 2000), days=6, seed=42)
+
+
+def q_pages_label_stats(sf_dir: str):
+    """Flagship pipeline head: geocode -> tiles -> per-host labeling ->
+    per-cid counts (rows-only; deterministic)."""
+    from ray.data.aggregate import Count
+
+    from .pipelines.flagship import labeled_pages
+
+    labeled = labeled_pages(_pages_dir_for(sf_dir))
+    out = (labeled.select_columns(["cid"]).groupby("cid")
+           .aggregate(Count(alias_name="n"))).to_pandas()
+    return out.sort_values("cid").reset_index(drop=True)
+
+
+def q_pages_daily_features(sf_dir: str):
+    """Flagship daily feature table per (host, date) (rows-only)."""
+    from .pipelines.flagship import daily_features, labeled_pages
+
+    labeled = labeled_pages(_pages_dir_for(sf_dir))
+    return daily_features(labeled)
+
+
+# ------------------------------------------------------------- registry ----
+
+QUERIES = {
+    "groupby_agg": q_groupby_agg,
+    "topk_users": q_topk_users,
+    "join_nation_region": q_join_nation_region,
+    "join_orders_customers": q_join_orders_customers,
+    "minute_resample": q_minute_resample,
+    "exact_dedup": q_exact_dedup,
+    "distinct_types": q_distinct_types,
+    "validity_filter": q_validity_filter,
+    "geocode_points": q_geocode_points,
+    "grid_cells": q_grid_cells,
+    "pair_distances": q_pair_distances,
+    "velocity_bins": q_velocity_bins,
+    "pip_rect_join": q_pip_rect_join,
+    "knn_centers": q_knn_centers,
+    "s2_tiles": q_s2_tiles,
+    "hex_tiles": q_hex_tiles,
+    "sessionize": q_sessionize,
+    "session_metrics": q_session_metrics,
+    "daily_user_metrics": q_daily_user_metrics,
+    "daily_value_stats": q_daily_value_stats,
+    "daily_value_quantiles": q_daily_value_quantiles,
+    "text_stats": q_text_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "simhash": q_simhash,
+    "minhash_dedup": q_minhash_dedup,
+    "ann_topk": q_ann_topk,
+    "embedding_dupes": q_embedding_dupes,
+    "pages_label_stats": q_pages_label_stats,
+    "pages_daily_features": q_pages_daily_features,
+}
+
+ORACLE_SQL = {
+    "groupby_agg": SQL_GROUPBY_AGG,
+    "topk_users": SQL_TOPK_USERS,
+    "join_nation_region": SQL_JOIN_NATION_REGION,
+    "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
+    "minute_resample": SQL_MINUTE_RESAMPLE,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "distinct_types": SQL_DISTINCT_TYPES,
+    "validity_filter": SQL_VALIDITY_FILTER,
+    "geocode_points": SQL_GEOCODE_POINTS,
+    "grid_cells": SQL_GRID_CELLS,
+    "pair_distances": SQL_PAIR_DISTANCES,
+    "velocity_bins": SQL_VELOCITY_BINS,
+    "pip_rect_join": SQL_PIP_RECT_JOIN,
+    "knn_centers": SQL_KNN_CENTERS,
+    "sessionize": SQL_SESSIONIZE,
+    "session_metrics": SQL_SESSION_METRICS,
+    "daily_user_metrics": SQL_DAILY_USER_METRICS,
+    "daily_value_stats": SQL_DAILY_VALUE_STATS,
+    "text_stats": SQL_TEXT_STATS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_dupes": SQL_EMBEDDING_DUPES,
+}
