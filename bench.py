@@ -1,0 +1,128 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR, one JSON line.
+
+Default: sf0.1 tables + a synthetic pages world sized 40 pages/doc
+(~200k pages at sf0.1). ``--scaling`` runs the same bench in two fresh
+processes at RAY_GRAFT_CPUS=8 and =32 and reports throughput at both plus
+scaling efficiency (the sandbox evidence for the north rule's N -> 4N
+cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.parquet as pq
+
+    from gscap_ray import queries as Q
+    from gscap_ray.pipelines.flagship import daily_features_direct
+    from gscap_ray.synth import ensure_pages, generate_polygon_layer
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    sf = n_docs / 50000.0  # documents = 50k rows/sf unit
+    n_pages = n_docs * 40
+    n_hosts = max(16, n_pages // 4000)
+    pages_dir = ensure_pages(f"/tmp/gscap_bench_pages_{n_pages}", n_pages,
+                             n_hosts=n_hosts, days=6, seed=42)
+    polys = generate_polygon_layer(n_hosts=n_hosts, seed=42, extra=100)
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    for root, _dirs, files in os.walk(pages_dir):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+    for t in ("events", "documents", "embeddings", "lineitem"):
+        with open(f"{sf_dir}/{t}.parquet", "rb") as fh:
+            fh.read()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    def consume(res):
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            # count() fully executes the pipeline without driver materialization
+            res.count()
+
+    # q1: flagship spatial pipeline (geocode -> tiles -> PIP -> per-host
+    # clustering/labeling -> daily features), fused single-shuffle variant
+    def flagship():
+        daily_features_direct(pages_dir, polygons=polys,
+                              enrich_concurrency=(2, max(4, ncpus // 2))).count()
+
+    timed("flagship_pages", flagship)
+    timings["pages_per_sec"] = round(n_pages / timings["flagship_pages"], 1)
+
+    timed("velocity_bins", lambda: consume(Q.q_velocity_bins(sf_dir)))
+    timed("grid_cells", lambda: consume(Q.q_grid_cells(sf_dir)))
+    timed("knn_centers", lambda: consume(Q.q_knn_centers(sf_dir)))
+    timed("exact_dedup", lambda: consume(Q.q_exact_dedup(sf_dir)))
+    timed("sessionize", lambda: consume(Q.q_sessionize(sf_dir)))
+    timed("groupby_agg", lambda: Q.q_groupby_agg(sf_dir))
+    timed("ann_topk", lambda: Q.q_ann_topk(sf_dir))
+
+    headline = round(sum(v for k, v in timings.items() if k != "pages_per_sec"), 3)
+    out = {
+        "metric": "headline_pipeline_seconds",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": ncpus,
+        "pages": n_pages,
+        "pages_per_sec": timings["pages_per_sec"],
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_low": lo, "cpus_high": hi,
+        "sec_low": r_lo["value"], "sec_high": r_hi["value"],
+        "pages_per_sec_low": r_lo["pages_per_sec"],
+        "pages_per_sec_high": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_low": r_lo["queries"], "queries_high": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -86,20 +86,43 @@ def daily_host_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def geocoded_pages(pages_dir: str, columns=None) -> rd.Dataset:
+    # batch_size=None -> whole-block zero-copy Arrow batches (these kernels
+    # are pure vectorized numpy; per-batch overhead dominates small batches)
     ds = rd.read_parquet(pages_dir, columns=columns or PAGE_COLUMNS)
-    ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
-    return ds.map_batches(tile_batch, batch_format="pyarrow")
+    ds = ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(tile_batch, batch_format="pyarrow", batch_size=None)
 
 
 def labeled_pages(pages_dir: str, polygons: list | None = None,
-                  enrich_concurrency: int = 4) -> rd.Dataset:
+                  enrich_concurrency=(2, 8)) -> rd.Dataset:
     """Full record-level labeling pipeline (lazy Dataset)."""
     ds = geocoded_pages(pages_dir)
     if polygons is not None:
         ref = ray.put(polygons)
         ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", concurrency=enrich_concurrency)
+                            batch_format="pyarrow", batch_size=None,
+                            concurrency=enrich_concurrency)
     return ds.groupby("host").map_groups(label_host_group, batch_format="pandas")
+
+
+def daily_features_direct(pages_dir: str, polygons: list | None = None,
+                          enrich_concurrency=(2, 8)) -> rd.Dataset:
+    """Fused label+daily per-host stage: ONE shuffle instead of two when only
+    the daily feature table is needed (the per-host records never leave the
+    group)."""
+    ds = geocoded_pages(pages_dir)
+    if polygons is not None:
+        ref = ray.put(polygons)
+        ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", batch_size=None,
+                            concurrency=enrich_concurrency)
+    cols = ["host", "url", "warc_ts", "lat", "lon"]
+
+    def fused(g: pd.DataFrame) -> pd.DataFrame:
+        return daily_host_group(label_host_group(g))
+
+    return (ds.select_columns(cols)
+            .groupby("host").map_groups(fused, batch_format="pandas"))
 
 
 def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
