@@ -151,12 +151,13 @@ def _hour_of(ts: pd.Series) -> np.ndarray:
     return ts.dt.hour.values
 
 
-def _estimate_location(stationary: pd.DataFrame, mask: np.ndarray, eps, min_samples):
+def _estimate_location(slat: np.ndarray, slon: np.ndarray, mask: np.ndarray,
+                       eps, min_samples):
     """Shared core of estimate_home/work_location (gps.py:940-998):
-    DBSCAN over the masked subset, top cluster, positions in ``stationary``."""
+    DBSCAN over the masked subset, top cluster, member positions (indices
+    into the s* arrays)."""
     pos = np.where(mask)[0]
-    sub = stationary.iloc[pos]
-    labels, centers = gps_dbscan(sub["lat"].values, sub["lon"].values, eps, min_samples)
+    labels, centers = gps_dbscan(slat[pos], slon[pos], eps, min_samples)
     center, _ = top_cluster(np.asarray(labels), centers)
     if center is None:
         return None, np.empty(0, dtype=np.int64)
@@ -175,41 +176,49 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
     ``distance_from_home`` columns.
     """
     a = len(df)
-    df = df.copy()
-    df["cid"] = "xNot"
     if a < 3:
+        df = df.copy()
+        df["cid"] = "xNot"
         return df, None
 
-    stat_mask = (df["binning"] == BIN_STATIONARY).values
-    stationary = df.loc[stat_mask].reset_index(drop=True)
-    others = df.loc[~stat_mask]
+    lat = df["lat"].values.astype(np.float64)
+    lon = df["lon"].values.astype(np.float64)
+    binning = df["binning"].values
+    ts_us = _ts_us(df["ts"])
+    hour_all = ((ts_us // np.int64(3_600_000_000)) % 24).astype(np.int64)
+    weekday_all = (((ts_us // np.int64(86_400_000_000)) + 4) % 7).astype(np.int64)  # epoch 1970-01-01 = Thursday
 
-    hours = _hour_of(stationary["ts"])
+    # labels assigned in place; the reference's split/concat is equivalent to
+    # positional assignment since output row order is not semantic
+    cid = np.full(a, "xNot", dtype=object)
+    stat_idx = np.where(binning == BIN_STATIONARY)[0]
+    slat, slon = lat[stat_idx], lon[stat_idx]
+    shour = hour_all[stat_idx]
+    swday = weekday_all[stat_idx]
+    remaining = np.arange(stat_idx.shape[0])  # positions into stat_idx-space
 
     # ---- home (gps.py:1115-1144) ----
-    home_filter = ((hours > 0) & (hours < 6)) | ((hours > 19) & (hours < 24))
-    home, hmask = _estimate_location(stationary, home_filter, eps, min_samples)
-    home_records = None
+    home_filter = ((shour > 0) & (shour < 6)) | ((shour > 19) & (shour < 24))
+    home, hmask = _estimate_location(slat, slon, home_filter, eps, min_samples)
     if hmask.size > 0:
         # fence relabel: membership is purely distance-to-median (<= fence)
-        hlat = float(np.median(stationary["lat"].values[hmask]))
-        hlon = float(np.median(stationary["lon"].values[hmask]))
-        hdist = haversine_m(hlat, hlon, stationary["lat"].values, stationary["lon"].values)
+        hlat = float(np.median(slat[hmask]))
+        hlon = float(np.median(slon[hmask]))
+        hdist = haversine_m(hlat, hlon, slat, slon)
         hsel = hdist <= fence
         home["cid"] = "home"
-        home_records = stationary.loc[hsel].copy()
-        home_records["cid"] = "home"
-        stationary = stationary.loc[~hsel].reset_index(drop=True)
-        hours = _hour_of(stationary["ts"])
+        cid[stat_idx[hsel]] = "home"
+        remaining = remaining[~hsel]
     else:
         home = None
 
     # ---- work (gps.py:1149-1198) ----
-    work, work_records = None, None
+    work = None
     if "working" not in df.columns or df["working"].sum() > 0:
-        weekday = stationary["ts"].dt.weekday.values
-        work_filter = (hours >= 9) & (hours <= 17) & (weekday < 5)
-        work, wmask = _estimate_location(stationary, work_filter, eps, min_samples)
+        rhour = shour[remaining]
+        work_filter = (rhour >= 9) & (rhour <= 17) & (swday[remaining] < 5)
+        work, wmask = _estimate_location(slat[remaining], slon[remaining],
+                                         work_filter, eps, min_samples)
         if wmask.size > 0:
             valid = True
             if home is not None:
@@ -218,28 +227,27 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
                 if hw / 1000.0 > HOME_WORK_MAX_KM:
                     valid = False
             if valid:
-                wlat = float(np.median(stationary["lat"].values[wmask]))
-                wlon = float(np.median(stationary["lon"].values[wmask]))
-                wdist = haversine_m(wlat, wlon, stationary["lat"].values, stationary["lon"].values)
+                wlat = float(np.median(slat[remaining][wmask]))
+                wlon = float(np.median(slon[remaining][wmask]))
+                wdist = haversine_m(wlat, wlon, slat[remaining], slon[remaining])
                 # work fence only re-evaluates 08-19 h points (gps.py:1170-1179);
                 # original members are all 9-17 h so membership reduces to this
-                wsel = (hours > 7) & (hours < 20) & (wdist <= fence)
+                wsel = (rhour > 7) & (rhour < 20) & (wdist <= fence)
                 work["cid"] = "work"
-                work_records = stationary.loc[wsel].copy()
-                work_records["cid"] = "work"
-                stationary = stationary.loc[~wsel].reset_index(drop=True)
+                cid[stat_idx[remaining[wsel]]] = "work"
+                remaining = remaining[~wsel]
             else:
                 work = None
         else:
             work = None
 
     # ---- residual clustering (gps.py:1201-1237) ----
-    labels, centers = gps_dbscan(stationary["lat"].values, stationary["lon"].values,
-                                 eps, min_samples)
+    labels, centers = gps_dbscan(slat[remaining], slon[remaining], eps, min_samples)
     labels = np.asarray(labels)
-    stationary = stationary.copy()
-    stationary["cid"] = np.where(labels != -1,
-                                 np.char.add("x", labels.astype(str)), "xNot")
+    lab_pos = labels != -1
+    if lab_pos.any():
+        cid[stat_idx[remaining[lab_pos]]] = np.char.add(
+            "x", labels[lab_pos].astype(str)).astype(object)
 
     clusters = pd.DataFrame(centers)
     if len(clusters) > 0:
@@ -258,10 +266,6 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
     clusters.loc[clusters.cid == "home", ["name", "categories"]] = "home"
     clusters.loc[clusters.cid == "work", ["name", "categories"]] = "work"
 
-    parts = [p for p in (home_records, work_records, stationary, others) if p is not None]
-    records = pd.concat(parts, sort=False).sort_values("ts", kind="stable")
-    assert len(records) == a, "record conservation violated"
-
     if not validation_metrics:
         clusters = clusters.drop(columns=[
             "lat_IQR", "lat_max", "lat_min", "lat_range", "lat_std",
@@ -269,12 +273,15 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
             "max_distance_from_center",
         ], errors="ignore")
 
-    records["distance_from_home"] = np.nan
+    records = df.copy()
+    records["cid"] = cid
+    assert len(records) == a, "record conservation violated"
     if home is not None:
         records["distance_from_home"] = haversine_m(
-            home["lat"], home["lon"], records["lat"].values, records["lon"].values
-        )
-    return records.reset_index(drop=True), clusters
+            home["lat"], home["lon"], lat, lon)
+    else:
+        records["distance_from_home"] = np.nan
+    return records, clusters
 
 
 def next_phase_clusters(records: pd.DataFrame, clusters: pd.DataFrame,
@@ -403,61 +410,99 @@ _VBINS = ["stationary", "walking", "active", "powered_vehicle", "high_speed_tran
 
 
 def daily_metrics(records: pd.DataFrame) -> pd.DataFrame:
-    """get_daily_metrics (gps.py:1366-1504): one row per date, ~20 features."""
-    r = records.copy()
+    """get_daily_metrics (gps.py:1366-1504): one row per date, ~20 features.
+
+    Implemented as factorize + np.bincount passes (no pandas groupby in the
+    hot path — this function runs once per key inside map_groups and
+    dominates the stage's wall time otherwise)."""
+    r = records
     if "date" not in r.columns:
-        r["date"] = pd.Series(r["ts"]).dt.date
-    gb = r.groupby("date", sort=True)
-    dates = gb.size().index
-    out = pd.DataFrame(index=dates)
+        dates_arr = r["ts"].values.astype("datetime64[D]")
+    else:
+        dates_arr = np.asarray(r["date"].values)
+    codes, dates = pd.factorize(dates_arr, sort=True)
+    G = len(dates)
+    out = pd.DataFrame(index=pd.Index(dates, name="date"))
 
-    def _masked_sum(mask: np.ndarray, col: str, scale: float) -> pd.Series:
-        s = r.loc[mask].groupby("date")[col].sum().reindex(dates, fill_value=0.0)
-        return np.round(s / scale, 3)
-
-    # location_variance = round(log(std(lat)+std(lon)), 3), population std
-    lv = gb["lat"].std(ddof=0) + gb["lon"].std(ddof=0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out["location_variance"] = np.where(lv > 0, np.round(np.log(lv), 3), np.nan)
-    out["hours_accounted_for"] = r.assign(_h=r["ts"].dt.hour).groupby("date")["_h"].nunique()
+    lat = r["lat"].values.astype(np.float64)
+    lon = r["lon"].values.astype(np.float64)
+    td = r["time_delta"].values.astype(np.float64)
+    disp = r["displacement"].values.astype(np.float64)
     binv = r["binning"].values
     cidv = r["cid"].values
-    out["hours_stationary_nhw"] = _masked_sum(
-        (binv == "stationary") & (cidv != "home") & (cidv != "work"), "time_delta", 3600)
-    out["came_to_work"] = gb["cid"].agg(lambda s: bool((s == "work").any()))
-    out["number_of_clusters"] = gb["cid"].nunique()
+    n_per = np.bincount(codes, minlength=G).astype(np.float64)
+
+    def _msum(mask: np.ndarray, vals: np.ndarray, scale: float) -> np.ndarray:
+        v = np.where(mask & ~np.isnan(vals), vals, 0.0)
+        return np.round(np.bincount(codes, weights=v, minlength=G) / scale, 3)
+
+    # location_variance (population std per group, mean-deviation two-pass —
+    # the same algorithm np.std uses, so values match the reference)
+    mlat = np.bincount(codes, weights=lat, minlength=G) / n_per
+    mlon = np.bincount(codes, weights=lon, minlength=G) / n_per
+    vlat = np.bincount(codes, weights=(lat - mlat[codes]) ** 2, minlength=G) / n_per
+    vlon = np.bincount(codes, weights=(lon - mlon[codes]) ** 2, minlength=G) / n_per
+    lv = np.sqrt(vlat) + np.sqrt(vlon)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["location_variance"] = np.where(lv > 0, np.round(np.log(lv), 3), np.nan)
+
+    hours = (r["ts"].values.astype("datetime64[h]").astype(np.int64)) % 24
+    pair = codes * 24 + hours
+    out["hours_accounted_for"] = np.bincount(np.unique(pair) // 24, minlength=G)
+
+    is_stat = binv == "stationary"
+    is_home = cidv == "home"
+    is_work = cidv == "work"
+    out["hours_stationary_nhw"] = _msum(is_stat & ~is_home & ~is_work, td, 3600)
+    out["came_to_work"] = np.bincount(codes, weights=is_work, minlength=G) > 0
+    ccodes = pd.factorize(cidv)[0]
+    upair = np.unique(codes * np.int64(ccodes.max() + 1) + ccodes)
+    out["number_of_clusters"] = np.bincount(
+        upair // np.int64(ccodes.max() + 1), minlength=G)
     for b in _VBINS:
-        out[f"hours_{b}"] = _masked_sum(binv == b, "time_delta", 3600)
-        out[f"distance_{b}"] = _masked_sum(binv == b, "displacement", 1.0)
-    for cid in ("home", "work"):
-        out[f"hours_in_{cid}"] = _masked_sum(cidv == cid, "time_delta", 3600)
+        m = binv == b
+        out[f"hours_{b}"] = _msum(m, td, 3600)
+        out[f"distance_{b}"] = _msum(m, disp, 1.0)
+    out["hours_in_home"] = _msum(is_home, td, 3600)
+    out["hours_in_work"] = _msum(is_work, td, 3600)
 
     # top-3 non-home/work/xNot clusters by total time (gps.py:1441-1456)
-    pool = r.loc[~r["cid"].isin(["home", "work", "xNot"]), ["cid", "time_delta"]]
-    top3 = (pool.groupby("cid")["time_delta"].sum().reset_index()
-            .sort_values("time_delta", ascending=False)["cid"].iloc[:3].tolist())
-    out["hours_in_top3"] = _masked_sum(np.isin(cidv, top3), "time_delta", 3600)
+    pool_mask = ~(is_home | is_work | (cidv == "xNot"))
+    cvals = pd.unique(cidv[pool_mask])
+    if len(cvals):
+        sub_codes, sub_keys = pd.factorize(cidv[pool_mask])
+        tot = np.bincount(sub_codes,
+                          weights=np.nan_to_num(td[pool_mask]), minlength=len(sub_keys))
+        order = np.argsort(-tot, kind="stable")[:3]
+        top3 = set(sub_keys[order].tolist())
+    else:
+        top3 = set()
+    out["hours_in_top3"] = _msum(np.isin(cidv, list(top3)), td, 3600)
 
-    # hours_of_sleep: sequential cross-day scan (gps.py:1462-1501)
-    sleep = {}
-    t_last = None
-    for d in pd.unique(r["date"].values):
-        day_rows = r.loc[r["date"].values == d]
-        t_start = day_rows.loc[day_rows["ts"] == day_rows["ts"].min()].iloc[0]
-        midnight = pd.Timestamp(dt.datetime(t_start["ts"].year, t_start["ts"].month,
-                                            t_start["ts"].day))
+    # hours_of_sleep: sequential cross-day scan (gps.py:1462-1501).
+    # Records are ts-sorted, so per-day first/last rows come from the first/
+    # last occurrence of each date code; the cross-day carry stays a (tiny,
+    # n_days-length) Python loop as in the reference.
+    ts_us = r["ts"].values.astype("datetime64[us]").astype(np.int64)
+    first_idx = np.unique(codes, return_index=True)[1]
+    last_idx = len(codes) - 1 - np.unique(codes[::-1], return_index=True)[1]
+    sleep = np.empty(G)
+    prev_i = None
+    for g in range(G):
+        i = first_idx[g]
+        midnight_us = (ts_us[i] // 86_400_000_000) * 86_400_000_000
         ln_seconds = 0
-        if t_last is not None:
-            gap = (t_start["ts"] - t_last["ts"]).total_seconds()
-            far = float(haversine_m(t_start["lat"], t_start["lon"],
-                                    t_last["lat"], t_last["lon"])) > 500
+        if prev_i is not None:
+            gap = (ts_us[i] - ts_us[prev_i]) / 1e6
+            far = float(haversine_m(lat[i], lon[i], lat[prev_i], lon[prev_i])) > 500
             if gap <= 24 * 3600 and not far:
-                ln_seconds = (midnight - t_last["ts"]).seconds
-        sleep[d] = np.round(((t_start["ts"] - midnight).seconds + ln_seconds) / 3600, 3)
-        t_last = day_rows.loc[day_rows["ts"] == day_rows["ts"].max()].iloc[0]
-    out["hours_of_sleep"] = pd.Series(sleep)
+                ln_seconds = ((midnight_us - ts_us[prev_i]) // 1_000_000) % 86400
+        start_s = ((ts_us[i] - midnight_us) // 1_000_000) % 86400
+        sleep[g] = np.round((start_s + ln_seconds) / 3600, 3)
+        prev_i = last_idx[g]
+    out["hours_of_sleep"] = sleep
 
-    return out.reset_index().rename(columns={"index": "date"})
+    return out.reset_index()
 
 
 def cluster_metrics(clusters: pd.DataFrame, entries: pd.DataFrame) -> pd.DataFrame:

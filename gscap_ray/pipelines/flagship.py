@@ -78,8 +78,7 @@ def entries_host_group(g: pd.DataFrame) -> pd.DataFrame:
 def daily_host_group(g: pd.DataFrame) -> pd.DataFrame:
     """Per-host daily metrics (A4) -> (host, date) feature rows."""
     g = g.rename(columns={"warc_ts": "ts"})
-    g["date"] = g["ts"].dt.date
-    dm = daily_metrics(g)
+    dm = daily_metrics(g)  # derives dates from ts as datetime64[D] (fast path)
     dm.insert(0, "host", g["host"].iloc[0])
     dm["date"] = dm["date"].astype(str)
     return dm
@@ -106,23 +105,34 @@ def labeled_pages(pages_dir: str, polygons: list | None = None,
 
 
 def daily_features_direct(pages_dir: str, polygons: list | None = None,
-                          enrich_concurrency=(2, 8)) -> rd.Dataset:
+                          enrich_concurrency=None) -> rd.Dataset:
     """Fused label+daily per-host stage: ONE shuffle instead of two when only
     the daily feature table is needed (the per-host records never leave the
-    group)."""
-    ds = geocoded_pages(pages_dir)
+    group).
+
+    Scale design: reads only (url, warc_ts); `url` is dropped right after
+    geocode so the shuffle carries 4 narrow columns; the shuffle key is the
+    int `part_key` (hash(host) % P) rather than the host string, and hosts
+    are sub-grouped in pandas inside each partition — fewer, larger reduce
+    tasks and no string-key sort. PIP runs as stateless tasks with a
+    per-worker cached index (no actor-pool startup)."""
+    from ..stages.enrich import make_pip_task
+
+    ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
+    ds = ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(tile_batch, batch_format="pyarrow", batch_size=None)
+    ds = ds.select_columns(["host", "part_key", "warc_ts", "lat", "lon"])
     if polygons is not None:
         ref = ray.put(polygons)
-        ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", batch_size=None,
-                            concurrency=enrich_concurrency)
-    cols = ["host", "url", "warc_ts", "lat", "lon"]
+        ds = ds.map_batches(make_pip_task(ref), batch_format="pyarrow", batch_size=None)
+        ds = ds.drop_columns(["place_id"])  # daily features use category only
 
     def fused(g: pd.DataFrame) -> pd.DataFrame:
-        return daily_host_group(label_host_group(g))
+        outs = [daily_host_group(label_host_group(s))
+                for _, s in g.groupby("host", sort=False)]
+        return pd.concat(outs, ignore_index=True)
 
-    return (ds.select_columns(cols)
-            .groupby("host").map_groups(fused, batch_format="pandas"))
+    return ds.groupby("part_key").map_groups(fused, batch_format="pandas")
 
 
 def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,

@@ -39,6 +39,27 @@ class PipEnricher:
                 .append_column("place_category", pa.array(self.categories[idx], pa.string())))
 
 
+# per-worker-process cache for the stateless PIP task variant: the index is
+# built at most once per (worker, layer) instead of once per actor, removing
+# actor-pool startup from the pipeline entirely (index build is milliseconds
+# for layers up to ~10^4 polygons; use the actor PipEnricher above for
+# genuinely heavy layers)
+_PIP_CACHE: dict[bytes, PipEnricher] = {}
+
+
+def make_pip_task(polygons_ref, cell_deg: float = 0.25):
+    """Returns a plain function for map_batches (stateless tasks)."""
+    def pip_task(batch: pa.Table) -> pa.Table:
+        key = polygons_ref.binary() if hasattr(polygons_ref, "binary") else id(polygons_ref)
+        enricher = _PIP_CACHE.get(key)
+        if enricher is None:
+            enricher = PipEnricher(polygons_ref, cell_deg=cell_deg)
+            _PIP_CACHE[key] = enricher
+        return enricher(batch)
+
+    return pip_task
+
+
 class KnnAssigner:
     """Assigns each row the id of its nearest reference point (J1/J3 analog:
     the reference's zipcode-KDTree lookup)."""

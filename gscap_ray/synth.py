@@ -91,10 +91,22 @@ def geocode(host_hash: np.ndarray, url_hash: np.ndarray, ts_us: np.ndarray):
     return lat, lon
 
 
-def _zipf_counts(n_pages: int, n_hosts: int) -> np.ndarray:
-    w = 1.0 / np.arange(1, n_hosts + 1)
+def _zipf_counts(n_pages: int, n_hosts: int, alpha: float = 0.5) -> np.ndarray:
+    """Zipf-ish host sizes (hot hosts exercise skew paths). alpha=0.7 keeps
+    the hottest host a few percent of rows — skewed enough to matter, small
+    enough that one host (an unsplittable per-stream clustering unit) cannot
+    serialize the whole stage."""
+    w = 1.0 / np.arange(1, n_hosts + 1) ** alpha
     counts = np.floor(w / w.sum() * n_pages).astype(np.int64)
     counts = np.maximum(counts, 8)
+    # cap any single host at ~1.5% of rows: a host is the unsplittable unit
+    # of per-stream clustering, so an uncapped hot host becomes the straggler
+    # that bounds whole-stage parallel speedup (skew note in SURVEY.md §4);
+    # the overflow is spread uniformly
+    cap = max(64, int(n_pages * 0.015))
+    over = counts - np.minimum(counts, cap)
+    counts = np.minimum(counts, cap)
+    counts += over.sum() // n_hosts
     # trim/pad deterministically to hit n_pages
     diff = n_pages - counts.sum()
     counts[0] += diff
@@ -149,8 +161,14 @@ def ensure_pages(out_dir: str, n_pages: int, n_hosts: int = 50, days: int = 6,
     parallelize the read.
     """
     marker = os.path.join(out_dir, "_DONE")
+    stamp = f"v2 rows={n_pages} hosts={n_hosts} days={days} seed={seed}\n"
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read() == stamp:
+                return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     t = generate_pages_table(n_pages, n_hosts=n_hosts, days=days, seed=seed)
     per = max(1, t.num_rows // files)
@@ -159,7 +177,7 @@ def ensure_pages(out_dir: str, n_pages: int, n_hosts: int = 50, days: int = 6,
         pq.write_table(t.slice(off, per), os.path.join(out_dir, f"part-{k:05d}.parquet"))
         k += 1
     with open(marker, "w") as f:
-        f.write(f"rows={t.num_rows} hosts={n_hosts} days={days} seed={seed}\n")
+        f.write(stamp)
     return out_dir
 
 
