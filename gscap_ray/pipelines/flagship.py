@@ -110,29 +110,69 @@ def daily_features_direct(pages_dir: str, polygons: list | None = None,
     the daily feature table is needed (the per-host records never leave the
     group).
 
-    Scale design: reads only (url, warc_ts); `url` is dropped right after
-    geocode so the shuffle carries 4 narrow columns; the shuffle key is the
-    int `part_key` (hash(host) % P) rather than the host string, and hosts
-    are sub-grouped in pandas inside each partition — fewer, larger reduce
-    tasks and no string-key sort. PIP runs as stateless tasks with a
-    per-worker cached index (no actor-pool startup)."""
+    Scale design: reads only (url, warc_ts); `url` and the host string are
+    dropped right after geocode/tiling so the shuffle carries 5 fixed-width
+    numeric columns only (host identity travels as ``host_hash`` int64; the
+    hash -> string mapping lives in the labeled_pages output); the shuffle
+    key is the int `part_key` (hash(host) % P), and hosts are sub-grouped
+    vectorized inside each partition — fewer, larger reduce tasks, no
+    string-key sort, no Python-object columns through the exchange. PIP runs
+    as stateless tasks with a per-worker cached index (no actor-pool
+    startup); its outputs are dropped pre-shuffle here because the daily
+    table doesn't consume them (the labeled_pages path keeps them)."""
     from ..stages.enrich import make_pip_task
 
     ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
     ds = ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(tile_batch, batch_format="pyarrow", batch_size=None)
-    ds = ds.select_columns(["host", "part_key", "warc_ts", "lat", "lon"])
     if polygons is not None:
         ref = ray.put(polygons)
         ds = ds.map_batches(make_pip_task(ref), batch_format="pyarrow", batch_size=None)
-        ds = ds.drop_columns(["place_id"])  # daily features use category only
+    ds = ds.select_columns(["host_hash", "part_key", "warc_ts", "lat", "lon"])
 
-    def fused(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [daily_host_group(label_host_group(s))
-                for _, s in g.groupby("host", sort=False)]
-        return pd.concat(outs, ignore_index=True)
+    return ds.groupby("part_key").map_groups(fused_partition_arrow,
+                                             batch_format="pyarrow")
 
-    return ds.groupby("part_key").map_groups(fused, batch_format="pandas")
+
+def fused_partition_arrow(t: pa.Table) -> pa.Table:
+    """Arrow-in/Arrow-out fused label+daily over one part_key partition.
+
+    Pure numpy end to end: zero-copy column extraction, per-host slices via
+    lexsort, velocity codes stay int8, no pandas DataFrames for the bulk
+    rows — this keeps the stage compute-bound instead of
+    allocator/bandwidth-bound, which is what lets 8->32 cores scale."""
+    import pandas as pd_  # local alias; only tiny per-host outputs use pandas
+
+    from ..functions.stream import daily_core, label_core
+    from ..functions.velocity import stream_velocity_features
+
+    n = t.num_rows
+    if n == 0:
+        return pa.table({})
+    host = t["host_hash"].to_numpy()
+    ts_us = t["warc_ts"].cast(pa.int64()).to_numpy()
+    lat = t["lat"].to_numpy()
+    lon = t["lon"].to_numpy()
+    hcodes, hkeys = pd_.factorize(host)
+    order = np.lexsort((ts_us, hcodes))
+    hs, te, la, lo = hcodes[order], ts_us[order], lat[order], lon[order]
+    bounds = np.flatnonzero(np.diff(hs))
+    starts = np.concatenate([[0], bounds + 1])
+    ends = np.concatenate([bounds + 1, [n]])
+
+    outs = []
+    for s, e in zip(starts, ends):
+        tu, ll, lo2 = te[s:e], la[s:e], lo[s:e]
+        disp, td, vel, codes = stream_velocity_features(ll, lo2, tu)
+        cid, home, work, _clusters = label_core(ll, lo2, tu, codes == 1)
+        dcodes, dates = pd_.factorize(tu // np.int64(86_400_000_000), sort=True)
+        day_dates = np.asarray(dates * 86_400_000_000).astype("datetime64[us]").astype("datetime64[D]")
+        dm = daily_core(tu, ll, lo2, td, disp, codes, cid, dcodes, day_dates)
+        dm.insert(0, "host_hash", hkeys[hs[s]])
+        outs.append(dm)
+    res = pd_.concat(outs, ignore_index=True)
+    res["date"] = res["date"].astype(str)
+    return pa.Table.from_pandas(res, preserve_index=False)
 
 
 def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,

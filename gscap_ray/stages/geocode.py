@@ -53,6 +53,7 @@ def tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) -> pa.Tabl
             .append_column("h3_r9", pa.array(hex_cell_id(lat, lon, 9), pa.uint64()))
             .append_column("s2_cell", pa.array(s2_cell_id(lat, lon, 12), pa.uint64()))
             .append_column("grid_cell", pa.array(grid_cell_id(lat, lon, 0.1), pa.int64()))
+            .append_column("host_hash", pa.array(host_h.view(np.int64), pa.int64()))
             .append_column("part_key", pa.array((host_h % np.uint64(partitions)).astype(np.uint32), pa.uint32())))
 
 

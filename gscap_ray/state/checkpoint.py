@@ -106,6 +106,8 @@ def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str):
 
     res = (labeled_ds.groupby("part_key")
            .map_groups(write_group, batch_format="pandas")).to_pandas()
+    if len(res) == 0:  # everything was filtered out at the read (full resume)
+        return {"partitions": 0, "written": 0, "skipped": 0, "rows_written": 0}
     return {
         "partitions": int(len(res)),
         "written": int((~res["skipped"]).sum()),
