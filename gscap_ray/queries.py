@@ -754,6 +754,190 @@ def q_minhash_dedup(sf_dir: str):
         ["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_json_extract(sf_dir: str):
+    """M7/M8 analog: parse the JSON payload column (regex kernel, the
+    reference parses cached API JSON bodies) -> numeric field -> aggregate."""
+    from ray.data.aggregate import Count, Mean
+
+    def parse(t: pa.Table) -> pa.Table:
+        k = pd.Series(t["props"].to_numpy(zero_copy_only=False)) \
+            .str.extract(r'"k":\s*(\d+)', expand=False).astype("float64")
+        return (t.select(["event_type"])
+                .append_column("k", pa.array(k.values, pa.float64())))
+
+    out = (_read(sf_dir, "events", ["event_type", "props"])
+           .map_batches(parse, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Mean("k", alias_name="k_mean"), Count(alias_name="n"))).to_pandas()
+    out["k_mean"] = out["k_mean"].round(4)
+    return out
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS DOUBLE)), 4) AS k_mean,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+_CATEGORY_MAP = {"click": "engagement", "view": "engagement",
+                 "purchase": "conversion", "signup": "conversion",
+                 "error": "problem"}
+
+
+def q_category_map(sf_dir: str):
+    """M9 analog: normalize raw categories via a broadcast mapping table
+    (the reference's yelp/gmap mapping CSVs)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    ref = ray.put(_CATEGORY_MAP)
+
+    def mapit(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        m = pd.Series(t["event_type"].to_numpy(zero_copy_only=False)).map(lut).fillna("other")
+        return t.append_column("major_category", pa.array(m.values, pa.string()))
+
+    return (_read(sf_dir, "events", ["event_type"])
+            .map_batches(mapit, batch_format="pyarrow")
+            .groupby("major_category").aggregate(Count(alias_name="n")))
+
+
+SQL_CATEGORY_MAP = """
+SELECT CASE event_type
+         WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+         WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+         WHEN 'error' THEN 'problem' ELSE 'other' END AS major_category,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_impute_points(sf_dir: str):
+    """M4 (impute_between): for each per-user consecutive pair that is
+    pre-cap stationary, <= 75 m apart (1-dp rounded) and <= 12 h separated,
+    emit linearly interpolated rows on the 10-minute grid from the earlier
+    point, endpoints excluded (gps.py:1611-1650 semantics)."""
+    from .functions.velocity import discrete_velocity_arrays
+
+    STEP_US = 600_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        lat, lon = g["lat"].values, g["lon"].values
+        eid = g["event_id"].values
+        disp, td, _v, codes = discrete_velocity_arrays(
+            lat[1:], lon[1:], ts_us[1:], lat[:-1], lon[:-1], ts_us[:-1])
+        ok = (codes == 1) & (disp <= 75.0) & (td <= 43200)
+        rows = {"event_id": [], "fill_ts": [], "lat": [], "lon": []}
+        for i in np.where(ok)[0]:
+            a, b = ts_us[i], ts_us[i + 1]
+            fill = np.arange(a, b + 1, STEP_US)
+            fill = fill[(fill != a) & (fill != b)]
+            n = fill.size
+            if n == 0:
+                continue
+            # integer micro-degree interpolation: exactly reproducible in
+            # SQL (the reference's float np.linspace variant is covered by
+            # the impute kernel tests; derived coords are exact 1e-5 grids)
+            la_u = np.rint(np.array([lat[i], lat[i + 1]]) * 1e5).astype(np.int64)
+            lo_u = np.rint(np.array([lon[i], lon[i + 1]]) * 1e5).astype(np.int64)
+            j = np.arange(n, dtype=np.int64)
+            div = max(n - 1, 1)
+            fl = (la_u[0] + (j * (la_u[1] - la_u[0])) // div) / 1e5
+            fo = (lo_u[0] + (j * (lo_u[1] - lo_u[0])) // div) / 1e5
+            rows["event_id"].extend([int(eid[i + 1])] * n)
+            rows["fill_ts"].append(fill)
+            rows["lat"].append(fl)
+            rows["lon"].append(fo)
+        if not rows["event_id"]:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "fill_ts": pd.Series([], dtype="datetime64[us]"),
+                                 "lat": pd.Series([], dtype="float64"),
+                                 "lon": pd.Series([], dtype="float64")})
+        return pd.DataFrame({
+            "event_id": np.asarray(rows["event_id"], dtype=np.int64),
+            "fill_ts": np.concatenate(rows["fill_ts"]).astype("datetime64[us]"),
+            "lat": np.concatenate(rows["lat"]),
+            "lon": np.concatenate(rows["lon"]),
+        })
+
+    return (_points_ds(sf_dir)
+            .select_columns(["user_id", "event_id", "ts", "lat", "lon"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_IMPUTE_POINTS = f"""
+WITH p AS ({_PTS_SQL}),
+l AS (SELECT user_id, event_id, ts, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+             lag(ts)  OVER w AS pts
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (SELECT *,
+             ((epoch_us(ts) - epoch_us(pts)) // 1000000) % 86400 AS td,
+             {_HAVERSINE_SQL.format(lat1='plat', lon1='plon', lat2='lat', lon2='lon')} AS meters
+      FROM l WHERE pts IS NOT NULL),
+ok AS (SELECT * FROM m
+       WHERE (meters < 4.9 OR (td > 0 AND meters/td > 0 AND meters/td < 0.7))
+         AND round(meters, 1) <= 75.0 AND td <= 43200),
+s AS (SELECT event_id, plat, plon, lat, lon, pts, ts,
+             unnest(generate_series(pts, ts, INTERVAL 10 MINUTE)) AS fill_ts
+      FROM ok),
+s2 AS (SELECT *,
+              row_number() OVER (PARTITION BY event_id ORDER BY fill_ts) - 2 AS j,
+              sum(CASE WHEN fill_ts <> pts AND fill_ts <> ts THEN 1 ELSE 0 END)
+                OVER (PARTITION BY event_id) AS n
+       FROM s)
+SELECT event_id, fill_ts,
+       (CAST(round(plat*100000, 0) AS BIGINT)
+        + CAST(floor(CAST(j * (CAST(round(lat*100000, 0) AS BIGINT)
+                               - CAST(round(plat*100000, 0) AS BIGINT)) AS DOUBLE)
+                     / greatest(n - 1, 1)) AS BIGINT)) / 100000.0 AS lat,
+       (CAST(round(plon*100000, 0) AS BIGINT)
+        + CAST(floor(CAST(j * (CAST(round(lon*100000, 0) AS BIGINT)
+                               - CAST(round(plon*100000, 0) AS BIGINT)) AS DOUBLE)
+                     / greatest(n - 1, 1)) AS BIGINT)) / 100000.0 AS lon
+FROM s2 WHERE fill_ts <> pts AND fill_ts <> ts
+"""
+
+
+def q_raster_sample(sf_dir: str):
+    """C10: deterministic raster sampled at event points (bilinear,
+    per-actor tile cache) — rows-only."""
+    import ray
+
+    from .functions.raster import RasterLayer
+    from .stages.enrich import RasterSampler
+
+    ref = ray.put(RasterLayer(seed=42))
+    ds = _points_ds(sf_dir).map_batches(
+        RasterSampler, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=2)
+
+    def clean(t: pa.Table) -> pa.Table:
+        v = np.round(t["raster_value"].to_numpy(), 4)
+        return t.select(["event_id"]).append_column("raster_value", pa.array(v))
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def q_pages_entries(sf_dir: str):
+    """Flagship sessionization (C6) over the pages world — rows-only."""
+    from .pipelines.flagship import entries_table, labeled_pages
+
+    return entries_table(labeled_pages(_pages_dir_for(sf_dir)))
+
+
+def q_pages_clusters(sf_dir: str):
+    """Flagship per-host cluster table — rows-only."""
+    from .pipelines.flagship import cluster_table, labeled_pages
+
+    return cluster_table(labeled_pages(_pages_dir_for(sf_dir)))
+
+
 # ------------------------------------------------------------ embeddings ---
 
 def q_ann_topk(sf_dir: str):
@@ -889,8 +1073,14 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "ann_topk": q_ann_topk,
     "embedding_dupes": q_embedding_dupes,
+    "json_extract": q_json_extract,
+    "category_map": q_category_map,
+    "impute_points": q_impute_points,
+    "raster_sample": q_raster_sample,
     "pages_label_stats": q_pages_label_stats,
     "pages_daily_features": q_pages_daily_features,
+    "pages_entries": q_pages_entries,
+    "pages_clusters": q_pages_clusters,
 }
 
 ORACLE_SQL = {
@@ -916,4 +1106,7 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_dupes": SQL_EMBEDDING_DUPES,
+    "json_extract": SQL_JSON_EXTRACT,
+    "category_map": SQL_CATEGORY_MAP,
+    "impute_points": SQL_IMPUTE_POINTS,
 }
