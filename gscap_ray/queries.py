@@ -904,6 +904,102 @@ FROM s2 WHERE fill_ts <> pts AND fill_ts <> ts
 """
 
 
+def q_mode_event_type(sf_dir: str):
+    """A7 (__top_cluster mode): most frequent label per user, ties to the
+    lexicographically smallest (scipy.stats.mode tie semantics)."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("event_type").size().reset_index(name="n")
+        counts = counts.sort_values(["n", "event_type"], ascending=[False, True],
+                                    kind="stable")
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "mode_type": [counts["event_type"].iloc[0]],
+                             "n": [int(counts["n"].iloc[0])]})
+
+    return (_read(sf_dir, "events", ["user_id", "event_type"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_MODE_EVENT_TYPE = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rk FROM c)
+SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1
+"""
+
+
+def q_first_event(sf_dir: str):
+    """SRT3 (top-1 by rank order): earliest event per user with
+    deterministic tiebreak."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return g.head(1)[["user_id", "event_id", "event_type"]]
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_FIRST_EVENT = """
+WITH r AS (SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+           FROM events)
+SELECT user_id, event_id, event_type FROM r WHERE rk = 1
+"""
+
+
+def q_pairwise_distances(sf_dir: str):
+    """C7 (geo_pairwise_distances): all-pairs haversine within each user's
+    points (small groups — the O(n^2) in-group kernel), 1-dp rounded."""
+    from .functions.geo import pairwise_distances_m
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        d = pairwise_distances_m(g["lat"].values, g["lon"].values)
+        return pd.DataFrame({"user_id": g["user_id"].iloc[0], "dist_m": d})
+
+    return (_points_ds(sf_dir)
+            .select_columns(["user_id", "lat", "lon"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_PAIRWISE_DISTANCES = f"""
+WITH p AS ({_PTS_SQL})
+SELECT a.user_id,
+       round({_HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 1) AS dist_m
+FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_id < b.event_id
+"""
+
+
+def q_cell_dedup(sf_dir: str):
+    """D3 (grid-snap near-dedup, the 5-dp cache-key rounding analog): snap
+    points to 0.01-deg cells, count distinct cells per user. Partial
+    per-batch dedup before the shuffle (pre-aggregation)."""
+    from ray.data.aggregate import Count
+
+    from .functions.cells import grid_cell_id
+
+    def snap_partial(t: pa.Table) -> pa.Table:
+        cells = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.01)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        pairs = np.unique(u * np.int64(1 << 40) + cells.astype(np.int64))
+        return pa.table({"user_id": pa.array(pairs >> np.int64(40), pa.int64()),
+                         "cell": pa.array(pairs & np.int64((1 << 40) - 1), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .select_columns(["user_id", "lat", "lon"])
+            .map_batches(snap_partial, batch_format="pyarrow")
+            .groupby(["user_id", "cell"]).aggregate(Count(alias_name="_c"))
+            .groupby("user_id").aggregate(Count(alias_name="n_cells")))
+
+
+SQL_CELL_DEDUP = f"""
+WITH p AS ({_PTS_SQL})
+SELECT user_id,
+       count(DISTINCT CAST(floor((lat+90)/0.01) AS BIGINT)*36000
+                      + CAST(floor((lon+180)/0.01) AS BIGINT)) AS n_cells
+FROM p GROUP BY user_id
+"""
+
+
 def q_raster_sample(sf_dir: str):
     """C10: deterministic raster sampled at event points (bilinear,
     per-actor tile cache) — rows-only."""
@@ -1076,6 +1172,10 @@ QUERIES = {
     "json_extract": q_json_extract,
     "category_map": q_category_map,
     "impute_points": q_impute_points,
+    "mode_event_type": q_mode_event_type,
+    "first_event": q_first_event,
+    "pairwise_distances": q_pairwise_distances,
+    "cell_dedup": q_cell_dedup,
     "raster_sample": q_raster_sample,
     "pages_label_stats": q_pages_label_stats,
     "pages_daily_features": q_pages_daily_features,
@@ -1109,4 +1209,8 @@ ORACLE_SQL = {
     "json_extract": SQL_JSON_EXTRACT,
     "category_map": SQL_CATEGORY_MAP,
     "impute_points": SQL_IMPUTE_POINTS,
+    "mode_event_type": SQL_MODE_EVENT_TYPE,
+    "first_event": SQL_FIRST_EVENT,
+    "pairwise_distances": SQL_PAIRWISE_DISTANCES,
+    "cell_dedup": SQL_CELL_DEDUP,
 }
