@@ -1020,6 +1020,31 @@ def q_raster_sample(sf_dir: str):
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def q_multimodal_features(sf_dir: str):
+    """Multimodal binary-column pipeline: html payload -> actor-pool feature
+    extraction (stubbed decode, real Ray plumbing) -> per-lang mean feature
+    norm — rows-only."""
+    from ray.data.aggregate import Count, Mean
+
+    from .stages.multimodal import BinaryFeatureExtractor
+
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "lang", "html"])
+    ds = ds.map_batches(BinaryFeatureExtractor, batch_format="pyarrow",
+                        batch_size=1024, concurrency=2,
+                        fn_constructor_kwargs=dict(dim=16))
+
+    def norm(t: pa.Table) -> pa.Table:
+        f = np.stack(t["features"].to_pandas().values)
+        n = np.linalg.norm(f, axis=1)
+        return (t.select(["lang"]).append_column("fnorm", pa.array(n, pa.float64())))
+
+    out = (ds.map_batches(norm, batch_format="pyarrow")
+           .groupby("lang").aggregate(Mean("fnorm", alias_name="mean_fnorm"),
+                                      Count(alias_name="n"))).to_pandas()
+    out["mean_fnorm"] = out["mean_fnorm"].round(4)
+    return out
+
+
 def q_pages_entries(sf_dir: str):
     """Flagship sessionization (C6) over the pages world — rows-only."""
     from .pipelines.flagship import entries_table, labeled_pages
@@ -1181,6 +1206,7 @@ QUERIES = {
     "pages_daily_features": q_pages_daily_features,
     "pages_entries": q_pages_entries,
     "pages_clusters": q_pages_clusters,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL = {
