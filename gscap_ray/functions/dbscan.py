@@ -147,6 +147,53 @@ def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) ->
     return labels
 
 
+def core_mask(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Exact core-point mask (|eps-ball| >= min_samples), same grid-chunked
+    counting pass as :func:`dbscan_labels` pass 1."""
+    n = x.shape[0]
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    eps2 = eps * eps
+    cx = np.floor(x / eps).astype(np.int64)
+    cy = np.floor(y / eps).astype(np.int64)
+    cx -= cx.min()
+    cy -= cy.min()
+    ncx = int(cx.max()) + 1
+    ncy = int(cy.max()) + 1
+    cell = cy * ncx + cx
+    order = np.argsort(cell, kind="stable")
+    sorted_cells = cell[order]
+    uniq_cells, starts = np.unique(sorted_cells, return_index=True)
+    ends = np.append(starts[1:], n)
+    cell_slice = {int(c): (int(s), int(e)) for c, s, e in zip(uniq_cells, starts, ends)}
+    for c, s, e in zip(uniq_cells, starts, ends):
+        members = order[s:e]
+        cyi, cxi = divmod(int(c), ncx)
+        parts = []
+        for dy in (-1, 0, 1):
+            yy = cyi + dy
+            if yy < 0 or yy >= ncy:
+                continue
+            for dx in (-1, 0, 1):
+                xx = cxi + dx
+                if 0 <= xx < ncx:
+                    sl = cell_slice.get(yy * ncx + xx)
+                    if sl is not None:
+                        parts.append(order[sl[0]:sl[1]])
+        cand = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        if cand.shape[0] < min_samples:
+            continue
+        cxv, cyv = x[cand], y[cand]
+        for off in range(0, members.shape[0], _CHUNK):
+            rows = members[off:off + _CHUNK]
+            d2 = (x[rows, None] - cxv[None, :]) ** 2 + (y[rows, None] - cyv[None, :]) ** 2
+            out[rows] = (d2 <= eps2).sum(axis=1) >= min_samples
+    return out
+
+
 def gps_dbscan(lat: np.ndarray, lon: np.ndarray, eps: float = 0.005, min_samples: int = 100):
     """Reference ``gps_dbscan`` semantics (gps.py:1574-1603).
 

@@ -1,0 +1,211 @@
+"""Distributed (tile-local + halo-merge) DBSCAN over a Dataset of points.
+
+The per-key DBSCAN in the flagship runs whole-key in one task (a host's
+points fit one group). The *general* tiling engine needs density clustering
+over points that do NOT fit one task: this module partitions the plane into
+cells of side ``cell_factor * eps``, replicates each point lying within
+``eps`` of a cell border into the adjacent cells (the halo), runs the exact
+local DBSCAN per cell over own+halo points, and merges local clusters that
+provably belong together.
+
+Merge rule (exact): local cluster (A, la) == (B, lb) iff some point p is
+*core in its home cell* (core status is exact there — the full eps-ball of
+any own point is contained in own+halo) and is labeled (non-noise) in the
+other cell. Halo points labeled in a neighbor cell but noise at home adopt
+the neighbor's global cluster (smallest global id when several claim them —
+the one semantic deviation from sklearn's scan-order border assignment,
+inherent to parallel DBSCAN and documented here).
+
+Global cluster ids are deterministic: groups are numbered by their
+lexicographically smallest (cell, local_label) member.
+
+Scale notes: the shuffle key is the cell id; halo replication factor is
+~4*eps/cell_side; only border-point metadata (not the data) returns to the
+driver for the union-find; the relabel map is broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..functions.dbscan import dbscan_labels
+
+
+def _cells_for(px, py, cell_side, eps):
+    """home cell + replica cells (<= 3 extra) for each point."""
+    cx = np.floor(px / cell_side).astype(np.int64)
+    cy = np.floor(py / cell_side).astype(np.int64)
+    fx = px - cx * cell_side
+    fy = py - cy * cell_side
+    west = fx < eps
+    east = fx > cell_side - eps
+    south = fy < eps
+    north = fy > cell_side - eps
+    return cx, cy, west, east, south, north
+
+
+def _pack(cx, cy):
+    return (cx + (1 << 30)) * np.int64(1 << 31) + (cy + (1 << 30))
+
+
+def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
+                       x_col: str = "lon", y_col: str = "lat",
+                       id_col: str = "point_id",
+                       cell_factor: float = 64.0) -> rd.Dataset:
+    """Returns a Dataset (id_col, cluster) with global cluster ids
+    (-1 = noise). Exact core semantics; border adoption documented above."""
+    cell_side = float(cell_factor) * eps
+
+    def scatter(t: pa.Table) -> pa.Table:
+        px = t[x_col].to_numpy()
+        py = t[y_col].to_numpy()
+        pid = t[id_col].to_numpy()
+        cx, cy, west, east, south, north = _cells_for(px, py, cell_side, eps)
+        near = west | east | south | north
+        rows_pid = [pid]
+        rows_x = [px]
+        rows_y = [py]
+        rows_cell = [_pack(cx, cy)]
+        rows_own = [np.ones(len(pid), dtype=bool)]
+        rows_near = [near]
+        for dx, dy, m in (
+            (-1, 0, west), (1, 0, east), (0, -1, south), (0, 1, north),
+            (-1, -1, west & south), (-1, 1, west & north),
+            (1, -1, east & south), (1, 1, east & north),
+        ):
+            if m.any():
+                rows_pid.append(pid[m])
+                rows_x.append(px[m])
+                rows_y.append(py[m])
+                rows_cell.append(_pack(cx[m] + dx, cy[m] + dy))
+                rows_own.append(np.zeros(int(m.sum()), dtype=bool))
+                rows_near.append(np.ones(int(m.sum()), dtype=bool))
+        return pa.table({
+            "pid": pa.array(np.concatenate(rows_pid), pa.int64()),
+            "x": pa.array(np.concatenate(rows_x), pa.float64()),
+            "y": pa.array(np.concatenate(rows_y), pa.float64()),
+            "cell": pa.array(np.concatenate(rows_cell), pa.int64()),
+            "own": pa.array(np.concatenate(rows_own), pa.bool_()),
+            "near": pa.array(np.concatenate(rows_near), pa.bool_()),
+        })
+
+    def local_cluster(t: pa.Table) -> pa.Table:
+        from ..functions.dbscan import core_mask
+
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        own = t["own"].to_numpy(zero_copy_only=False)
+        near = t["near"].to_numpy(zero_copy_only=False)
+        pid = t["pid"].to_numpy()
+        cell = int(t["cell"][0].as_py())
+        labels = dbscan_labels(x, y, eps, min_samples)
+        core = core_mask(x, y, eps, min_samples)
+        return pa.table({
+            "pid": pa.array(pid, pa.int64()),
+            "cell": pa.array(np.full(pid.shape[0], cell), pa.int64()),
+            "label": pa.array(labels, pa.int64()),
+            "own": pa.array(own, pa.bool_()),
+            "near": pa.array(near, pa.bool_()),
+            "core": pa.array(core, pa.bool_()),
+        })
+
+    labeled = (ds.map_batches(scatter, batch_format="pyarrow", batch_size=None)
+               .groupby("cell")
+               .map_groups(local_cluster, batch_format="pyarrow")).materialize()
+
+    # ---- driver-side merge over border metadata only ----
+    def only_border(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["near"], True))
+
+    border = labeled.map_batches(only_border, batch_format="pyarrow").to_pandas()
+
+    # all distinct local-cluster keys (small: one row per local cluster)
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t2 = t.filter(pc.greater_equal(t["label"], 0)).select(["cell", "label"])
+        df = t2.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    all_keys_df = (labeled.map_batches(distinct_keys, batch_format="pyarrow")
+                   .to_pandas().drop_duplicates())
+    all_keys = sorted((int(c), int(l)) for c, l in
+                      zip(all_keys_df["cell"], all_keys_df["label"]))
+
+    home = border[border["own"]]
+    repl = border[~border["own"]]
+    home_idx = home.set_index("pid")
+
+    parent: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def find(k):
+        parent.setdefault(k, k)
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # register every local cluster key (border or interior)
+    for k in all_keys:
+        find(k)
+
+    adoption: dict[int, list[tuple[int, int]]] = {}
+    for _, r in repl.iterrows():
+        if r["label"] < 0:
+            continue
+        pid = int(r["pid"])
+        try:
+            h = home_idx.loc[pid]
+        except KeyError:
+            continue
+        hcell, hlabel, hcore = int(h["cell"]), int(h["label"]), bool(h["core"])
+        key_b = (int(r["cell"]), int(r["label"]))
+        if hcore and hlabel >= 0:
+            union((hcell, hlabel), key_b)
+        elif hlabel < 0:
+            adoption.setdefault(pid, []).append(key_b)
+
+    # deterministic global ids ordered by smallest member key
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for k in list(parent):
+        groups.setdefault(find(k), []).append(k)
+    reps = sorted(groups, key=lambda k: min(groups[k]))
+    gid_of_root = {rt: i for i, rt in enumerate(reps)}
+    relabel = {k: gid_of_root[find(k)] for k in parent}
+    adopt_final = {pid: min(relabel[k] for k in keys if k in relabel)
+                   for pid, keys in adoption.items() if keys}
+
+    relabel_ref = ray.put((relabel, adopt_final))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rl, ad = ray.get(relabel_ref)
+        own_m = t["own"].to_numpy(zero_copy_only=False)
+        pid = t["pid"].to_numpy()[own_m]
+        cell = t["cell"].to_numpy()[own_m]
+        label = t["label"].to_numpy()[own_m]
+        out = np.full(pid.shape[0], -1, dtype=np.int64)
+        lab = label >= 0
+        if lab.any():
+            out[lab] = [rl[(int(c), int(l))]
+                        for c, l in zip(cell[lab], label[lab])]
+        if ad:
+            for i in np.where(~lab)[0]:
+                a = ad.get(int(pid[i]))
+                if a is not None:
+                    out[i] = a
+        return pa.table({id_col: pa.array(pid, pa.int64()),
+                        "cluster": pa.array(out, pa.int64())})
+
+    return labeled.map_batches(finalize, batch_format="pyarrow")

@@ -1020,6 +1020,22 @@ def q_raster_sample(sf_dir: str):
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def q_spatial_clusters(sf_dir: str):
+    """Distributed tile-local DBSCAN with eps-halo merge
+    (pipelines/spatial.py) over the derived event points — rows-only
+    (exactness vs single-node DBSCAN is pytest-verified incl. clusters that
+    straddle cell borders). Returns per-cluster sizes."""
+    from ray.data.aggregate import Count
+
+    from .pipelines.spatial import distributed_dbscan
+
+    pts = _points_ds(sf_dir).select_columns(["event_id", "lat", "lon"])
+    out = distributed_dbscan(pts, eps=0.02, min_samples=20,
+                             x_col="lon", y_col="lat", id_col="event_id",
+                             cell_factor=64.0)
+    return (out.groupby("cluster").aggregate(Count(alias_name="n_points")))
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal binary-column pipeline: html payload -> actor-pool feature
     extraction (stubbed decode, real Ray plumbing) -> per-lang mean feature
@@ -1207,6 +1223,7 @@ QUERIES = {
     "pages_entries": q_pages_entries,
     "pages_clusters": q_pages_clusters,
     "multimodal_features": q_multimodal_features,
+    "spatial_clusters": q_spatial_clusters,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,82 @@
+"""Distributed DBSCAN (tile-local + halo merge) vs single-node DBSCAN.
+
+Cluster *partitions* (which points group together) must match the
+single-node grid DBSCAN exactly on datasets without ambiguous border
+points; cross-cell clusters are the regression target.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _partition_signature(ids, labels):
+    """Canonical clustering signature: frozenset of frozensets of ids."""
+    groups = {}
+    noise = set()
+    for i, l in zip(ids, labels):
+        if l == -1:
+            noise.add(i)
+        else:
+            groups.setdefault(l, set()).add(i)
+    return frozenset(frozenset(g) for g in groups.values()), frozenset(noise)
+
+
+@pytest.fixture(scope="module")
+def cluster_points(ray_session):
+    rng = np.random.default_rng(21)
+    eps = 0.01
+    cell = 64 * eps  # 0.64 deg cells
+    pts = []
+    # blobs fully inside cells
+    for cx, cy in [(0.3, 0.3), (2.0, 1.1), (-1.5, 0.2)]:
+        pts.append(rng.normal([cx, cy], 0.004, size=(120, 2)))
+    # blob straddling a vertical cell border at x = 0.64
+    pts.append(rng.normal([cell, 0.3], 0.004, size=(150, 2)))
+    # chain crossing a corner (0.64, 0.64)
+    t = np.linspace(-0.03, 0.03, 140)
+    pts.append(np.stack([cell + t, cell + t], axis=1)
+               + rng.normal(0, 0.001, size=(140, 2)))
+    # noise
+    pts.append(rng.uniform(-2, 3, size=(60, 2)))
+    xy = np.vstack(pts)
+    ids = np.arange(len(xy))
+    return xy, ids, eps
+
+
+def test_matches_single_node(cluster_points):
+    import ray.data as rd
+
+    from gscap_ray.functions.dbscan import dbscan_labels
+    from gscap_ray.pipelines.spatial import distributed_dbscan
+
+    xy, ids, eps = cluster_points
+    min_samples = 20
+
+    single = dbscan_labels(xy[:, 0], xy[:, 1], eps, min_samples)
+
+    df = pd.DataFrame({"point_id": ids, "lon": xy[:, 0], "lat": xy[:, 1]})
+    ds = rd.from_pandas(df).repartition(6)
+    out = distributed_dbscan(ds, eps, min_samples, x_col="lon", y_col="lat",
+                             id_col="point_id", cell_factor=64.0).to_pandas()
+    assert len(out) == len(ids)
+
+    got = _partition_signature(out["point_id"].values, out["cluster"].values)
+    want = _partition_signature(ids, single)
+    assert got[0] == want[0], "cluster memberships differ"
+    assert got[1] == want[1], "noise sets differ"
+    # clusters that straddle borders exist in this fixture
+    assert len(got[0]) == 5
+
+
+def test_deterministic_ids(cluster_points):
+    import ray.data as rd
+
+    from gscap_ray.pipelines.spatial import distributed_dbscan
+
+    xy, ids, eps = cluster_points
+    df = pd.DataFrame({"point_id": ids, "lon": xy[:, 0], "lat": xy[:, 1]})
+    a = distributed_dbscan(rd.from_pandas(df).repartition(3), eps, 20).to_pandas()
+    b = distributed_dbscan(rd.from_pandas(df).repartition(9), eps, 20).to_pandas()
+    m = a.merge(b, on="point_id", suffixes=("_a", "_b"))
+    assert (m["cluster_a"] == m["cluster_b"]).all()

@@ -1,0 +1,43 @@
+"""In-suite mini replica of the driver's correctness gate: a representative
+subset of oracle-checked queries run at sf0.001 and compared value-for-value
+against their DuckDB SQL (full set: scripts/check_correctness.py)."""
+
+import duckdb
+import pytest
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+SUBSET = [
+    "groupby_agg", "topk_users", "join_nation_region", "minute_resample",
+    "exact_dedup", "velocity_bins", "grid_cells", "knn_centers",
+    "pip_rect_join", "sessionize", "daily_user_metrics", "text_stats",
+    "quality_scores", "ann_topk", "impute_points", "cell_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(ray_session):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, duck):
+    from check_correctness import canon, compare, to_pandas
+
+    from gscap_ray.queries import ORACLE_SQL, QUERIES
+
+    ray_df = to_pandas(QUERIES[name](SF_DIR))
+    sql_df = duck.sql(ORACLE_SQL[name]).df()
+    msg = compare(name, ray_df, sql_df)
+    assert msg is None, msg
