@@ -53,9 +53,11 @@ def label_host_group(g: pd.DataFrame) -> pd.DataFrame:
 
 def entries_host_group(g: pd.DataFrame) -> pd.DataFrame:
     """Per-host sessionization (C6) -> entries table rows."""
+    from ..functions.gazetteer import tz_from_dd
+
     g = g.rename(columns={"warc_ts": "ts"})
     g["date"] = g["ts"].dt.date
-    e = cluster_times(g)
+    e = cluster_times(g, tz_lookup=tz_from_dd)
     if len(e) == 0:
         return pd.DataFrame()
     host = g["host"].iloc[0]
