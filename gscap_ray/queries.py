@@ -182,6 +182,59 @@ GROUP BY c_mktsegment
 """
 
 
+def q_join_lineitem_orders(sf_dir: str):
+    """J9 large-large: native Dataset.join (hash-partitioned) between
+    lineitem and orders, then grouped revenue by order priority."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.select(["l_orderkey"]).append_column("rev", rev)
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = li.join(orders, "inner", 16, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (j.groupby("o_orderpriority")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Count(alias_name="n_items"))).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+SQL_JOIN_LINEITEM_ORDERS = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_sliding_window(sf_dir: str):
+    """Streaming-shaped sliding window: per-user 3-event moving average of
+    value over the ts-ordered stream (map_groups windowing; the engine's
+    window primitive per ray_guide 'Streaming-shaped workloads')."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ma = g["value"].rolling(window=3, min_periods=1).mean()
+        return pd.DataFrame({"event_id": g["event_id"].values,
+                             "moving_avg": np.round(ma.values, 6)})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_SLIDING_WINDOW = """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM events
+"""
+
+
 def q_minute_resample(sf_dir: str):
     """M6: truncate-to-minute downsample, mean value per (user, minute)."""
     from ray.data.aggregate import Mean
@@ -1020,6 +1073,34 @@ def q_raster_sample(sf_dir: str):
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def q_pages_next_phase(sf_dir: str):
+    """C5 (get_next_phase_clusters): per-host incremental re-cluster of
+    still-unlabeled stationary points >= 100 m from known clusters,
+    continuing cid numbering — rows-only (per-cid counts after both
+    phases)."""
+    from ray.data.aggregate import Count
+
+    from .functions.stream import next_phase_clusters
+    from .pipelines.flagship import label_host_group, labeled_pages
+
+    labeled = labeled_pages(_pages_dir_for(sf_dir))
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"warc_ts": "ts"})
+        clusters = (g.loc[g["cid"] != "xNot"]
+                    .groupby("cid")[["lat", "lon"]].mean().reset_index())
+        r2, _c2 = next_phase_clusters(g, clusters, eps=0.005, min_samples=50)
+        out = r2.groupby("cid").size().reset_index(name="n_part")
+        out.insert(0, "host", g["host"].iloc[0])
+        return out
+
+    cols = ["host", "warc_ts", "lat", "lon", "binning", "cid"]
+    out = (labeled.select_columns(cols)
+           .groupby("host").map_groups(per_host, batch_format="pandas")
+           .groupby("cid").aggregate(Count(alias_name="n_hosts"))).to_pandas()
+    return out.sort_values("cid").reset_index(drop=True)
+
+
 def q_spatial_clusters(sf_dir: str):
     """Distributed tile-local DBSCAN with eps-halo merge
     (pipelines/spatial.py) over the derived event points — rows-only
@@ -1185,6 +1266,9 @@ QUERIES = {
     "topk_users": q_topk_users,
     "join_nation_region": q_join_nation_region,
     "join_orders_customers": q_join_orders_customers,
+    "join_lineitem_orders": q_join_lineitem_orders,
+    "sliding_window": q_sliding_window,
+    "pages_next_phase": q_pages_next_phase,
     "minute_resample": q_minute_resample,
     "exact_dedup": q_exact_dedup,
     "distinct_types": q_distinct_types,
@@ -1231,6 +1315,8 @@ ORACLE_SQL = {
     "topk_users": SQL_TOPK_USERS,
     "join_nation_region": SQL_JOIN_NATION_REGION,
     "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
+    "join_lineitem_orders": SQL_JOIN_LINEITEM_ORDERS,
+    "sliding_window": SQL_SLIDING_WINDOW,
     "minute_resample": SQL_MINUTE_RESAMPLE,
     "exact_dedup": SQL_EXACT_DEDUP,
     "distinct_types": SQL_DISTINCT_TYPES,
