@@ -1,0 +1,82 @@
+"""Reusable distributed-op utilities: two-phase (combiner) aggregation with
+hot-key salting, and bucketed co-location helpers.
+
+These are the explicit shuffle/skew patterns the engine standardizes on
+(SURVEY.md §4 "Skew / stragglers"): pre-aggregate inside ``map_batches``
+(one row per key per batch) so the all-to-all exchange moves partials, not
+rows; salt hot keys into sub-buckets when a single key's partials would
+still concentrate on one reducer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def partial_count(ds: rd.Dataset, key_col: str, salt: int = 0) -> rd.Dataset:
+    """Count rows per key with per-batch pre-aggregation.
+
+    ``salt > 0`` splits each key into ``salt`` sub-buckets for the first
+    exchange and folds them in a second (tiny) aggregation — two-phase
+    aggregation for skewed keys. With per-batch combining the first phase
+    already emits at most (keys x batches) rows, so salting matters when one
+    key dominates most batches."""
+    from ray.data.aggregate import Sum
+
+    def combine(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        codes, keys = pd.factorize(k)
+        counts = np.bincount(codes, minlength=len(keys))
+        out = {key_col: pa.array(keys), "n_part": pa.array(counts, pa.int64())}
+        if salt > 0:
+            # deterministic per-batch sub-bucket: spreads one key's partials
+            # across reducers without any RNG state
+            s = (np.arange(len(keys)) + int(counts.sum())) % salt
+            out["salt"] = pa.array(s.astype(np.int32), pa.int32())
+        return pa.table(out)
+
+    partials = ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    if salt > 0:
+        folded = (partials.groupby([key_col, "salt"])
+                  .aggregate(Sum("n_part", alias_name="n_sub")))
+        return (folded.groupby(key_col)
+                .aggregate(Sum("n_sub", alias_name="n")))
+    return partials.groupby(key_col).aggregate(Sum("n_part", alias_name="n"))
+
+
+def topk_by_count(ds: rd.Dataset, key_col: str, k: int,
+                  salt: int = 0) -> pd.DataFrame:
+    """Top-k keys by row count (two-phase aggregate -> sort -> limit),
+    deterministic tiebreak on the key."""
+    agg = partial_count(ds, key_col, salt=salt)
+    return (agg.sort(["n", key_col], descending=[True, False])
+            .limit(k).to_pandas())
+
+
+def bucketed_pairs(left: rd.Dataset, right_df: pd.DataFrame, key_col: str,
+                   n_buckets: int = 32):
+    """Explicit partitioned hash join skeleton for when Dataset.join does
+    not fit: bucket both sides by hash(key) % B, broadcast the (small)
+    right side's buckets, merge per batch. Returns the joined Dataset."""
+    import ray
+
+    right_buckets: dict[int, pd.DataFrame] = {
+        int(b): g.drop(columns="_b")
+        for b, g in right_df.assign(
+            _b=pd.util.hash_array(right_df[key_col].values) % n_buckets
+        ).groupby("_b")
+    }
+    ref = ray.put(right_buckets)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rb = ray.get(ref)
+        df = df.assign(_b=pd.util.hash_array(df[key_col].values) % n_buckets)
+        outs = [g.drop(columns="_b").merge(rb[int(b)], on=key_col, how="inner")
+                for b, g in df.groupby("_b") if int(b) in rb]
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+
+    return left.map_batches(join_batch, batch_format="pandas")
