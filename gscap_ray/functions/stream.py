@@ -202,7 +202,8 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
 def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
                stat_mask: np.ndarray, eps: float = DEFAULT_EPS,
                min_samples: int = DEFAULT_MIN_SAMPLES, fence: float = FENCE_M,
-               working_off: bool = False, validation_metrics: bool = False):
+               working_off: bool = False, validation_metrics: bool = False,
+               build_clusters: bool = True):
     """Array core of get_clusters_with_context: returns
     (cid object array, home dict|None, work dict|None, clusters_df).
     ``stat_mask``: bool mask of stationary rows."""
@@ -270,6 +271,9 @@ def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
     if lab_pos.any():
         cid[stat_idx[remaining[lab_pos]]] = np.char.add(
             "x", labels[lab_pos].astype(str)).astype(object)
+
+    if not build_clusters:  # fused daily path never reads the table
+        return cid, home, work, None
 
     clusters = pd.DataFrame(centers)
     if len(clusters) > 0:
@@ -450,7 +454,7 @@ def daily_core(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates) -> pd.D
     """Numpy core of daily_metrics; ``codes`` are the sorted-factorized date
     group ids, ``bin_codes`` index functions.velocity.BINS."""
     G = len(dates)
-    out = pd.DataFrame(index=pd.Index(dates, name="date"))
+    out = {}  # column dict; one DataFrame construction at the end
     n_per = np.bincount(codes, minlength=G).astype(np.float64)
 
     def _msum(mask: np.ndarray, vals: np.ndarray, scale: float) -> np.ndarray:
@@ -525,7 +529,9 @@ def daily_core(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates) -> pd.D
         prev_i = last_idx[g]
     out["hours_of_sleep"] = sleep
 
-    return out.reset_index()
+    df_out = pd.DataFrame(out, copy=False)
+    df_out.insert(0, "date", np.asarray(dates))
+    return df_out
 
 
 def cluster_metrics(clusters: pd.DataFrame, entries: pd.DataFrame) -> pd.DataFrame:

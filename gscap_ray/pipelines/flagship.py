@@ -166,7 +166,8 @@ def fused_partition_arrow(t: pa.Table) -> pa.Table:
     for s, e in zip(starts, ends):
         tu, ll, lo2 = te[s:e], la[s:e], lo[s:e]
         disp, td, vel, codes = stream_velocity_features(ll, lo2, tu)
-        cid, home, work, _clusters = label_core(ll, lo2, tu, codes == 1)
+        cid, home, work, _clusters = label_core(ll, lo2, tu, codes == 1,
+                                                build_clusters=False)
         dcodes, dates = pd_.factorize(tu // np.int64(86_400_000_000), sort=True)
         day_dates = np.asarray(dates * 86_400_000_000).astype("datetime64[us]").astype("datetime64[D]")
         dm = daily_core(tu, ll, lo2, td, disp, codes, cid, dcodes, day_dates)
