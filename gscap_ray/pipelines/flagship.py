@@ -123,10 +123,10 @@ def daily_features_direct(pages_dir: str, polygons: list | None = None,
     startup); its outputs are dropped pre-shuffle here because the daily
     table doesn't consume them (the labeled_pages path keeps them)."""
     from ..stages.enrich import make_pip_task
+    from ..stages.geocode import geocode_tile_batch
 
     ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
-    ds = ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
-    ds = ds.map_batches(tile_batch, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(geocode_tile_batch, batch_format="pyarrow", batch_size=None)
     if polygons is not None:
         ref = ray.put(polygons)
         ds = ds.map_batches(make_pip_task(ref), batch_format="pyarrow", batch_size=None)

@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 from ..functions.cells import grid_cell_id, hex_cell_id, s2_cell_id
 from ..synth import geocode, hash64
 
-DEFAULT_PARTITIONS = 256
+DEFAULT_PARTITIONS = 128
 
 
 def extract_host(urls: np.ndarray) -> np.ndarray:
@@ -48,6 +48,32 @@ def tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) -> pa.Tabl
     lon = batch["lon"].to_numpy()
     host_h = hash64(batch["host"].to_numpy(zero_copy_only=False))
     return (batch
+            .append_column("h3_r7", pa.array(hex_cell_id(lat, lon, 7), pa.uint64()))
+            .append_column("h3_r8", pa.array(hex_cell_id(lat, lon, 8), pa.uint64()))
+            .append_column("h3_r9", pa.array(hex_cell_id(lat, lon, 9), pa.uint64()))
+            .append_column("s2_cell", pa.array(s2_cell_id(lat, lon, 12), pa.uint64()))
+            .append_column("grid_cell", pa.array(grid_cell_id(lat, lon, 0.1), pa.int64()))
+            .append_column("host_hash", pa.array(host_h.view(np.int64), pa.int64()))
+            .append_column("part_key", pa.array((host_h % np.uint64(partitions)).astype(np.uint32), pa.uint32())))
+
+
+def geocode_tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) -> pa.Table:
+    """Fused geocode + tile encode: hashes hosts/urls exactly once
+    (geocode_batch + tile_batch hash the host column independently; at
+    10^7+ rows the duplicate murmur pass is measurable)."""
+    import numpy as np
+
+    from ..synth import geocode
+
+    urls = batch["url"].to_numpy(zero_copy_only=False)
+    hosts = extract_host(urls)
+    host_h = hash64(hosts)
+    ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy()
+    lat, lon = geocode(host_h, hash64(urls), ts_us)
+    return (batch
+            .append_column("host", pa.array(hosts, pa.string()))
+            .append_column("lat", pa.array(lat, pa.float64()))
+            .append_column("lon", pa.array(lon, pa.float64()))
             .append_column("h3_r7", pa.array(hex_cell_id(lat, lon, 7), pa.uint64()))
             .append_column("h3_r8", pa.array(hex_cell_id(lat, lon, 8), pa.uint64()))
             .append_column("h3_r9", pa.array(hex_cell_id(lat, lon, 9), pa.uint64()))
