@@ -16,7 +16,7 @@ layer object consumed by stages/enrich.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 

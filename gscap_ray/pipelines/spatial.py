@@ -27,7 +27,6 @@ driver for the union-find; the relabel map is broadcast.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray

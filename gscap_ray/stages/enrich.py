@@ -14,7 +14,6 @@ import pyarrow as pa
 
 from ..functions.knn import nearest_neighbor
 from ..functions.pip import PolygonIndex
-from ..functions.raster import RasterLayer
 
 
 class PipEnricher:

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..functions.cells import grid_cell_id, hex_cell_id, s2_cell_id
 from ..synth import geocode, hash64
