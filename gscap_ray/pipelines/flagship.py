@@ -190,7 +190,13 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
         run_partitioned,
     )
 
+    from ..stages.geocode import DEFAULT_PARTITIONS
+
     done = completed_partitions(out_dir, input_fingerprint)
+    if len(done) >= DEFAULT_PARTITIONS:
+        # every partition has a valid manifest: nothing to read at all
+        return {"partitions": 0, "written": 0, "skipped": 0,
+                "rows_written": 0, "skipped_at_read": len(done)}
     ds = geocoded_pages(pages_dir)
     ds = filter_out_partitions(ds, done)
     if polygons is not None:

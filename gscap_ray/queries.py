@@ -562,6 +562,38 @@ FROM e GROUP BY user_id, event_type, island
 """
 
 
+def q_gap_sessions(sf_dir: str):
+    """Timeout-based sessionization (the other classic windowing shape):
+    per user, a >1 h silence starts a new session; returns per-user session
+    counts and max session length."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap_us = g["ts"].diff().dt.total_seconds().fillna(1e12)
+        sid = (gap_us > 3600).cumsum()
+        sizes = sid.value_counts()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(sid.nunique())],
+                             "max_session_events": [int(sizes.max())]})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_GAP_SESSIONS = """
+WITH l AS (SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts - lag(ts) OVER w) / 1000000.0 > 3600
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+c AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid)
+SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+FROM c GROUP BY user_id
+"""
+
+
 def q_session_metrics(sf_dir: str):
     """A3/C8: per-session-type visit statistics (duration sums/means)."""
     sess = q_sessionize(sf_dir).to_pandas()
@@ -1282,6 +1314,7 @@ QUERIES = {
     "s2_tiles": q_s2_tiles,
     "hex_tiles": q_hex_tiles,
     "sessionize": q_sessionize,
+    "gap_sessions": q_gap_sessions,
     "session_metrics": q_session_metrics,
     "daily_user_metrics": q_daily_user_metrics,
     "daily_value_stats": q_daily_value_stats,
@@ -1328,6 +1361,7 @@ ORACLE_SQL = {
     "pip_rect_join": SQL_PIP_RECT_JOIN,
     "knn_centers": SQL_KNN_CENTERS,
     "sessionize": SQL_SESSIONIZE,
+    "gap_sessions": SQL_GAP_SESSIONS,
     "session_metrics": SQL_SESSION_METRICS,
     "daily_user_metrics": SQL_DAILY_USER_METRICS,
     "daily_value_stats": SQL_DAILY_VALUE_STATS,
