@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.cells import grid_cell_id, hex_cell_id, s2_cell_id
 from ..synth import geocode, hash64
@@ -23,6 +24,14 @@ def extract_host(urls: np.ndarray) -> np.ndarray:
 
     s = pd.Series(urls, dtype="object").str.replace("https://", "", regex=False)
     return s.str.split("/", n=1).str[0].values
+
+
+def extract_host_arrow(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Host extraction with Arrow C++ kernels (~10x the pandas str path):
+    scheme://host/path -> split on '/' -> element 2."""
+    parts = pc.split_pattern(urls, pattern="/", max_splits=3)
+    out = pc.list_element(parts, 2)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
 def geocode_batch(batch: pa.Table) -> pa.Table:
@@ -60,17 +69,16 @@ def geocode_tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) ->
     """Fused geocode + tile encode: hashes hosts/urls exactly once
     (geocode_batch + tile_batch hash the host column independently; at
     10^7+ rows the duplicate murmur pass is measurable)."""
-    import numpy as np
-
     from ..synth import geocode
 
-    urls = batch["url"].to_numpy(zero_copy_only=False)
-    hosts = extract_host(urls)
+    host_arr = extract_host_arrow(batch["url"])
+    hosts = host_arr.to_numpy(zero_copy_only=False)
     host_h = hash64(hosts)
+    urls = batch["url"].to_numpy(zero_copy_only=False)
     ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy()
     lat, lon = geocode(host_h, hash64(urls), ts_us)
     return (batch
-            .append_column("host", pa.array(hosts, pa.string()))
+            .append_column("host", host_arr)
             .append_column("lat", pa.array(lat, pa.float64()))
             .append_column("lon", pa.array(lon, pa.float64()))
             .append_column("h3_r7", pa.array(hex_cell_id(lat, lon, 7), pa.uint64()))
