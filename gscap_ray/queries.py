@@ -1238,6 +1238,54 @@ SELECT query_id, cid AS neighbor_id, rank FROM r WHERE rank <= 10
 """
 
 
+def q_ann_lsh_recall(sf_dir: str):
+    """Scale-path ANN: hyperplane-LSH bucket prefilter + exact re-rank,
+    reporting deterministic recall@10 vs the brute-force baseline per query
+    — rows-only (query_id, n_candidates, recall_at_10)."""
+    from .functions.ann import cosine_topk, hyperplane_lsh_codes
+
+    pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    emb = np.stack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].values.astype(np.int64)
+    codes = hyperplane_lsh_codes(emb, n_bits=12, seed=11)
+
+    qm = ids < 5
+    brute_ids, _ = cosine_topk(emb[qm], emb, ids, k=10)
+    rows = []
+    for qi, qcode, qvec in zip(ids[qm], codes[qm], emb[qm]):
+        # multi-probe: exact bucket + 1-bit flips
+        probes = {qcode} | {qcode ^ np.uint64(1 << b) for b in range(12)}
+        cand = np.isin(codes, list(probes))
+        cids, _ = cosine_topk(qvec[None, :], emb[cand], ids[cand],
+                              k=min(10, int(cand.sum())))
+        brute = set(brute_ids[list(ids[qm]).index(qi)].tolist())
+        rec = len(brute & set(cids[0].tolist())) / 10.0
+        rows.append((int(qi), int(cand.sum()), round(rec, 2)))
+    return pd.DataFrame(rows, columns=["query_id", "n_candidates", "recall_at_10"])
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """S1: CSV source connector — write region as CSV once, read it back
+    with ray.data.read_csv, aggregate. Oracle-checked against the parquet
+    view (same rows either way)."""
+    import os
+
+    csv_dir = f"/tmp/gscap_csv_{sf_dir.strip('/').split('/')[-1]}"
+    if not os.path.exists(csv_dir + "/done"):
+        os.makedirs(csv_dir, exist_ok=True)
+        _read(sf_dir, "nation").to_pandas().to_csv(csv_dir + "/nation.csv", index=False)
+        open(csv_dir + "/done", "w").write("1")
+    from ray.data.aggregate import Count
+
+    ds = rd.read_csv(csv_dir + "/nation.csv")
+    return ds.groupby("n_regionkey").aggregate(Count(alias_name="n_nations"))
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey
+"""
+
+
 def q_embedding_dupes(sf_dir: str):
     """Embedding-cosine near-dup pairs (> 0.95), exact blocked matmul."""
     from .functions.ann import cosine_pairs_above
@@ -1327,6 +1375,8 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "ann_topk": q_ann_topk,
     "embedding_dupes": q_embedding_dupes,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "csv_roundtrip": q_csv_roundtrip,
     "json_extract": q_json_extract,
     "category_map": q_category_map,
     "impute_points": q_impute_points,
@@ -1369,6 +1419,7 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_dupes": SQL_EMBEDDING_DUPES,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "json_extract": SQL_JSON_EXTRACT,
     "category_map": SQL_CATEGORY_MAP,
     "impute_points": SQL_IMPUTE_POINTS,
