@@ -1247,18 +1247,22 @@ def q_ann_lsh_recall(sf_dir: str):
     pdf = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
     emb = np.stack(pdf["embedding"].values).astype(np.float64)
     ids = pdf["vec_id"].values.astype(np.int64)
-    codes = hyperplane_lsh_codes(emb, n_bits=12, seed=11)
+    # L independent hash tables + 1-bit multi-probe (standard LSH recall
+    # lever: more tables -> more candidates -> higher recall)
+    tables = [hyperplane_lsh_codes(emb, n_bits=6, seed=11 + i) for i in range(3)]
 
     qm = ids < 5
     brute_ids, _ = cosine_topk(emb[qm], emb, ids, k=10)
     rows = []
-    for qi, qcode, qvec in zip(ids[qm], codes[qm], emb[qm]):
-        # multi-probe: exact bucket + 1-bit flips
-        probes = {qcode} | {qcode ^ np.uint64(1 << b) for b in range(12)}
-        cand = np.isin(codes, list(probes))
+    for pos, (qi, qvec) in enumerate(zip(ids[qm], emb[qm])):
+        cand = np.zeros(len(ids), dtype=bool)
+        for codes in tables:
+            qcode = codes[np.where(qm)[0][pos]]
+            probes = {qcode} | {qcode ^ np.uint64(1 << b) for b in range(6)}
+            cand |= np.isin(codes, list(probes))
         cids, _ = cosine_topk(qvec[None, :], emb[cand], ids[cand],
                               k=min(10, int(cand.sum())))
-        brute = set(brute_ids[list(ids[qm]).index(qi)].tolist())
+        brute = set(brute_ids[pos].tolist())
         rec = len(brute & set(cids[0].tolist())) / 10.0
         rows.append((int(qi), int(cand.sum()), round(rec, 2)))
     return pd.DataFrame(rows, columns=["query_id", "n_candidates", "recall_at_10"])
