@@ -562,6 +562,33 @@ FROM e GROUP BY user_id, event_type, island
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (ordered, per-key): each event gets the timestamp of the
+    most recent strictly-prior 'purchase' by the same user (merge_asof-style
+    within map_groups; ray_guide 'As-of / range join' pattern)."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        purchase_ts = g["ts"].where(g["event_type"] == "purchase")
+        # ts-sorted, so forward-fill of the shifted purchase column IS the
+        # most recent strictly-prior purchase (cummax mishandles NaT)
+        last = purchase_ts.shift().ffill()
+        return pd.DataFrame({"event_id": g["event_id"].values,
+                             "last_purchase_ts": last.values})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_ASOF_JOIN = """
+SELECT event_id,
+       max(CASE WHEN event_type = 'purchase' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS last_purchase_ts
+FROM events
+"""
+
+
 def q_gap_sessions(sf_dir: str):
     """Timeout-based sessionization (the other classic windowing shape):
     per user, a >1 h silence starts a new session; returns per-user session
@@ -1367,6 +1394,7 @@ QUERIES = {
     "hex_tiles": q_hex_tiles,
     "sessionize": q_sessionize,
     "gap_sessions": q_gap_sessions,
+    "asof_join": q_asof_join,
     "session_metrics": q_session_metrics,
     "daily_user_metrics": q_daily_user_metrics,
     "daily_value_stats": q_daily_value_stats,
@@ -1416,6 +1444,7 @@ ORACLE_SQL = {
     "knn_centers": SQL_KNN_CENTERS,
     "sessionize": SQL_SESSIONIZE,
     "gap_sessions": SQL_GAP_SESSIONS,
+    "asof_join": SQL_ASOF_JOIN,
     "session_metrics": SQL_SESSION_METRICS,
     "daily_user_metrics": SQL_DAILY_USER_METRICS,
     "daily_value_stats": SQL_DAILY_VALUE_STATS,
