@@ -88,6 +88,20 @@ def run_bench() -> dict:
     timed("groupby_agg", lambda: Q.q_groupby_agg(sf_dir))
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir))
 
+    # salted two-phase aggregation over all pages (tile-cell shuffle #3)
+    import pyarrow as pa
+
+    from gscap_ray.ops import topk_by_count
+    from gscap_ray.pipelines.flagship import geocoded_pages
+
+    def hot_cells():
+        ds = geocoded_pages(pages_dir).select_columns(["h3_r7"])
+        ds = ds.map_batches(lambda t: pa.table({"h3_r7": t["h3_r7"].cast(pa.int64())}),
+                            batch_format="pyarrow", batch_size=None)
+        topk_by_count(ds, "h3_r7", 10, salt=8)
+
+    timed("hot_cells_salted", hot_cells)
+
     headline = round(sum(v for k, v in timings.items() if k != "pages_per_sec"), 3)
     out = {
         "metric": "headline_pipeline_seconds",

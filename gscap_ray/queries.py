@@ -258,6 +258,38 @@ FROM events GROUP BY user_id, date_trunc('minute', ts)
 """
 
 
+def q_global_sort(sf_dir: str):
+    """SRT: global total-order sort (range-partitioned shuffle) with a
+    deterministic composite key; first 100 rows."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"])
+    return (ds.sort(["l_shipdate", "l_orderkey", "l_linenumber"])
+            .limit(100))
+
+
+SQL_GLOBAL_SORT = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_hot_cells(sf_dir: str):
+    """Salted two-phase aggregation (SURVEY §4 skew pattern) over the pages
+    world: top-10 res-7 hex cells by page count — rows-only (deterministic;
+    the salted and unsalted paths are asserted equal in tests/test_ops_cli)."""
+    from .ops import topk_by_count
+    from .pipelines.flagship import geocoded_pages
+
+    ds = geocoded_pages(_pages_dir_for(sf_dir)).select_columns(["h3_r7"])
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        return pa.table({"h3_r7": t["h3_r7"].cast(pa.int64())})
+
+    return topk_by_count(ds.map_batches(to_i64, batch_format="pyarrow"),
+                         "h3_r7", 10, salt=8)
+
+
 def q_exact_dedup(sf_dir: str):
     """D1/D2: exact dedup — first (min doc_id) per distinct text.
     Hash-partition by content key, per-group min."""
@@ -1382,6 +1414,8 @@ QUERIES = {
     "pages_next_phase": q_pages_next_phase,
     "minute_resample": q_minute_resample,
     "exact_dedup": q_exact_dedup,
+    "global_sort": q_global_sort,
+    "hot_cells": q_hot_cells,
     "distinct_types": q_distinct_types,
     "validity_filter": q_validity_filter,
     "geocode_points": q_geocode_points,
@@ -1434,6 +1468,7 @@ ORACLE_SQL = {
     "sliding_window": SQL_SLIDING_WINDOW,
     "minute_resample": SQL_MINUTE_RESAMPLE,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "global_sort": SQL_GLOBAL_SORT,
     "distinct_types": SQL_DISTINCT_TYPES,
     "validity_filter": SQL_VALIDITY_FILTER,
     "geocode_points": SQL_GEOCODE_POINTS,
