@@ -88,16 +88,30 @@ def run_bench() -> dict:
     timed("groupby_agg", lambda: Q.q_groupby_agg(sf_dir))
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir))
 
-    # salted two-phase aggregation over all pages (tile-cell shuffle #3)
+    # salted two-phase aggregation over all pages (tile-cell shuffle #3):
+    # lean projection — geocode + ONLY the res-7 hex encoder (prune compute
+    # like you prune columns)
+    import numpy as np
     import pyarrow as pa
+    import ray.data as rd
 
+    from gscap_ray.functions.cells import hex_cell_id
     from gscap_ray.ops import topk_by_count
-    from gscap_ray.pipelines.flagship import geocoded_pages
+    from gscap_ray.stages.geocode import extract_host_arrow
+    from gscap_ray.synth import geocode as synth_geocode
+    from gscap_ray.synth import hash64
+
+    def cell_only(t: pa.Table) -> pa.Table:
+        hosts = extract_host_arrow(t["url"]).to_numpy(zero_copy_only=False)
+        urls = t["url"].to_numpy(zero_copy_only=False)
+        ts_us = t["warc_ts"].cast(pa.int64()).to_numpy()
+        lat, lon = synth_geocode(hash64(hosts), hash64(urls), ts_us)
+        return pa.table({"h3_r7": pa.array(
+            hex_cell_id(lat, lon, 7).view(np.int64), pa.int64())})
 
     def hot_cells():
-        ds = geocoded_pages(pages_dir).select_columns(["h3_r7"])
-        ds = ds.map_batches(lambda t: pa.table({"h3_r7": t["h3_r7"].cast(pa.int64())}),
-                            batch_format="pyarrow", batch_size=None)
+        ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
+        ds = ds.map_batches(cell_only, batch_format="pyarrow", batch_size=None)
         topk_by_count(ds, "h3_r7", 10, salt=8)
 
     timed("hot_cells_salted", hot_cells)
