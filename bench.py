@@ -118,6 +118,16 @@ def run_bench() -> dict:
 
     timed("hot_cells_topk", hot_cells)
 
+    # distributed tile-local DBSCAN with halo merge over the event points
+    from gscap_ray.pipelines.spatial import distributed_dbscan
+
+    def spatial_dbscan():
+        pts = Q._points_ds(sf_dir).select_columns(["event_id", "lat", "lon"])
+        distributed_dbscan(pts, eps=0.02, min_samples=20, x_col="lon",
+                           y_col="lat", id_col="event_id").count()
+
+    timed("distributed_dbscan", spatial_dbscan)
+
     headline = round(sum(v for k, v in timings.items() if k != "pages_per_sec"), 3)
     out = {
         "metric": "headline_pipeline_seconds",

@@ -188,6 +188,12 @@ def s2_cell_center(cell_id: np.ndarray):
 
 
 # ------------------------------------------------------------- hex ---------
+# Known limitation (documented): the hex and quantized grids tile
+# equirectangular (lon, lat) degree space — cells do not wrap across the
+# +/-180 dateline and shrink metrically toward the poles. The S2 encoder has
+# neither problem (cube-face projection); pipelines that need seamless
+# global tiling should key on s2_cell. The reference's own tiling (5-dp
+# rounding) shares both limitations.
 
 # res-0 edge length in degrees, aperture 7 (sqrt(7) linear shrink per res);
 # sized so res 7 ~ 0.011 deg ~ 1.22 km, matching H3's published average edge
