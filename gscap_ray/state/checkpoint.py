@@ -142,3 +142,28 @@ def read_output(out_dir: str, columns=None):
         for n in os.listdir(out_dir) if n.startswith("part_key=")
     )
     return rd.read_parquet(parts, columns=columns)
+
+
+def write_tiled(ds, out_dir: str, s2_level: int = 4):
+    """Spatially partitioned sink (SURVEY.md §7 step 2): hive layout keyed by
+    the coarse S2 ancestor of each row's ``s2_cell`` — readers prune by
+    region the way the resume path prunes by part_key. Bounded directory
+    count (<= 6 * 4^level).
+
+    Returns the number of distinct tile directories written."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.cells import s2_parent
+
+    def add_tile(t: pa.Table) -> pa.Table:
+        coarse = s2_parent(t["s2_cell"].to_numpy(), s2_level)
+        # hex string key -> readable, lexicographically stable dir names
+        keys = np.array([f"{v:016x}" for v in coarse.tolist()], dtype=object)
+        return t.append_column("s2_tile", pa.array(keys, pa.string()))
+
+    ds.map_batches(add_tile, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(out_dir, partition_cols=["s2_tile"])
+    import os
+
+    return sum(1 for n in os.listdir(out_dir) if n.startswith("s2_tile="))

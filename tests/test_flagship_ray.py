@@ -108,3 +108,26 @@ def test_checkpoint_resume(pages_dir, tmp_path):
     # input change (new fingerprint) -> full recompute
     s4 = run_checkpointed(pages_dir, out, input_fingerprint="fp2")
     assert s4["written"] == s1["written"] and s4["skipped_at_read"] == 0
+
+
+def test_write_tiled(pages_dir, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gscap_ray.pipelines.flagship import geocoded_pages
+    from gscap_ray.state.checkpoint import write_tiled
+
+    out = str(tmp_path / "tiled")
+    n_dirs = write_tiled(geocoded_pages(pages_dir), out, s2_level=4)
+    assert n_dirs >= 2  # hosts are spread over the globe
+    # all rows present, every file within a dir shares the coarse tile
+    total = 0
+    for d in os.listdir(out):
+        assert d.startswith("s2_tile=")
+        t = pq.read_table(os.path.join(out, d))
+        total += t.num_rows
+        from gscap_ray.functions.cells import s2_parent
+        coarse = set(f"{v:016x}" for v in s2_parent(t["s2_cell"].to_numpy(), 4).tolist())
+        assert coarse == {d.split("=", 1)[1]}
+    assert total == N_PAGES
