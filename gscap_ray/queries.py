@@ -726,6 +726,39 @@ FROM p GROUP BY user_id, strftime(ts, '%Y-%m-%d')
 """
 
 
+def q_daily_entropy(sf_dir: str):
+    """Longitudinal entropy feature (north-star 'entropy/variance'):
+    per (user, date) Shannon entropy of the event-type distribution,
+    nats, rounded to 3 dp."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby("event_type").size().values.astype(np.float64)
+        p = p / p.sum()
+        h = float(-(p * np.log(p)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "date": [g["date"].iloc[0]],
+                             "type_entropy": [round(h, 3)]})
+
+    def add_date(t: pa.Table) -> pa.Table:
+        return t.append_column("date", pc.strftime(t["ts"], format="%Y-%m-%d"))
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+            .map_batches(add_date, batch_format="pyarrow")
+            .groupby(["user_id", "date"])
+            .map_groups(per_group, batch_format="pandas"))
+
+
+SQL_DAILY_ENTROPY = """
+WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS date, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2, 3),
+t AS (SELECT user_id, date, n, sum(n) OVER (PARTITION BY user_id, date) AS tot
+      FROM c)
+SELECT user_id, date,
+       round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 3) AS type_entropy
+FROM t GROUP BY user_id, date
+"""
+
+
 def q_daily_value_stats(sf_dir: str):
     """A5 analog (weather daily summary): per-date mean/std/sum stats."""
     from ray.data.aggregate import Count, Mean, Std, Sum
@@ -1432,6 +1465,7 @@ QUERIES = {
     "session_metrics": q_session_metrics,
     "daily_user_metrics": q_daily_user_metrics,
     "daily_value_stats": q_daily_value_stats,
+    "daily_entropy": q_daily_entropy,
     "daily_value_quantiles": q_daily_value_quantiles,
     "text_stats": q_text_stats,
     "quality_scores": q_quality_scores,
@@ -1483,6 +1517,7 @@ ORACLE_SQL = {
     "session_metrics": SQL_SESSION_METRICS,
     "daily_user_metrics": SQL_DAILY_USER_METRICS,
     "daily_value_stats": SQL_DAILY_VALUE_STATS,
+    "daily_entropy": SQL_DAILY_ENTROPY,
     "text_stats": SQL_TEXT_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "ann_topk": SQL_ANN_TOPK,
