@@ -80,3 +80,47 @@ def bucketed_pairs(left: rd.Dataset, right_df: pd.DataFrame, key_col: str,
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
     return left.map_batches(join_batch, batch_format="pandas")
+
+
+def quarantine_split(ds: rd.Dataset, valid_expr, quarantine_dir: str):
+    """M10 full semantics: split rows by a vectorized validity predicate;
+    invalid rows are routed to a side parquet sink (never silently dropped,
+    SURVEY.md §2.2 M10) while the valid stream continues lazily.
+
+    ``valid_expr``: callable pa.Table -> pa.BooleanArray (vectorized mask).
+    Quarantine files are named by a content hash, so reruns overwrite the
+    same files (idempotent under retries, like the checkpoint sink).
+    Returns the valid Dataset; count quarantined rows from the dir."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def split(t: pa.Table) -> pa.Table:
+        mask = valid_expr(t)
+        bad = t.filter(pc.invert(mask))
+        if bad.num_rows:
+            import os
+
+            import pyarrow.parquet as pq
+
+            from .synth import hash64
+
+            os.makedirs(quarantine_dir, exist_ok=True)
+            key = int(np.bitwise_xor.reduce(
+                hash64(np.array([str(bad.slice(0, 1).to_pydict())], dtype=object))
+            )) ^ bad.num_rows
+            pq.write_table(bad, os.path.join(
+                quarantine_dir, f"quarantine-{key:016x}.parquet"))
+        return t.filter(mask)
+
+    return ds.map_batches(split, batch_format="pyarrow", batch_size=None)
+
+
+def quarantined_count(quarantine_dir: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(quarantine_dir):
+        return 0
+    return sum(pq.read_metadata(os.path.join(quarantine_dir, f)).num_rows
+               for f in os.listdir(quarantine_dir) if f.endswith(".parquet"))

@@ -66,3 +66,22 @@ def test_cli_synth_and_run(tmp_path, args):
         capture_output=True, text=True, cwd="/root/repo")
     s3 = json.loads(r3.stdout.strip().splitlines()[-1])
     assert s3["written"] == 0 and s3["skipped_at_read"] > 0
+
+
+def test_quarantine_split(ray_session, tmp_path):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gscap_ray.ops import quarantine_split, quarantined_count
+
+    df = pd.DataFrame({"x": np.arange(100), "y": np.arange(100) % 7})
+    qdir = str(tmp_path / "quarantine")
+    valid = quarantine_split(rd.from_pandas(df).repartition(4),
+                             lambda t: pc.less(t["x"], 80), qdir)
+    got = valid.to_pandas()
+    assert len(got) == 80 and (got["x"] < 80).all()
+    assert quarantined_count(qdir) == 20
+    # idempotent rerun: same content-hash file names, no duplicates
+    quarantine_split(rd.from_pandas(df).repartition(4),
+                     lambda t: pc.less(t["x"], 80), qdir).to_pandas()
+    assert quarantined_count(qdir) == 20
