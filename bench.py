@@ -114,7 +114,7 @@ def run_bench() -> dict:
         ds = ds.map_batches(cell_only, batch_format="pyarrow", batch_size=None)
         # salt=0: ~30k distinct cells means per-batch partials already spread
         # the load; salting is for the few-hot-keys regime (tests cover it)
-        topk_by_count(ds, "h3_r7", 10, salt=0)
+        topk_by_count(ds, "h3_r7", 10, salt=0, combine_blocks=16)
 
     timed("hot_cells_topk", hot_cells)
 
