@@ -209,7 +209,7 @@ def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
     ``stat_mask``: bool mask of stationary rows."""
     a = lat.shape[0]
     hour_all = ((ts_us // np.int64(3_600_000_000)) % 24).astype(np.int64)
-    weekday_all = (((ts_us // np.int64(86_400_000_000)) + 4) % 7).astype(np.int64)  # epoch 1970-01-01 = Thursday
+    weekday_all = (((ts_us // np.int64(86_400_000_000)) + 3) % 7).astype(np.int64)  # 1970-01-01 = Thursday = 3 (Monday-0)
 
     # labels assigned in place; the reference's split/concat is equivalent to
     # positional assignment since output row order is not semantic

@@ -68,7 +68,7 @@ def geocode(host_hash: np.ndarray, url_hash: np.ndarray, ts_us: np.ndarray):
     days = ts.astype("datetime64[D]")
     hour = ((ts_us // np.int64(3_600_000_000)) % 24).astype(np.int64)
     minute = ((ts_us // np.int64(60_000_000)) % 60).astype(np.int64)
-    weekday = ((days.astype(np.int64) + 1) % 7).astype(np.int64)  # 2019-01-01 = Tue(1)
+    weekday = ((days.astype(np.int64) + 3) % 7).astype(np.int64)  # Monday-0; 1970-01-01 = Thu(3)
 
     is_weekday = weekday < 5
     at_work = is_weekday & np.isin(hour, list(_WORK_HOURS))
@@ -161,7 +161,7 @@ def ensure_pages(out_dir: str, n_pages: int, n_hosts: int = 50, days: int = 6,
     parallelize the read.
     """
     marker = os.path.join(out_dir, "_DONE")
-    stamp = f"v2 rows={n_pages} hosts={n_hosts} days={days} seed={seed}\n"
+    stamp = f"v3 rows={n_pages} hosts={n_hosts} days={days} seed={seed}\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == stamp:
