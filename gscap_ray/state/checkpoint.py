@@ -101,7 +101,17 @@ def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str):
         pk = int(g["part_key"].iloc[0])
         if pk in done:
             return pd.DataFrame({"part_key": [pk], "rows": [0], "skipped": [True]})
-        m = write_partition(g, out_dir, pk, input_fingerprint)
+        # per-partition metrics (A6 hits/misses analog): enrichment hit
+        # ratios and label distribution, recorded in the manifest
+        metrics = {}
+        if "place_id" in g.columns:
+            hits = int(g["place_id"].notna().sum())
+            metrics["pip_hits"] = hits
+            metrics["pip_misses"] = int(len(g) - hits)
+        if "cid" in g.columns:
+            metrics["cid_counts"] = {str(k): int(v)
+                                     for k, v in g["cid"].value_counts().items()}
+        m = write_partition(g, out_dir, pk, input_fingerprint, metrics=metrics)
         return pd.DataFrame({"part_key": [pk], "rows": [m["rows"]], "skipped": [False]})
 
     res = (labeled_ds.groupby("part_key")

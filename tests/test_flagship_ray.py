@@ -104,6 +104,7 @@ def test_checkpoint_resume(pages_dir, tmp_path):
         m = json.load(f)
     assert m["input_fingerprint"] == "fp1"
     assert m["rows"] > 0 and m["text_xor_hash"] is not None
+    assert "cid_counts" in m["metrics"] and sum(m["metrics"]["cid_counts"].values()) == m["rows"]
 
     # input change (new fingerprint) -> full recompute
     s4 = run_checkpointed(pages_dir, out, input_fingerprint="fp2")
