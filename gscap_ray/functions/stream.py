@@ -498,8 +498,12 @@ def daily_core(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates) -> pd.D
         sub_codes, sub_keys = pd.factorize(cidv[pool_mask])
         tot = np.bincount(sub_codes,
                           weights=np.nan_to_num(td[pool_mask]), minlength=len(sub_keys))
-        order = np.argsort(-tot, kind="stable")[:3]
-        top3 = set(sub_keys[order].tolist())
+        # deterministic tie-break: equal totals order by cid string ascending
+        # (the reference inherits frame order — not reproducible after a
+        # shuffle; the engine pins ties so the oracle can replicate them)
+        order = sorted(range(len(sub_keys)),
+                       key=lambda i: (-tot[i], str(sub_keys[i])))[:3]
+        top3 = set(sub_keys[list(order)].tolist())
     else:
         top3 = set()
     out["hours_in_top3"] = _msum(np.isin(cidv, list(top3)), td, 3600)

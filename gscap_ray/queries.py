@@ -1266,13 +1266,6 @@ def q_multimodal_features(sf_dir: str):
     return out
 
 
-def q_pages_entries(sf_dir: str):
-    """Flagship sessionization (C6) over the pages world — rows-only."""
-    from .pipelines.flagship import entries_table, labeled_pages
-
-    return entries_table(labeled_pages(_pages_dir_for(sf_dir)))
-
-
 def q_pages_clusters(sf_dir: str):
     """Flagship per-host cluster table — rows-only."""
     from .pipelines.flagship import cluster_table, labeled_pages
@@ -1414,25 +1407,215 @@ def _pages_dir_for(sf_dir: str) -> str:
                         n_hosts=max(8, n_pages // 2000), days=6, seed=42)
 
 
-def q_pages_label_stats(sf_dir: str):
-    """Flagship pipeline head: geocode -> tiles -> per-host labeling ->
-    per-cid counts (rows-only; deterministic)."""
-    from ray.data.aggregate import Count
+def _labeled_dump_for(sf_dir: str) -> str:
+    """Run the flagship labeling pipeline once per sf and persist the
+    labeled intermediate (host, cid, binning, ts, velocity features) to
+    /tmp — the relational tail of the flagship (entries / daily features /
+    label stats) is then computed BOTH by Ray operators and by the DuckDB
+    oracle over this same parquet, turning the engine's headline outputs
+    into rows+schema+hash-checked queries (VERDICT r1 #1)."""
+    import os
+    import shutil
 
+    pages_dir = _pages_dir_for(sf_dir)
+    tag = sf_dir.strip("/").split("/")[-1]
+    out = f"/tmp/gscap_labeled_{tag}"
+    marker = out + "._DONE"
+    stamp = "v1 " + pages_dir
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == stamp:
+                return out
+    shutil.rmtree(out, ignore_errors=True)
     from .pipelines.flagship import labeled_pages
 
-    labeled = labeled_pages(_pages_dir_for(sf_dir))
-    out = (labeled.select_columns(["cid"]).groupby("cid")
+    (labeled_pages(pages_dir)
+     .select_columns(["host", "url", "warc_ts", "lat", "lon", "binning",
+                      "cid", "time_delta", "displacement"])
+     .write_parquet(out))
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out
+
+
+# the driver's correctness gate runs at sf0.01; the oracle SQL reads the
+# dump the Ray side of the same query just (re)produced
+_DUMP_GLOB = "/tmp/gscap_labeled_sf0.01/*.parquet"
+
+
+def q_pages_label_stats(sf_dir: str):
+    """Flagship pipeline head: geocode -> tiles -> per-host labeling ->
+    per-cid counts (oracle-checked over the labeled dump)."""
+    from ray.data.aggregate import Count
+
+    dump = _labeled_dump_for(sf_dir)
+    out = (rd.read_parquet(dump, columns=["cid"]).groupby("cid")
            .aggregate(Count(alias_name="n"))).to_pandas()
     return out.sort_values("cid").reset_index(drop=True)
 
 
-def q_pages_daily_features(sf_dir: str):
-    """Flagship daily feature table per (host, date) (rows-only)."""
-    from .pipelines.flagship import daily_features, labeled_pages
+def sql_pages_label_stats(path: str = _DUMP_GLOB) -> str:
+    return f"SELECT cid, count(*) AS n FROM read_parquet('{path}') GROUP BY cid"
 
-    labeled = labeled_pages(_pages_dir_for(sf_dir))
-    return daily_features(labeled)
+
+def q_pages_daily_features(sf_dir: str):
+    """Flagship daily feature table per (host, date) — A4's ~20
+    longitudinal features, oracle-checked over the labeled dump."""
+    from .pipelines.flagship import daily_host_group
+
+    dump = _labeled_dump_for(sf_dir)
+    ds = rd.read_parquet(dump, columns=["host", "warc_ts", "lat", "lon",
+                                        "binning", "cid", "time_delta",
+                                        "displacement"])
+    return ds.groupby("host").map_groups(daily_host_group, batch_format="pandas")
+
+
+def sql_pages_daily_features(path: str = _DUMP_GLOB) -> str:
+    """A4 in SQL: every daily_core feature over the labeled dump, incl. the
+    cross-day hours_of_sleep scan (window lag) and per-host top-3 clusters
+    (rank by total time, cid tiebreak)."""
+    bins_sql = "".join(
+        f"""
+       round(coalesce(sum(time_delta) FILTER (WHERE binning = '{b}'), 0) / 3600, 3)
+         AS hours_{b},
+       round(coalesce(sum(displacement) FILTER (WHERE binning = '{b}'), 0), 3)
+         AS distance_{b},"""
+        for b in ("stationary", "walking", "active", "powered_vehicle",
+                  "high_speed_transportation"))
+    hav = _HAVERSINE_SQL.format(lat1="f_lat", lon1="f_lon",
+                                lat2="p_lat", lon2="p_lon")
+    return f"""
+WITH r AS (SELECT host, warc_ts AS ts, lat, lon, binning, cid, time_delta,
+                  displacement, strftime(warc_ts, '%Y-%m-%d') AS date
+           FROM read_parquet('{path}')),
+base AS (SELECT host, date,
+       CASE WHEN stddev_pop(lat) + stddev_pop(lon) > 0
+            THEN round(ln(stddev_pop(lat) + stddev_pop(lon)), 3) END
+         AS location_variance,
+       count(DISTINCT extract(hour FROM ts)) AS hours_accounted_for,
+       round(coalesce(sum(time_delta) FILTER (
+           WHERE binning = 'stationary' AND cid NOT IN ('home', 'work')), 0)
+         / 3600, 3) AS hours_stationary_nhw,
+       bool_or(cid = 'work') AS came_to_work,
+       count(DISTINCT cid) AS number_of_clusters,{bins_sql}
+       round(coalesce(sum(time_delta) FILTER (WHERE cid = 'home'), 0) / 3600, 3)
+         AS hours_in_home,
+       round(coalesce(sum(time_delta) FILTER (WHERE cid = 'work'), 0) / 3600, 3)
+         AS hours_in_work
+    FROM r GROUP BY host, date),
+top3 AS (SELECT host, cid FROM (
+    SELECT host, cid, row_number() OVER (PARTITION BY host
+               ORDER BY sum(coalesce(time_delta, 0)) DESC, cid) AS rk
+    FROM r WHERE cid NOT IN ('home', 'work', 'xNot') GROUP BY host, cid)
+  WHERE rk <= 3),
+t3 AS (SELECT r.host, r.date,
+              round(coalesce(sum(r.time_delta), 0) / 3600, 3) AS hours_in_top3
+       FROM r JOIN top3 ON r.host = top3.host AND r.cid = top3.cid
+       GROUP BY r.host, r.date),
+fl AS (SELECT host, date, min(ts) AS first_ts, max(ts) AS last_ts,
+              arg_min(lat, ts) AS f_lat, arg_min(lon, ts) AS f_lon,
+              arg_max(lat, ts) AS l_lat, arg_max(lon, ts) AS l_lon
+       FROM r GROUP BY host, date),
+sl AS (SELECT *, lag(last_ts) OVER w AS p_ts,
+              lag(l_lat) OVER w AS p_lat, lag(l_lon) OVER w AS p_lon
+       FROM fl WINDOW w AS (PARTITION BY host ORDER BY date)),
+sleep AS (SELECT host, date,
+       round(((epoch_us(first_ts) - epoch_us(CAST(date AS TIMESTAMP))) / 1000000
+         + CASE WHEN p_ts IS NOT NULL
+                 AND (epoch_us(first_ts) - epoch_us(p_ts)) / 1000000.0 <= 86400
+                 AND {hav} <= 500
+                THEN ((epoch_us(CAST(date AS TIMESTAMP)) - epoch_us(p_ts))
+                      // 1000000) % 86400
+                ELSE 0 END) / 3600.0, 3) AS hours_of_sleep
+       FROM sl)
+SELECT b.host, b.date, b.location_variance, b.hours_accounted_for,
+       b.hours_stationary_nhw, b.came_to_work, b.number_of_clusters,
+       b.hours_stationary, b.distance_stationary, b.hours_walking,
+       b.distance_walking, b.hours_active, b.distance_active,
+       b.hours_powered_vehicle, b.distance_powered_vehicle,
+       b.hours_high_speed_transportation, b.distance_high_speed_transportation,
+       b.hours_in_home, b.hours_in_work,
+       coalesce(t3.hours_in_top3, 0.0) AS hours_in_top3,
+       s.hours_of_sleep
+FROM base b
+LEFT JOIN t3 ON b.host = t3.host AND b.date = t3.date
+JOIN sleep s ON b.host = s.host AND b.date = s.date
+"""
+
+
+def q_pages_entries(sf_dir: str):
+    """Flagship sessionization (C6) over the pages world — entries table
+    with midnight merge, per-day pos counters, median centroids and
+    gazetteer timezone, oracle-checked over the labeled dump."""
+    from .pipelines.flagship import entries_host_group
+
+    dump = _labeled_dump_for(sf_dir)
+    ds = rd.read_parquet(dump, columns=["host", "warc_ts", "lat", "lon",
+                                        "binning", "cid"])
+    out = (ds.groupby("host")
+           .map_groups(entries_host_group, batch_format="pandas")).to_pandas()
+    out["lat"] = out["lat"].round(6)
+    out["lon"] = out["lon"].round(6)
+    return out
+
+
+def sql_pages_entries(path: str = _DUMP_GLOB) -> str:
+    """C6 in SQL: run-length sessionization (island trick over cid+date
+    changes), per-day pos, midnight merge via lead/lag, half-even midpoint
+    rounding, and the builtin-gazetteer 1-NN timezone as an inline VALUES
+    kNN."""
+    from .functions.gazetteer import CITIES
+
+    rows = ",\n  ".join(f"({i}, {lat!r}, {lon!r}, '{tz}')"
+                        for i, (_n, lat, lon, tz) in enumerate(CITIES))
+    return f"""
+WITH r AS (SELECT host, warc_ts AS ts, lat, lon, cid,
+                  strftime(warc_ts, '%Y-%m-%d') AS date
+           FROM read_parquet('{path}') WHERE binning = 'stationary'),
+o AS (SELECT *, lag(cid) OVER w AS pcid, lag(date) OVER w AS pdate
+      FROM r WINDOW w AS (PARTITION BY host ORDER BY ts)),
+s AS (SELECT *, sum(CASE WHEN pcid IS NULL OR pcid <> cid OR pdate <> date
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY host ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                  AS run
+      FROM o),
+runs AS (SELECT host, cid, date, run, min(ts) AS t_in, max(ts) AS t_out,
+                count(*) AS n_points, median(lat) AS mlat, median(lon) AS mlon
+         FROM s GROUP BY host, cid, date, run),
+pos AS (SELECT *, CAST(run - min(run) OVER (PARTITION BY host, date) + 1
+                       AS BIGINT) AS pos
+        FROM runs),
+adj AS (SELECT *, lag(cid) OVER w AS pcid2, lag(date) OVER w AS pdate2,
+               lead(pos) OVER w AS npos, lead(cid) OVER w AS ncid,
+               lead(date) OVER w AS ndate
+        FROM pos WINDOW w AS (PARTITION BY host ORDER BY date, pos)),
+fixed AS (SELECT host, cid, date, pos, n_points, mlat, mlon,
+    CASE WHEN pos = 1 AND pcid2 = cid
+          AND CAST(pdate2 AS DATE) = CAST(date AS DATE) - 1
+         THEN CAST(date AS TIMESTAMP) ELSE t_in END AS time_in,
+    CASE WHEN npos = 1 AND ncid = cid
+          AND CAST(ndate AS DATE) = CAST(date AS DATE) + 1
+         THEN CAST(date AS TIMESTAMP) + INTERVAL 86399 SECOND
+         ELSE t_out END AS time_out
+    FROM adj),
+cities AS (SELECT * FROM (VALUES
+  {rows}) v(cidx, clat, clon, tz)),
+near AS (SELECT f.*, c.tz,
+            row_number() OVER (PARTITION BY f.host, f.date, f.pos
+              ORDER BY (f.mlat - c.clat) * (f.mlat - c.clat)
+                     + (f.mlon - c.clon) * (f.mlon - c.clon), c.cidx) AS rk
+         FROM fixed f CROSS JOIN cities c)
+SELECT host, cid, date, time_in,
+       make_timestamp(CAST(round_even((epoch_us(time_in)
+           + (epoch_us(time_out) - epoch_us(time_in)) / 2.0) / 1000000.0, 0)
+           AS BIGINT) * 1000000) AS midpoint,
+       time_out,
+       CAST(epoch_us(time_out) - epoch_us(time_in) AS DOUBLE) / 1000000.0
+         AS duration_s,
+       pos, n_points, round(mlat, 6) AS lat, round(mlon, 6) AS lon,
+       tz AS local_tz
+FROM near WHERE rk = 1
+"""
 
 
 # ------------------------------------------------------------- registry ----
@@ -1530,4 +1713,7 @@ ORACLE_SQL = {
     "first_event": SQL_FIRST_EVENT,
     "pairwise_distances": SQL_PAIRWISE_DISTANCES,
     "cell_dedup": SQL_CELL_DEDUP,
+    "pages_label_stats": sql_pages_label_stats(),
+    "pages_daily_features": sql_pages_daily_features(),
+    "pages_entries": sql_pages_entries(),
 }

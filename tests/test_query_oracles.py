@@ -19,6 +19,7 @@ SUBSET = [
     "exact_dedup", "velocity_bins", "grid_cells", "knn_centers",
     "pip_rect_join", "sessionize", "daily_user_metrics", "text_stats",
     "quality_scores", "ann_topk", "impute_points", "cell_dedup",
+    "pages_label_stats", "pages_daily_features", "pages_entries",
 ]
 
 
@@ -38,6 +39,8 @@ def test_query_matches_oracle(name, duck):
     from gscap_ray.queries import ORACLE_SQL, QUERIES
 
     ray_df = to_pandas(QUERIES[name](SF_DIR))
-    sql_df = duck.sql(ORACLE_SQL[name]).df()
+    # flagship-dump oracles hardcode the driver's sf0.01 path; retarget
+    sql = ORACLE_SQL[name].replace("gscap_labeled_sf0.01", "gscap_labeled_sf0.001")
+    sql_df = duck.sql(sql).df()
     msg = compare(name, ray_df, sql_df)
     assert msg is None, msg
