@@ -75,6 +75,26 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     return out
 
 
+def batch_band_keys(texts: np.ndarray, n_perm: int = 128, bands: int = 64,
+                    seed: int = 7) -> np.ndarray:
+    """(n_docs, bands) uint64 LSH bucket keys for a batch of documents.
+
+    Vectorized across docs for the band-FNV fold (the per-doc shingle pass
+    stays per-doc — doc granularity). r = n_perm//bands rows per band;
+    the default r=2/b=64 makes P(candidate | J=0.5) = 1-(1-0.25)^64 ≈ 1-1e-8,
+    so the LSH candidate set is exhaustive at the 0.5 verify threshold and
+    the exact-Jaccard oracle SQL matches the LSH+verify pipeline output."""
+    n = len(texts)
+    sigs = np.stack([minhash_signature(shingle_hashes(t.split()), n_perm, seed)
+                     for t in texts]) if n else np.empty((0, n_perm), np.uint64)
+    rows = n_perm // bands
+    chunks = sigs.reshape(n, bands, rows)
+    acc = np.full((n, bands), 1469598103934665603, dtype=np.uint64)
+    for r in range(rows):
+        acc = (acc ^ chunks[:, :, r]) * np.uint64(1099511628211)
+    return acc
+
+
 def simhash64(tokens: list[str]) -> np.uint64:
     """64-bit SimHash over whitespace tokens (unit weights)."""
     if not tokens:
