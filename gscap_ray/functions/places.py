@@ -1,0 +1,266 @@
+"""Place-response parsers + category normalization cascade (M7/M8/M9).
+
+Reimplements the reference's richest parser semantics from scratch:
+
+- ``parse_gmap_response``: /root/reference/gscap/gps.py:337-450 — strip DOM
+  hyperlinks, JSON-decode-error sentinel, 'error'-key sentinel, skip results
+  carrying any IGNORED_PLACE_TYPES (gps.py:267-287), drop ambiguous types,
+  ~20-branch type-normalization cascade, first qualifying result wins
+  (rank_order = its index), 'not found' sentinel otherwise.
+- ``parse_yelp_response``: gps.py:214-260 — first business, alias list ->
+  category mapping, dining_out precedence (gps.py:245-249).
+- ``gmapping``: gps.py:303-316 — single category -> major mapping with the
+  'undefined category' default and JSON-decode-error passthrough.
+
+Mapping tables: GMAP_TYPE_MAP carries the reference's full 112-row
+gmap_mappings.txt semantics (first-wins on the duplicated travel_agency key,
+matching pandas ``.loc`` + ``.tolist()[0]``); YELP_TYPE_MAP is a
+representative subset of the 1540-row yelp_mappings.txt (full table is a
+pluggable context layer — same dict shape).
+
+Determinism fix (documented deviation): the reference picks "the left most"
+element of a *Python set* (gps.py:423-427), whose order is
+PYTHONHASHSEED-dependent; the engine uses the lexicographically smallest
+element and sorts multi-type joins, making outputs reproducible across
+processes (required for oracle checks).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+# gps.py:267-287
+IGNORED_PLACE_TYPES = frozenset([
+    "administrative_area_level", "administrative_area_level_1",
+    "administrative_area_level_2", "administrative_area_level_3",
+    "administrative_area_level_4", "administrative_area_level_5",
+    "country", "route", "street_address", "street_number",
+    "sublocality", "sublocality_level_5", "sublocality_level_4",
+    "sublocality_level_3", "sublocality_level_2", "sublocality_level_1",
+    "subpremise", "locality", "political",
+])
+
+# gps.py:404 — ambiguous types removed before the cascade
+AMBIGUOUS_TYPES = frozenset(["point_of_interest", "establishment", "premise"])
+
+# gps.py:407-411 — the "major category" pull-out set
+MAJOR_TYPES = frozenset([
+    "food", "store", "repair", "finance", "restaurant", "park", "health",
+    "transit_station", "lodging", "place_of_worship", "doctor",
+])
+
+_DEPARTMENT_STORES = frozenset(["Sears", "Macy's", "mygofer", "Target", "T.J. Maxx"])
+
+# gmap_mappings.txt (112 rows); first occurrence wins for duplicate keys
+# (travel_agency maps to repair, not transit — pandas .loc order semantics)
+_GMAP_PAIRS = [
+    ("post_office", "government_offices"), ("city_hall", "government_offices"),
+    ("courthouse", "government_offices"), ("embassy", "government_offices"),
+    ("local_government_office", "government_offices"),
+    ("police", "government_offices"), ("fire_station", "government_offices"),
+    ("government_office", "government_offices"),
+    ("cemetery", "place_of_mourning"), ("funeral_home", "place_of_mourning"),
+    ("place_of_mourning", "place_of_mourning"),
+    ("school", "education"), ("university", "education"), ("education", "education"),
+    ("church", "place_of_worship"), ("hindu_temple", "place_of_worship"),
+    ("mosque", "place_of_worship"), ("synagogue", "place_of_worship"),
+    ("place_of_worship", "place_of_worship"),
+    ("campground", "lodging"), ("lodging", "lodging"), ("rv_park", "lodging"),
+    ("bar", "entertainment"), ("amusement_park", "entertainment"),
+    ("aquarium", "entertainment"), ("art_gallery", "entertainment"),
+    ("bowling_alley", "entertainment"), ("casino", "entertainment"),
+    ("movie_rental", "entertainment"), ("movie_theater", "entertainment"),
+    ("museum", "entertainment"), ("night_club", "entertainment"),
+    ("stadium", "entertainment"), ("zoo", "entertainment"),
+    ("library", "entertainment"), ("entertainment", "entertainment"),
+    ("dentist", "health"), ("doctor", "health"), ("gym", "health"),
+    ("hospital", "health"), ("pharmacy", "health"),
+    ("physiotherapist", "health"), ("health", "health"),
+    ("atm", "finance"), ("bank", "finance"), ("insurance_agency", "finance"),
+    ("finance", "finance"), ("accounting", "finance"),
+    ("car_repair", "repair"), ("car_wash", "repair"), ("electrician", "repair"),
+    ("plumber", "repair"), ("general_contractor", "repair"),
+    ("roofing_contractor", "repair"), ("painter", "repair"),
+    ("locksmith", "repair"), ("travel_agency", "repair"), ("repair", "repair"),
+    ("airport", "transit"), ("bus_station", "transit"), ("taxi_stand", "transit"),
+    ("train_station", "transit"), ("transit_station", "transit"),
+    ("subway_station", "transit"), ("travel_agency", "transit"),
+    ("transit", "transit"),
+    ("bakery", "dining_out"), ("cafe", "dining_out"),
+    ("meal_delivery", "dining_out"), ("meal_takeaway", "dining_out"),
+    ("restaurant", "dining_out"), ("dining_out", "dining_out"),
+    ("food", "dining_out"),
+    ("furniture_store", "home_store"), ("electronics_store", "home_store"),
+    ("hardware_store", "home_store"), ("home_goods_store", "home_store"),
+    ("moving_company", "home_store"), ("real_estate_agency", "home_store"),
+    ("storage", "home_store"), ("laundry", "home_store"),
+    ("home_store", "home_store"),
+    ("convenience_store", "supermarket"), ("liquor_store", "supermarket"),
+    ("supermarket", "supermarket"), ("grocery_or_supermarket", "supermarket"),
+    ("car_dealer", "automotive"), ("car_rental", "automotive"),
+    ("gas_station", "automotive"), ("parking", "automotive"),
+    ("automotive", "automotive"),
+    ("book_store", "consumer_goods"), ("bicycle_store", "consumer_goods"),
+    ("clothing_store", "consumer_goods"), ("department_store", "consumer_goods"),
+    ("florist", "consumer_goods"), ("jewelry_store", "consumer_goods"),
+    ("pet_store", "consumer_goods"), ("shoe_store", "consumer_goods"),
+    ("shopping_mall", "consumer_goods"), ("consumer_goods", "consumer_goods"),
+    ("store", "consumer_goods"),
+    ("beauty_salon", "personal_services"), ("hair_care", "personal_services"),
+    ("spa", "personal_services"), ("personal_services", "personal_services"),
+    ("lawyer", "personal_services"), ("veterinary_care", "personal_services"),
+    ("other", "other_organization"),
+    ("parks", "park"), ("park", "park"),
+]
+GMAP_TYPE_MAP: dict[str, str] = {}
+for _k, _v in _GMAP_PAIRS:
+    GMAP_TYPE_MAP.setdefault(_k, _v)
+
+# representative subset of yelp_mappings.txt (1540 rows; full table is a
+# pluggable context-layer CSV of the same (alias -> major) shape)
+YELP_TYPE_MAP: dict[str, str] = {
+    "3dprinting": "personal_services", "pizza": "dining_out",
+    "coffee": "dining_out", "newamerican": "dining_out",
+    "tradamerican": "dining_out", "bakeries": "dining_out",
+    "bagels": "dining_out", "mexican": "dining_out", "sushi": "dining_out",
+    "bars": "entertainment", "musicvenues": "entertainment",
+    "movietheaters": "entertainment", "museums": "entertainment",
+    "banks": "finance", "atms": "finance",
+    "grocery": "supermarket", "convenience": "supermarket",
+    "hotels": "lodging", "campgrounds": "lodging",
+    "parks": "park", "dog_parks": "park",
+    "gyms": "health", "pharmacy": "health", "physicians": "health",
+    "autorepair": "repair", "plumbing": "repair",
+    "fashion": "consumer_goods", "bookstores": "consumer_goods",
+    "hair": "personal_services", "spas": "personal_services",
+    "churches": "place_of_worship", "synagogues": "place_of_worship",
+    "trainstations": "transit", "airports": "transit",
+    "homeandgarden": "home_store", "furniture": "home_store",
+    "education": "education", "collegeuniv": "education",
+    "gas_stations": "automotive", "parking": "automotive",
+}
+
+_A_TAG_RE = re.compile(r"</?a[^>]*?>")
+
+_NOT_FOUND = dict(rank_order=-1, name="not found", categories="none",
+                  major_categories="none")
+
+
+def gmapping(x: str) -> set[str]:
+    """Single category -> {major} (gps.py:303-316): mapping-table lookup,
+    JSON-decode-error passthrough, 'undefined category' default."""
+    t = GMAP_TYPE_MAP.get(x)
+    if t is None and "Expecting value:" in x:
+        t = "JSON Decode Error"
+    return {t} if t is not None else {"undefined category"}
+
+
+def normalize_gmap_types(name: str, types_in) -> tuple[str, str] | None:
+    """The gps.py:398-443 cascade over one result's type set; returns
+    (categories, major_categories) or None when the result must be skipped
+    (carries an ignored type). Deterministic: 'left most' = lexicographic
+    min, joins sorted."""
+    types = set(types_in)
+    if types & IGNORED_PLACE_TYPES:
+        return None
+    types -= AMBIGUOUS_TYPES
+    mc = types & MAJOR_TYPES
+    mc = mc if mc else {"other"}
+    types -= MAJOR_TYPES
+
+    if name in _DEPARTMENT_STORES:
+        types = {"department_store"}
+    elif name == "Fred Meyer":
+        types = {"supermarket"}
+    elif "gas_station" in types:
+        types = {"gas_station"}
+    elif "lodging" in mc:
+        types = {"lodging"}
+    elif "transit_station" in mc:
+        types = {"transit_station"}
+    elif mc in ({"health", "doctor"}, {"store", "health", "doctor"}):
+        types = {"health"}
+    elif "health" in mc and "store" in mc:
+        types = {"supermarket"}
+    elif mc == {"store", "finance"}:
+        types = {"finance"}
+    elif mc == {"store", "general_contractor"}:  # unreachable (not MAJOR);
+        types = {"repair"}                       # kept for reference parity
+    elif "restaurant" in mc:
+        mc = gmapping("restaurant")
+    elif mc == {"food", "store"}:
+        mc = gmapping("supermarket")
+    elif mc == {"food", "store", "general_contractor"}:  # unreachable, parity
+        types = {"consumer_goods"}
+
+    if len(types) == 0:
+        types = mc
+    elif len(types) == 1:
+        mc = gmapping(next(iter(types)))
+    else:
+        t = min(types)
+        types = {t}
+        mc = gmapping(t)
+
+    if len(mc) > 1:
+        mc = {min(mc)}
+    if mc == {"store"}:
+        mc = gmapping("store")
+    elif mc == {"food"}:
+        mc = gmapping("food")
+    if mc == {"other"} and len(types) == 0:
+        types = {"other"}
+    return ", ".join(sorted(types)), ", ".join(sorted(mc))
+
+
+def parse_gmap_response(c: str | None) -> dict | None:
+    """gps.py:337-450 (full semantics incl. sentinels)."""
+    if c is None:
+        return None
+    c = _A_TAG_RE.sub("", c)
+    try:
+        obj = json.loads(c)
+    except json.JSONDecodeError as e:
+        return dict(rank_order=-1, name=str(e), categories=c,
+                    major_categories="JSONDecodeError")
+    if "error" in obj:
+        return dict(rank_order=-1, name=obj["error"], categories="none",
+                    major_categories="none")
+    for i, r in enumerate(obj.get("results")):
+        norm = normalize_gmap_types(r.get("name"), r.get("types"))
+        if norm is None:
+            continue
+        cats, major = norm
+        return dict(rank_order=i, name=r.get("name"), categories=cats,
+                    major_categories=major)
+    return dict(_NOT_FOUND)
+
+
+def parse_yelp_response(c) -> dict:
+    """gps.py:214-260: first business; alias -> major via the mapping
+    table; dining_out precedence; deterministic multi-major pick (sorted
+    first, vs the reference's set-order first)."""
+    if not isinstance(c, str):
+        raise TypeError("content must be a string")
+    if c is None or c.lower() == "nan":
+        return dict(_NOT_FOUND)
+    try:
+        obj = json.loads(c)
+    except json.JSONDecodeError as e:
+        return dict(name=str(e), rank_order=-1, categories=c,
+                    major_categories="JSONDecodeError")
+    businesses = obj.get("businesses")
+    if businesses:
+        for i, r in enumerate(businesses):
+            minor = [ri.get("alias") for ri in r.get("categories")]
+            major = sorted({YELP_TYPE_MAP.get(mi, "undefined category")
+                            for mi in minor})
+            if "dining_out" in major:
+                major = ["dining_out"]
+            if len(major) > 1:
+                major = [major[0]]
+            return dict(name=r.get("name"), rank_order=i,
+                        categories=", ".join(minor),
+                        major_categories=", ".join(major))
+    return dict(_NOT_FOUND)

@@ -1046,6 +1046,85 @@ FROM events GROUP BY 1
 """
 
 
+_PLACE_TYPES = ["campground", "locality", "restaurant", "gas_station",
+                "museum", "cafe", "store", "lodging", "bank", "political",
+                "food", "park", "spa", "transit_station", "pharmacy", "doctor"]
+
+
+def q_place_normalize(sf_dir: str):
+    """M7/M8: the reference's Google-Places category cascade
+    (gps.py:337-450) over deterministic synthetic place responses — each
+    event gets a 2-result JSON body (result 0 type varies over a 16-type
+    vocabulary incl. IGNORED skip types; result 1 is a 'museum' fallback),
+    parsed with the full parser (JSON round-trip, skip list, cascade,
+    rank_order). Oracle: the cascade specialized to single-type results as
+    a CASE expression."""
+    import json as _json
+
+    from .functions.places import parse_gmap_response
+
+    nv = len(_PLACE_TYPES)
+
+    def build_and_parse(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy().astype(np.int64)
+        ranks = np.empty(len(e), dtype=np.int64)
+        names = np.empty(len(e), dtype=object)
+        cats = np.empty(len(e), dtype=object)
+        majors = np.empty(len(e), dtype=object)
+        for i, eid in enumerate(e):
+            ty = _PLACE_TYPES[int((eid * 13) % nv)]
+            content = _json.dumps({"results": [
+                {"name": f"n{int(eid) % 5}", "types": [ty]},
+                {"name": "fallback", "types": ["museum"]}]})
+            r = parse_gmap_response(content)
+            ranks[i] = r["rank_order"]
+            names[i] = r["name"]
+            cats[i] = r["categories"]
+            majors[i] = r["major_categories"]
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "rank_order": pa.array(ranks, pa.int64()),
+            "name": pa.array(names, pa.string()),
+            "categories": pa.array(cats, pa.string()),
+            "major_categories": pa.array(majors, pa.string()),
+        })
+
+    return (_read(sf_dir, "events", ["event_id"])
+            .map_batches(build_and_parse, batch_format="pyarrow"))
+
+
+SQL_PLACE_NORMALIZE = f"""
+WITH p AS (SELECT event_id,
+    (['{"','".join(_PLACE_TYPES)}'])[CAST((event_id*13) % {len(_PLACE_TYPES)}
+                                          AS INT) + 1] AS t
+    FROM events)
+SELECT event_id,
+  CASE WHEN t IN ('locality', 'political') THEN 1 ELSE 0 END AS rank_order,
+  CASE WHEN t IN ('locality', 'political') THEN 'fallback'
+       ELSE 'n' || CAST(event_id % 5 AS VARCHAR) END AS name,
+  CASE WHEN t IN ('locality', 'political') THEN 'museum'
+       WHEN t = 'restaurant' THEN 'dining_out'
+       ELSE t END AS categories,
+  CASE WHEN t IN ('locality', 'political') THEN 'entertainment'
+       WHEN t = 'campground' THEN 'lodging'
+       WHEN t = 'restaurant' THEN 'dining_out'
+       WHEN t = 'gas_station' THEN 'automotive'
+       WHEN t = 'museum' THEN 'entertainment'
+       WHEN t = 'cafe' THEN 'dining_out'
+       WHEN t = 'store' THEN 'consumer_goods'
+       WHEN t = 'lodging' THEN 'lodging'
+       WHEN t = 'bank' THEN 'finance'
+       WHEN t = 'food' THEN 'dining_out'
+       WHEN t = 'park' THEN 'park'
+       WHEN t = 'spa' THEN 'personal_services'
+       WHEN t = 'transit_station' THEN 'transit'
+       WHEN t = 'pharmacy' THEN 'health'
+       WHEN t = 'doctor' THEN 'doctor'
+       END AS major_categories
+FROM p
+"""
+
+
 def q_impute_points(sf_dir: str):
     """M4 (impute_between): for each per-user consecutive pair that is
     pre-cap stationary, <= 75 m apart (1-dp rounded) and <= 12 h separated,
@@ -1827,6 +1906,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "json_extract": q_json_extract,
     "category_map": q_category_map,
+    "place_normalize": q_place_normalize,
     "impute_points": q_impute_points,
     "mode_event_type": q_mode_event_type,
     "first_event": q_first_event,
@@ -1873,6 +1953,7 @@ ORACLE_SQL = {
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "json_extract": SQL_JSON_EXTRACT,
     "category_map": SQL_CATEGORY_MAP,
+    "place_normalize": SQL_PLACE_NORMALIZE,
     "impute_points": SQL_IMPUTE_POINTS,
     "mode_event_type": SQL_MODE_EVENT_TYPE,
     "first_event": SQL_FIRST_EVENT,
