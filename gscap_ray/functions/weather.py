@@ -1,0 +1,124 @@
+"""Weather-style hourly report expansion + daily summarize (S3/A5/C10).
+
+Engine analog of the reference's DarkSky path (/root/reference/gscap/
+weather.py:405-489): each request (grid cell, date) expands to a 24-row
+hourly report; a failed lookup yields ONE all-NaN sentinel row with
+hour=12 (weather.py:467-475). The daily summary (weather.py:349-402)
+computes nan-aware median/IQR (np.nanpercentile interpolation='nearest'),
+mean, population std for cloudCover/dewPoint/humidity/temperature plus the
+precip sum, all rounded to 2 dp (weather.py:300-304).
+
+The offline "weather service" is a deterministic integer-arithmetic
+function of (cell, epoch-day, hour) so the DuckDB oracle can reproduce it
+exactly; cells where cell % 13 == 0 deterministically "fail" (the sentinel
+path). numpy's 'nearest' percentile rounds the virtual index half-to-even —
+the oracle mirrors it with round_even(q*(n-1), 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+FAIL_MOD = 13
+MEASURES = ("temperature", "humidity", "cloudCover", "dewPoint",
+            "precipIntensity")
+
+
+def weather_cell(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """1-degree grid cell id (the request dedup key, D1/D3)."""
+    return (np.floor(lat + 90).astype(np.int64) * 360
+            + np.floor(lon + 180).astype(np.int64))
+
+
+def hourly_values(cell: np.ndarray, d: np.ndarray, hour: np.ndarray) -> dict:
+    """Deterministic hourly measures (integer arithmetic, SQL-replicable)."""
+    c, dd, h = (cell.astype(np.int64), d.astype(np.int64),
+                hour.astype(np.int64))
+    temp = ((c * 31 + h * 7 + dd * 13) % 400) / 10.0 - 10.0
+    return {
+        "temperature": temp,
+        "humidity": ((c * 17 + h * 5 + dd * 3) % 101) / 100.0,
+        "cloudCover": ((c * 23 + h * 11 + dd * 7) % 101) / 100.0,
+        "dewPoint": temp - ((c * 7 + h) % 50) / 10.0,
+        "precipIntensity": ((c * 41 + h * 13 + dd * 17) % 100) / 1000.0,
+    }
+
+
+def expand_hourly(cell: np.ndarray, d: np.ndarray) -> pd.DataFrame:
+    """Requests -> hourly rows: 24 per ok request, 1 NaN sentinel (hour=12)
+    per failed request (weather.py:458-475 semantics)."""
+    cell = cell.astype(np.int64)
+    d = d.astype(np.int64)
+    fail = (cell % FAIL_MOD) == 0
+    okc, okd = cell[~fail], d[~fail]
+    n = okc.shape[0]
+    rc = np.repeat(okc, 24)
+    rd = np.repeat(okd, 24)
+    rh = np.tile(np.arange(24, dtype=np.int64), n)
+    vals = hourly_values(rc, rd, rh)
+    fc, fd = cell[fail], d[fail]
+    out = {
+        "cell": np.concatenate([rc, fc]),
+        "d": np.concatenate([rd, fd]),
+        "hour": np.concatenate([rh, np.full(fc.shape[0], 12, np.int64)]),
+    }
+    for m in MEASURES:
+        out[m] = np.concatenate([vals[m], np.full(fc.shape[0], np.nan)])
+    df = pd.DataFrame(out)
+    df["date"] = ((df["d"].values * np.int64(86_400_000_000))
+                  .astype("datetime64[us]").astype("datetime64[D]").astype(str))
+    return df.drop(columns=["d"])
+
+
+def _nearest_q(v: np.ndarray, qs=(25, 50, 75)):
+    valid = ~np.isnan(v)
+    if not valid.any():
+        return [np.nan] * len(qs)
+    return list(np.nanpercentile(v, list(qs), method="nearest"))
+
+
+def _int_stats(v: np.ndarray, scale: float, offset: float):
+    """Mean/std via exact integer sums so the result double is identical
+    no matter the aggregation order (measures are k/scale grids; float
+    summation order would otherwise flip 2-dp rounding at decimal ties
+    between the Ray and DuckDB sides). The expression shapes here are
+    mirrored verbatim in the oracle SQL."""
+    valid = ~np.isnan(v)
+    if not valid.any():
+        return np.nan, np.nan
+    k = np.rint((v[valid] + offset) * scale).astype(np.int64)
+    n = int(k.shape[0])
+    s = int(k.sum())
+    s2 = int((k * k).sum())
+    mean = s / (n * scale) - offset
+    std = np.sqrt(max(s2 / n - (s / n) * (s / n), 0.0)) / scale
+    return np.round(mean, 2), np.round(std, 2)
+
+
+def summarize_daily(g: pd.DataFrame) -> pd.DataFrame:
+    """weather.py:349-402 vstats over one (cell, date) report."""
+    out = {"cell": [int(g["cell"].iloc[0])], "date": [g["date"].iloc[0]]}
+    for col, pre, scale, offset in (
+            ("cloudCover", "cloud_cover", 100.0, 0.0),
+            ("dewPoint", "dew_point", 10.0, 10.0),
+            ("humidity", "humidity", 100.0, 0.0)):
+        v = g[col].values.astype(np.float64)
+        q25, q50, q75 = _nearest_q(v)
+        mean, std = _int_stats(v, scale, offset)
+        out[f"{pre}_mean"] = [mean]
+        out[f"{pre}_std"] = [std]
+        out[f"{pre}_median"] = [np.round(q50, 2)]
+        out[f"{pre}_IQR"] = [np.round(q75 - q25, 2)]
+    v = g["temperature"].values.astype(np.float64)
+    q25, q50, q75 = _nearest_q(v)
+    mean, std = _int_stats(v, 10.0, 10.0)
+    p = g["precipIntensity"].values.astype(np.float64)
+    pv = ~np.isnan(p)
+    psum = int(np.rint(p[pv] * 1000).astype(np.int64).sum()) if pv.any() else 0
+    out["precip_sum"] = [np.round(psum / 1000.0, 2)]
+    out["temp_mean"] = [mean]
+    out["temp_std"] = [std]
+    out["temp_med"] = [np.round(q50, 2)]
+    out["temp_IQR"] = [np.round(q75 - q25, 2)]
+    return pd.DataFrame(out)

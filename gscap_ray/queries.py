@@ -809,6 +809,158 @@ def q_daily_value_quantiles(sf_dir: str):
             .groupby("date").map_groups(per_date, batch_format="pandas"))
 
 
+SQL_DAILY_VALUE_QUANTILES = """
+WITH v AS (SELECT strftime(ts, '%Y-%m-%d') AS date, value FROM events),
+r AS (SELECT date, value,
+             row_number() OVER (PARTITION BY date ORDER BY value) - 1 AS rk,
+             count(*) OVER (PARTITION BY date) AS n
+      FROM v)
+SELECT date,
+  round(max(CASE WHEN rk = CAST(round_even(0.50*(n-1), 0) AS BIGINT)
+                 THEN value END), 4) AS v_median,
+  round(max(CASE WHEN rk = CAST(round_even(0.75*(n-1), 0) AS BIGINT)
+                 THEN value END)
+      - max(CASE WHEN rk = CAST(round_even(0.25*(n-1), 0) AS BIGINT)
+                 THEN value END), 4) AS v_iqr
+FROM r GROUP BY date
+"""
+
+
+# --------------------------------------------------------------- weather ---
+
+_WX_HOURLY_SQL = f"""
+WITH p AS ({_PTS_SQL}),
+req AS (SELECT DISTINCT
+   CAST(floor(lat + 90) AS BIGINT) * 360 + CAST(floor(lon + 180) AS BIGINT)
+     AS cell,
+   epoch_us(ts) // 86400000000 AS d
+   FROM p),
+hourly AS (
+  SELECT cell, d, h AS hour,
+     ((cell*31 + h*7 + d*13) % 400) / 10.0 - 10.0 AS temperature,
+     ((cell*17 + h*5 + d*3) % 101) / 100.0 AS humidity,
+     ((cell*23 + h*11 + d*7) % 101) / 100.0 AS cloudCover,
+     ((cell*31 + h*7 + d*13) % 400) / 10.0 - 10.0
+       - ((cell*7 + h) % 50) / 10.0 AS dewPoint,
+     ((cell*41 + h*13 + d*17) % 100) / 1000.0 AS precipIntensity
+  FROM req, range(24) t(h) WHERE cell % 13 <> 0
+  UNION ALL
+  SELECT cell, d, 12, NULL, NULL, NULL, NULL, NULL
+  FROM req WHERE cell % 13 = 0),
+hourly_d AS (SELECT *, strftime(make_timestamp(d * 86400000000), '%Y-%m-%d')
+                    AS date FROM hourly)
+"""
+
+
+def _weather_hourly_ds(sf_dir: str) -> rd.Dataset:
+    """S3/C10 requests: distinct (1-deg cell, day) over the event points
+    (partial per-batch dedup + groupby — the D1 request-dedup pattern),
+    expanded to hourly report rows (24 per ok request, all-NaN sentinel
+    per failed one; weather.py:405-489 semantics)."""
+    from ray.data.aggregate import Count
+
+    from .functions.weather import expand_hourly, weather_cell
+
+    def reqs(t: pa.Table) -> pa.Table:
+        cell = weather_cell(t["lat"].to_numpy(), t["lon"].to_numpy())
+        d = t["ts"].cast(pa.int64()).to_numpy() // np.int64(86_400_000_000)
+        pairs = np.unique(cell * np.int64(1 << 20) + d)
+        return pa.table({"cell": pa.array(pairs >> np.int64(20), pa.int64()),
+                         "d": pa.array(pairs & np.int64((1 << 20) - 1), pa.int64())})
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = expand_hourly(t["cell"].to_numpy(), t["d"].to_numpy())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (_points_ds(sf_dir).select_columns(["ts", "lat", "lon"])
+            .map_batches(reqs, batch_format="pyarrow")
+            .groupby(["cell", "d"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["cell", "d"])
+            .map_batches(expand, batch_format="pyarrow"))
+
+
+def q_hourly_weather(sf_dir: str):
+    """Hourly weather-report expansion (weather.py:405-489): 24 rows per
+    (cell, date) request, deterministic measures, all-NaN hour-12 sentinel
+    for failed cells — oracle-checked."""
+    return _weather_hourly_ds(sf_dir)
+
+
+SQL_HOURLY_WEATHER = _WX_HOURLY_SQL + """
+SELECT cell, hour, temperature, humidity, cloudCover, dewPoint,
+       precipIntensity, date
+FROM hourly_d
+"""
+
+
+def q_weather_daily(sf_dir: str):
+    """Daily weather summary (weather.py:349-402): nan-aware nearest-
+    interpolation median/IQR + mean/std for cloudCover/dewPoint/humidity/
+    temperature, precip sum, 2 dp — oracle-checked (numpy 'nearest'
+    percentile == round_even virtual index)."""
+    from .functions.weather import summarize_daily
+
+    return (_weather_hourly_ds(sf_dir)
+            .groupby(["cell", "date"])
+            .map_groups(summarize_daily, batch_format="pandas"))
+
+
+def sql_weather_daily() -> str:
+    """Oracle twin of functions/weather.py summarize_daily. Mean/std are
+    computed from exact integer sums with the identical expression shape
+    (bit-reproducible vs Ray's per-group numpy regardless of aggregation
+    order); all 2-dp rounding is round_even (numpy's tie rule)."""
+    measures = [("cloudCover", "cloud_cover", "cloud_cover_median", 100, 0),
+                ("dewPoint", "dew_point", "dew_point_median", 10, 10),
+                ("humidity", "humidity", "humidity_median", 100, 0),
+                ("temperature", "temp", "temp_med", 10, 10)]
+
+    def re2(expr: str) -> str:
+        # np.round(x, 2) replica: scale-by-100 THEN integer half-even round.
+        # round_even(x, 2) itself rounds the *shortest decimal repr* of the
+        # double (17.2749999...8 reads as "17.275" -> 17.28) while numpy
+        # rounds the binary value (*100 -> rint -> 17.27); scaling first
+        # makes the integer+0.5 ties exactly representable so both agree.
+        return f"CAST(round_even(({expr}) * 100.0, 0) AS BIGINT) / 100.0"
+
+    qcte, sel, join, agg = [], [], [], []
+    for col, pre, medalias, scale, offset in measures:
+        qcte.append(f"""
+q_{pre} AS (SELECT cell, date,
+    max(CASE WHEN rk = CAST(round_even(0.25*(n-1), 0) AS BIGINT) THEN v END) AS p25,
+    max(CASE WHEN rk = CAST(round_even(0.50*(n-1), 0) AS BIGINT) THEN v END) AS p50,
+    max(CASE WHEN rk = CAST(round_even(0.75*(n-1), 0) AS BIGINT) THEN v END) AS p75
+  FROM (SELECT cell, date, {col} AS v,
+               row_number() OVER (PARTITION BY cell, date ORDER BY {col}) - 1 AS rk,
+               count(*) OVER (PARTITION BY cell, date) AS n
+        FROM hourly_d WHERE {col} IS NOT NULL) GROUP BY cell, date)""")
+        agg.append(f"""
+       count({col}) AS n_{pre},
+       sum(CAST(round(({col} + {offset}) * {scale}, 0) AS BIGINT)) AS s_{pre},
+       sum(CAST(round(({col} + {offset}) * {scale}, 0) AS BIGINT)
+         * CAST(round(({col} + {offset}) * {scale}, 0) AS BIGINT)) AS s2_{pre}""")
+        sel.append(f"""CASE WHEN b.n_{pre} > 0 THEN
+         {re2(f"b.s_{pre} / (b.n_{pre} * {scale}.0) - {offset}")} END
+         AS {pre}_mean,
+       CASE WHEN b.n_{pre} > 0 THEN
+         {re2(f"sqrt(greatest(b.s2_{pre} / b.n_{pre} "
+              f"- (b.s_{pre} / b.n_{pre}) * (b.s_{pre} / b.n_{pre}), 0)) / {scale}.0")}
+         END AS {pre}_std,
+       {re2(f"q_{pre}.p50")} AS {medalias},
+       {re2(f"q_{pre}.p75 - q_{pre}.p25")} AS {pre}_IQR""")
+        join.append(f"LEFT JOIN q_{pre} ON b.cell = q_{pre}.cell AND b.date = q_{pre}.date")
+    base = f"""
+b AS (SELECT cell, date,{",".join(agg)},
+       coalesce(sum(CAST(round(precipIntensity * 1000, 0) AS BIGINT)), 0) AS psum
+  FROM hourly_d GROUP BY cell, date)"""
+    return (_WX_HOURLY_SQL + "," + base + ","
+            + ",".join(qcte)
+            + "\nSELECT b.cell, b.date,\n       "
+            + ",\n       ".join(sel)
+            + f",\n       {re2('b.psum / 1000.0')} AS precip_sum\nFROM b\n"
+            + "\n".join(join))
+
+
 # ------------------------------------------------------------------ text ---
 
 def q_text_stats(sf_dir: str):
@@ -1894,6 +2046,8 @@ QUERIES = {
     "daily_value_stats": q_daily_value_stats,
     "daily_entropy": q_daily_entropy,
     "daily_value_quantiles": q_daily_value_quantiles,
+    "hourly_weather": q_hourly_weather,
+    "weather_daily": q_weather_daily,
     "text_stats": q_text_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1946,6 +2100,9 @@ ORACLE_SQL = {
     "daily_user_metrics": SQL_DAILY_USER_METRICS,
     "daily_value_stats": SQL_DAILY_VALUE_STATS,
     "daily_entropy": SQL_DAILY_ENTROPY,
+    "daily_value_quantiles": SQL_DAILY_VALUE_QUANTILES,
+    "hourly_weather": SQL_HOURLY_WEATHER,
+    "weather_daily": sql_weather_daily(),
     "text_stats": SQL_TEXT_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "ann_topk": SQL_ANN_TOPK,

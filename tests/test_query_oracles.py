@@ -20,6 +20,7 @@ SUBSET = [
     "pip_rect_join", "sessionize", "daily_user_metrics", "text_stats",
     "quality_scores", "ann_topk", "impute_points", "cell_dedup",
     "pages_label_stats", "pages_daily_features", "pages_entries",
+    "hourly_weather", "weather_daily", "daily_value_quantiles",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Weather hourly-expansion + daily-summary kernels (reference
+weather.py:349-489 semantics; goldens mirror tests/test_weather.py:269-303's
+constant-input and 404->NaN-sentinel cases)."""
+
+import numpy as np
+import pandas as pd
+
+from gscap_ray.functions.weather import (
+    FAIL_MOD,
+    expand_hourly,
+    summarize_daily,
+    weather_cell,
+)
+
+
+def test_expand_ok_and_sentinel():
+    # cell 26 is ok; cell 26*FAIL_MOD is a deterministic failure
+    cells = np.array([26, 26 * FAIL_MOD], dtype=np.int64)
+    days = np.array([17897, 17897], dtype=np.int64)
+    df = expand_hourly(cells, days)
+    ok = df[df["cell"] == 26]
+    bad = df[df["cell"] == 26 * FAIL_MOD]
+    # 24-row hourly report (weather.py:458-466)
+    assert len(ok) == 24
+    assert sorted(ok["hour"]) == list(range(24))
+    assert not ok["temperature"].isna().any()
+    # failure -> ONE all-NaN row at hour 12 (weather.py:467-475)
+    assert len(bad) == 1
+    assert int(bad["hour"].iloc[0]) == 12
+    assert bad[["temperature", "humidity", "cloudCover", "dewPoint",
+                "precipIntensity"]].isna().all().all()
+
+
+def test_summarize_constant_input():
+    # constant 0.5 measures -> mean/median 0.5, std/IQR 0 (the reference's
+    # test_weather.py:269-303 golden shape)
+    g = pd.DataFrame({
+        "cell": 1, "date": "2019-01-02", "hour": range(24),
+        "temperature": 0.5, "humidity": 0.5, "cloudCover": 0.5,
+        "dewPoint": 0.5, "precipIntensity": 0.5,
+    })
+    out = summarize_daily(g)
+    assert float(out["humidity_mean"].iloc[0]) == 0.5
+    assert float(out["humidity_median"].iloc[0]) == 0.5
+    assert float(out["humidity_std"].iloc[0]) == 0.0
+    assert float(out["humidity_IQR"].iloc[0]) == 0.0
+    assert float(out["temp_med"].iloc[0]) == 0.5
+    assert float(out["precip_sum"].iloc[0]) == 12.0
+
+
+def test_summarize_all_nan_sentinel():
+    g = pd.DataFrame({
+        "cell": [13], "date": ["2019-01-02"], "hour": [12],
+        "temperature": [np.nan], "humidity": [np.nan],
+        "cloudCover": [np.nan], "dewPoint": [np.nan],
+        "precipIntensity": [np.nan],
+    })
+    out = summarize_daily(g)
+    assert np.isnan(out["temp_mean"].iloc[0])
+    assert np.isnan(out["humidity_median"].iloc[0])
+    assert float(out["precip_sum"].iloc[0]) == 0.0  # np.sum([]) semantics
+
+
+def test_weather_cell_grid():
+    c = weather_cell(np.array([-90.0, 0.0, 89.5]), np.array([-180.0, 0.0, 179.5]))
+    assert c.tolist() == [0, 90 * 360 + 180, 179 * 360 + 359]
