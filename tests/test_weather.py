@@ -14,12 +14,12 @@ from gscap_ray.functions.weather import (
 
 
 def test_expand_ok_and_sentinel():
-    # cell 26 is ok; cell 26*FAIL_MOD is a deterministic failure
-    cells = np.array([26, 26 * FAIL_MOD], dtype=np.int64)
+    # cell 27 is ok (27 % 13 != 0); cell 26 = 2*FAIL_MOD fails
+    cells = np.array([27, 2 * FAIL_MOD], dtype=np.int64)
     days = np.array([17897, 17897], dtype=np.int64)
     df = expand_hourly(cells, days)
-    ok = df[df["cell"] == 26]
-    bad = df[df["cell"] == 26 * FAIL_MOD]
+    ok = df[df["cell"] == 27]
+    bad = df[df["cell"] == 2 * FAIL_MOD]
     # 24-row hourly report (weather.py:458-466)
     assert len(ok) == 24
     assert sorted(ok["hour"]) == list(range(24))
