@@ -96,13 +96,20 @@ def batch_band_keys(texts: np.ndarray, n_perm: int = 128, bands: int = 64,
 
 
 def simhash64(tokens: list[str]) -> np.uint64:
-    """64-bit SimHash over whitespace tokens (unit weights)."""
+    """64-bit SimHash over whitespace tokens (unit weights). Token hash is
+    md5_number_lower (DuckDB-matchable) so the code column is
+    oracle-checkable; bit b set iff the per-bit +/-1 vote sum is > 0."""
+    from .text import md5_token_hash64
+
     if not tokens:
         return np.uint64(0)
-    th = hash64(np.asarray(tokens, dtype=object))
+    th = md5_token_hash64(tokens)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     v = (2 * bits - 1).sum(axis=0)
-    return np.uint64(int("".join("1" if x > 0 else "0" for x in v[::-1]), 2))
+    code = np.uint64(0)
+    for b in np.where(v > 0)[0].tolist():
+        code |= np.uint64(1) << np.uint64(b)
+    return code
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -75,39 +75,61 @@ def quality_features(texts: np.ndarray) -> dict[str, np.ndarray]:
     )
 
 
+# precompiled whitespace-token-equality marker patterns: (?:^|\s)w(?=\s|$)
+# counts exactly the tokens equal to a marker word — one vectorized C regex
+# pass per language instead of a Python token loop (VERDICT r1 lang-ID fix)
+_LANG_PATTERNS = {
+    lang: re.compile(r"(?:^|\s)(?:" + "|".join(sorted(words)) + r")(?=\s|$)")
+    for lang, words in _LANG_MARKERS.items()
+}
+_CJK = re.compile(r"[぀-ヿ㐀-鿿]")
+
+
 def detect_language(texts: np.ndarray) -> np.ndarray:
     """Stopword/codepoint language-ID heuristic over {en, de, fr, es, ja}.
 
     'ja' on any CJK/kana codepoint; otherwise the language with the most
-    marker-stopword hits ('en' tie/default). Deterministic."""
-    out = np.empty(len(texts), dtype=object)
-    cjk = re.compile(r"[぀-ヿ㐀-鿿]")
-    for i, t in enumerate(pd.Series(texts, dtype="object").fillna("")):
-        if cjk.search(t):
-            out[i] = "ja"
-            continue
-        toks = [w.lower() for w in t.split()]
-        best, best_n = "en", -1
-        for lang in ("en", "de", "fr", "es"):  # fixed order -> deterministic ties
-            n = sum(w in _LANG_MARKERS[lang] for w in toks)
-            if n > best_n:
-                best, best_n = lang, n
-        out[i] = best
+    marker-stopword hits, ties resolved in fixed order en > de > fr > es.
+    Vectorized: one precompiled-regex count pass per language."""
+    s = pd.Series(texts, dtype="object").fillna("").str.lower()
+    counts = {lang: s.str.count(pat).values.astype(np.int64)
+              for lang, pat in _LANG_PATTERNS.items()}
+    n_en, n_de = counts["en"], counts["de"]
+    n_fr, n_es = counts["fr"], counts["es"]
+    out = np.full(len(s), "en", dtype=object)
+    out[n_de > n_en] = "de"
+    out[n_fr > np.maximum(n_en, n_de)] = "fr"
+    out[n_es > np.maximum(n_fr, np.maximum(n_en, n_de))] = "es"
+    out[s.str.contains(_CJK).values] = "ja"
     return out
 
 
-def rolling_fingerprint(texts: np.ndarray, base: int = 1000003,
-                        mod: int = (1 << 61) - 1) -> np.ndarray:
-    """Deterministic rolling polynomial hash over whitespace tokens
-    (document fingerprint, uint64)."""
-    from ..synth import hash64
+def md5_token_hash64(tokens: list[str]) -> np.ndarray:
+    """uint64 per-token hash = little-endian bytes 8..16 of md5(token) —
+    bit-identical to DuckDB's md5_number_lower(), so token-hash-based
+    kernels (fingerprint, simhash) are oracle-checkable."""
+    import hashlib
 
+    return np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+                     for t in tokens], dtype=np.uint64)
+
+
+_FP_BASE = 65599
+_FP_MOD = 2147483647  # 2^31 - 1; keeps a*base + b within int64 in SQL too
+
+
+def rolling_fingerprint(texts: np.ndarray) -> np.ndarray:
+    """Deterministic rolling polynomial hash over whitespace-token md5
+    hashes (document fingerprint): acc = (acc*65599 + h) mod (2^31-1),
+    seeded with the first token's hash; 0 for empty docs. Matches the
+    DuckDB list_reduce oracle exactly."""
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, toks in enumerate(tokenize(texts)):
-        h = 0
-        if toks:
-            th = hash64(np.asarray(toks, dtype=object))
-            for v in th.tolist():
-                h = (h * base + int(v)) % mod
-        out[i] = h
+        if not toks:
+            continue
+        h30 = (md5_token_hash64(toks) % np.uint64(1 << 30)).astype(np.int64)
+        acc = int(h30[0])
+        for v in h30[1:].tolist():
+            acc = (acc * _FP_BASE + v) % _FP_MOD
+        out[i] = acc
     return out

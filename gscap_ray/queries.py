@@ -276,18 +276,31 @@ ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100
 
 def q_hot_cells(sf_dir: str):
     """Salted two-phase aggregation (SURVEY §4 skew pattern) over the pages
-    world: top-10 res-7 hex cells by page count — rows-only (deterministic;
-    the salted and unsalted paths are asserted equal in tests/test_ops_cli)."""
+    world: top-10 0.1-deg grid cells of the labeled pages by count
+    (deterministic count-desc/cell-asc order; salted == unsalted asserted in
+    tests/test_ops_cli) — oracle-checked over the labeled dump."""
+    from .functions.cells import grid_cell_id
     from .ops import topk_by_count
-    from .pipelines.flagship import geocoded_pages
 
-    ds = geocoded_pages(_pages_dir_for(sf_dir)).select_columns(["h3_r7"])
+    dump = _labeled_dump_for(sf_dir)
+    ds = rd.read_parquet(dump, columns=["lat", "lon"])
 
-    def to_i64(t: pa.Table) -> pa.Table:
-        return pa.table({"h3_r7": t["h3_r7"].cast(pa.int64())})
+    def to_cell(t: pa.Table) -> pa.Table:
+        c = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        return pa.table({"cell": pa.array(c, pa.int64())})
 
-    return topk_by_count(ds.map_batches(to_i64, batch_format="pyarrow"),
-                         "h3_r7", 10, salt=8)
+    return topk_by_count(ds.map_batches(to_cell, batch_format="pyarrow"),
+                         "cell", 10, salt=8)
+
+
+def sql_hot_cells(path: str = "/tmp/gscap_labeled_sf0.01/*.parquet") -> str:
+    return f"""
+SELECT CAST(floor((lat+90)/0.1) AS BIGINT)*3600
+         + CAST(floor((lon+180)/0.1) AS BIGINT) AS cell,
+       count(*) AS n
+FROM read_parquet('{path}')
+GROUP BY 1 ORDER BY n DESC, cell LIMIT 10
+"""
 
 
 def q_exact_dedup(sf_dir: str):
@@ -1009,7 +1022,8 @@ FROM documents
 
 
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic — rows-only (no SQL analog)."""
+    """Language-ID heuristic (vectorized precompiled-regex marker counts;
+    'ja' on CJK codepoints, ties en > de > fr > es) — oracle-checked."""
     from .functions.text import detect_language
 
     def lid(t: pa.Table) -> pa.Table:
@@ -1020,8 +1034,37 @@ def q_lang_id(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(lid, batch_format="pyarrow")
 
 
+def _sql_markers(lang: str) -> str:
+    from .functions.text import _LANG_MARKERS
+
+    return ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks,
+       regexp_matches(text, '[぀-ヿ㐀-鿿]') AS cjk
+     FROM documents),
+c AS (SELECT doc_id, cjk,
+       len(list_filter(toks, x -> x IN ({_sql_markers('en')}))) AS n_en,
+       len(list_filter(toks, x -> x IN ({_sql_markers('de')}))) AS n_de,
+       len(list_filter(toks, x -> x IN ({_sql_markers('fr')}))) AS n_fr,
+       len(list_filter(toks, x -> x IN ({_sql_markers('es')}))) AS n_es
+     FROM t)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'ja'
+       WHEN n_es > greatest(n_en, n_de, n_fr) THEN 'es'
+       WHEN n_fr > greatest(n_en, n_de) THEN 'fr'
+       WHEN n_de > n_en THEN 'de'
+       ELSE 'en' END AS lang_pred
+FROM c
+"""
+
+
 def q_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints — rows-only."""
+    """Rolling-hash document fingerprints (md5-token rolling polynomial)
+    — oracle-checked (DuckDB list_reduce twin)."""
     from .functions.text import rolling_fingerprint
 
     def fp(t: pa.Table) -> pa.Table:
@@ -1032,8 +1075,18 @@ def q_fingerprints(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
 
 
+SQL_FINGERPRINTS = """
+SELECT doc_id,
+  printf('%016x', CASE WHEN trim(text) = '' THEN 0 ELSE
+    list_reduce(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        x -> CAST(md5_number_lower(x) % 1073741824 AS BIGINT)),
+      (a, b) -> (a * 65599 + b) % 2147483647) END) AS fingerprint
+FROM documents
+"""
+
+
 def q_simhash(sf_dir: str):
-    """SimHash codes — rows-only."""
+    """SimHash codes over md5 token hashes — oracle-checked."""
     from .functions.dedup import simhash64
 
     def sh(t: pa.Table) -> pa.Table:
@@ -1042,6 +1095,52 @@ def q_simhash(sf_dir: str):
         return t.select(["doc_id"]).append_column("simhash", pa.array(codes, pa.string()))
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(sh, batch_format="pyarrow")
+
+
+SQL_SIMHASH = """
+WITH t AS (SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+     FROM documents),
+h AS (SELECT doc_id, list_transform(toks, x -> md5_number_lower(x)) AS hs FROM t)
+SELECT doc_id,
+  printf('%08x%08x',
+    CAST(code >> 32 AS BIGINT), CAST(code & 4294967295 AS BIGINT)) AS simhash
+FROM (SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), b ->
+    CASE WHEN list_sum(list_transform(hs, v ->
+            CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END))
+    AS UBIGINT) AS code FROM h)
+"""
+
+
+def q_sampled_stats(sf_dir: str):
+    """SRT4 (sampling): deterministic hash-based Bernoulli sample (5%) —
+    the reproducible, oracle-checkable analog of random sampling
+    (``ds.random_sample`` itself is exercised seeded in tests) — then
+    per-type aggregates over the sample."""
+    from ray.data.aggregate import Count, Sum
+
+    def samp(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy().astype(np.int64)
+        keep = (e * np.int64(2654435761)) % np.int64(100) < 5
+        return t.filter(pa.array(keep))
+
+    out = (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+           .map_batches(samp, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"))).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+SQL_SAMPLED_STATS = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+WHERE (event_id * 2654435761) % 100 < 5
+GROUP BY event_type
+"""
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -2053,6 +2152,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "simhash": q_simhash,
+    "sampled_stats": q_sampled_stats,
     "minhash_dedup": q_minhash_dedup,
     "ann_topk": q_ann_topk,
     "embedding_dupes": q_embedding_dupes,
@@ -2105,6 +2205,11 @@ ORACLE_SQL = {
     "weather_daily": sql_weather_daily(),
     "text_stats": SQL_TEXT_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "fingerprints": SQL_FINGERPRINTS,
+    "simhash": SQL_SIMHASH,
+    "sampled_stats": SQL_SAMPLED_STATS,
+    "hot_cells": sql_hot_cells(),
     "ann_topk": SQL_ANN_TOPK,
     "embedding_dupes": SQL_EMBEDDING_DUPES,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

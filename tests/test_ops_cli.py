@@ -85,3 +85,34 @@ def test_quarantine_split(ray_session, tmp_path):
     quarantine_split(rd.from_pandas(df).repartition(4),
                      lambda t: pc.less(t["x"], 80), qdir).to_pandas()
     assert quarantined_count(qdir) == 20
+
+
+def test_random_sample_seeded(ray_session):
+    """SRT4: ds.random_sample exercised with a fixed seed (the reference's
+    np.random.choice sampling analog, notebooks/fill_place_api_cache)."""
+    import ray.data as rd
+
+    ds = rd.range(20000)
+    n1 = ds.random_sample(0.1, seed=7).count()
+    n2 = rd.range(20000).random_sample(0.1, seed=7).count()
+    assert 1500 < n1 < 2500  # Bernoulli 10% of 20k
+    assert n1 == n2  # seeded -> reproducible
+
+
+def test_sampled_stats_matches_oracle(ray_session):
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from check_correctness import compare, to_pandas
+
+    from gscap_ray.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    r = to_pandas(QUERIES["sampled_stats"](sf))
+    s = con.sql(ORACLE_SQL["sampled_stats"]).df()
+    assert compare("sampled_stats", r, s) is None
