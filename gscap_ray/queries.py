@@ -1651,10 +1651,27 @@ def q_multimodal_features(sf_dir: str):
 
 
 def q_pages_clusters(sf_dir: str):
-    """Flagship per-host cluster table — rows-only."""
-    from .pipelines.flagship import cluster_table, labeled_pages
+    """Flagship per-host cluster table (J5/A2 analog): per (host, cid)
+    final-membership centroid (5 dp) + member count — oracle-checked over
+    the labeled dump."""
+    from .pipelines.flagship import cluster_table
 
-    return cluster_table(labeled_pages(_pages_dir_for(sf_dir)))
+    dump = _labeled_dump_for(sf_dir)
+    return cluster_table(
+        rd.read_parquet(dump, columns=["host", "cid", "lat", "lon"]))
+
+
+def sql_pages_clusters(path: str = "/tmp/gscap_labeled_sf0.01/*.parquet") -> str:
+    return f"""
+WITH c AS (SELECT host, cid, round(avg(lat), 5) AS lat,
+                  round(avg(lon), 5) AS lon, count(*) AS n_points
+           FROM read_parquet('{path}')
+           WHERE cid <> 'xNot' GROUP BY host, cid)
+SELECT host, cid, lat, lon, n_points,
+       CASE WHEN cid IN ('home', 'work') THEN cid ELSE 'nap' END AS name,
+       CASE WHEN cid IN ('home', 'work') THEN cid ELSE 'nap' END AS categories
+FROM c
+"""
 
 
 # ------------------------------------------------------------ embeddings ---
@@ -2225,4 +2242,5 @@ ORACLE_SQL = {
     "pages_label_stats": sql_pages_label_stats(),
     "pages_daily_features": sql_pages_daily_features(),
     "pages_entries": sql_pages_entries(),
+    "pages_clusters": sql_pages_clusters(),
 }
