@@ -451,8 +451,19 @@ def daily_metrics(records: pd.DataFrame) -> pd.DataFrame:
 
 
 def daily_core(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates) -> pd.DataFrame:
+    dates_a, out = daily_core_arrays(ts_us, lat, lon, td, disp, bin_codes,
+                                     cidv, codes, dates)
+    df_out = pd.DataFrame(out, copy=False)
+    df_out.insert(0, "date", dates_a)
+    return df_out
+
+
+def daily_core_arrays(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates):
     """Numpy core of daily_metrics; ``codes`` are the sorted-factorized date
-    group ids, ``bin_codes`` index functions.velocity.BINS."""
+    group ids, ``bin_codes`` index functions.velocity.BINS. Returns
+    (dates_array, {column: ndarray}) — no pandas objects, so the fused
+    flagship stage can accumulate plain arrays per host and build ONE Arrow
+    table per partition (the 8->32-core bandwidth fix, VERDICT r1 #7)."""
     G = len(dates)
     out = {}  # column dict; one DataFrame construction at the end
     n_per = np.bincount(codes, minlength=G).astype(np.float64)
@@ -532,10 +543,7 @@ def daily_core(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates) -> pd.D
         sleep[g] = np.round((start_s + ln_seconds) / 3600, 3)
         prev_i = last_idx[g]
     out["hours_of_sleep"] = sleep
-
-    df_out = pd.DataFrame(out, copy=False)
-    df_out.insert(0, "date", np.asarray(dates))
-    return df_out
+    return np.asarray(dates), out
 
 
 def cluster_metrics(clusters: pd.DataFrame, entries: pd.DataFrame) -> pd.DataFrame:

@@ -202,12 +202,14 @@ def fused_partition_arrow(t: pa.Table) -> pa.Table:
     """Arrow-in/Arrow-out fused label+daily over one part_key partition.
 
     Pure numpy end to end: zero-copy column extraction, per-host slices via
-    lexsort, velocity codes stay int8, no pandas DataFrames for the bulk
-    rows — this keeps the stage compute-bound instead of
-    allocator/bandwidth-bound, which is what lets 8->32 cores scale."""
-    import pandas as pd_  # local alias; only tiny per-host outputs use pandas
+    lexsort, velocity codes stay int8, and NO pandas anywhere — per-host
+    outputs are plain ndarray dicts accumulated into one np.concatenate +
+    one Arrow table per partition (the per-host DataFrame construction and
+    pd.concat were the stage's allocator/bandwidth hotspot at 32 cores;
+    VERDICT r1 #7)."""
+    import pandas as pd_  # factorize only (C hash path)
 
-    from ..functions.stream import daily_core, label_core
+    from ..functions.stream import daily_core_arrays, label_core
     from ..functions.velocity import stream_velocity_features
 
     n = t.num_rows
@@ -224,7 +226,9 @@ def fused_partition_arrow(t: pa.Table) -> pa.Table:
     starts = np.concatenate([[0], bounds + 1])
     ends = np.concatenate([bounds + 1, [n]])
 
-    outs = []
+    host_chunks: list[np.ndarray] = []
+    date_chunks: list[np.ndarray] = []
+    col_chunks: dict[str, list[np.ndarray]] = {}
     for s, e in zip(starts, ends):
         tu, ll, lo2 = te[s:e], la[s:e], lo[s:e]
         disp, td, vel, codes = stream_velocity_features(ll, lo2, tu)
@@ -232,12 +236,20 @@ def fused_partition_arrow(t: pa.Table) -> pa.Table:
                                                 build_clusters=False)
         dcodes, dates = pd_.factorize(tu // np.int64(86_400_000_000), sort=True)
         day_dates = np.asarray(dates * 86_400_000_000).astype("datetime64[us]").astype("datetime64[D]")
-        dm = daily_core(tu, ll, lo2, td, disp, codes, cid, dcodes, day_dates)
-        dm.insert(0, "host_hash", hkeys[hs[s]])
-        outs.append(dm)
-    res = pd_.concat(outs, ignore_index=True)
-    res["date"] = res["date"].astype(str)
-    return pa.Table.from_pandas(res, preserve_index=False)
+        dates_a, cols = daily_core_arrays(tu, ll, lo2, td, disp, codes, cid,
+                                          dcodes, day_dates)
+        host_chunks.append(np.full(dates_a.shape[0], hkeys[hs[s]], np.int64))
+        date_chunks.append(dates_a)
+        for k, v in cols.items():
+            col_chunks.setdefault(k, []).append(np.asarray(v))
+    date_all = np.concatenate(date_chunks)
+    arrays = {
+        "host_hash": pa.array(np.concatenate(host_chunks), pa.int64()),
+        "date": pa.array(np.datetime_as_string(date_all, unit="D")),
+    }
+    for k, chunks in col_chunks.items():
+        arrays[k] = pa.array(np.concatenate(chunks))
+    return pa.table(arrays)
 
 
 def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
