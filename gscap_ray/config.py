@@ -31,8 +31,9 @@ class JobConfig:
     home_work_max_km: float = 161.0
     # impute (gps.py:1653)
     impute_freq: str = "10Min"
-    # engine layout
-    partitions: int = 256
+    # engine layout: None -> derived from input size
+    # (stages.geocode.partitions_for; ~62.5k rows per reduce partition)
+    partitions: int | None = None
     s2_level: int = 12
     hex_resolutions: tuple[int, ...] = (7, 8, 9)
     grid_cell_deg: float = 0.1

@@ -102,11 +102,16 @@ def labeled_pages(pages_dir: str, polygons: list | None = None,
     (one murmur pass), int ``part_key`` shuffle instead of the string
     ``host`` key, and vectorized in-task host sub-grouping — the same design
     the fused daily path uses, now carrying the full record set (``text``
-    passes through the shuffle exactly once, untouched)."""
-    from ..stages.geocode import geocode_tile_batch
+    passes through the shuffle exactly once, untouched). Partition count is
+    derived from the input's footer row count."""
+    import functools
 
+    from ..stages.geocode import dataset_num_rows, geocode_tile_batch, partitions_for
+
+    parts = partitions_for(dataset_num_rows(pages_dir))
     ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS)
-    ds = ds.map_batches(geocode_tile_batch, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
+                        batch_format="pyarrow", batch_size=None)
     if polygons is not None:
         ref = ray.put(polygons)
         ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
@@ -184,11 +189,15 @@ def daily_features_direct(pages_dir: str, polygons: list | None = None,
     as stateless tasks with a per-worker cached index (no actor-pool
     startup); its outputs are dropped pre-shuffle here because the daily
     table doesn't consume them (the labeled_pages path keeps them)."""
-    from ..stages.enrich import make_pip_task
-    from ..stages.geocode import geocode_tile_batch
+    import functools
 
+    from ..stages.enrich import make_pip_task
+    from ..stages.geocode import dataset_num_rows, geocode_tile_batch, partitions_for
+
+    parts = partitions_for(dataset_num_rows(pages_dir))
     ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
-    ds = ds.map_batches(geocode_tile_batch, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
+                        batch_format="pyarrow", batch_size=None)
     if polygons is not None:
         ref = ray.put(polygons)
         ds = ds.map_batches(make_pip_task(ref), batch_format="pyarrow", batch_size=None)
@@ -258,20 +267,25 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
     """Checkpointed flagship run: completed partitions are filtered out
     right after tiling (cheap), the rest flow through enrichment + labeling
     and are written atomically with per-partition manifests."""
+    import functools
+
     from ..state.checkpoint import (
         completed_partitions,
         filter_out_partitions,
         run_partitioned,
     )
 
-    from ..stages.geocode import DEFAULT_PARTITIONS
+    from ..stages.geocode import dataset_num_rows, geocode_tile_batch, partitions_for
 
+    parts = partitions_for(dataset_num_rows(pages_dir))
     done = completed_partitions(out_dir, input_fingerprint)
-    if len(done) >= DEFAULT_PARTITIONS:
+    if len(done) >= parts:
         # every partition has a valid manifest: nothing to read at all
         return {"partitions": 0, "written": 0, "skipped": 0,
                 "rows_written": 0, "skipped_at_read": len(done)}
-    ds = geocoded_pages(pages_dir)
+    ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS)
+    ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
+                        batch_format="pyarrow", batch_size=None)
     ds = filter_out_partitions(ds, done)
     if polygons is not None:
         ref = ray.put(polygons)

@@ -17,6 +17,30 @@ from ..synth import geocode, hash64
 DEFAULT_PARTITIONS = 128
 
 
+def dataset_num_rows(path: str) -> int:
+    """Row count from parquet footers only (no data read)."""
+    import pyarrow.dataset as pds
+
+    return sum(f.metadata.num_rows if f.metadata is not None
+               else f.count_rows()
+               for f in pds.dataset(path, format="parquet").get_fragments())
+
+
+def partitions_for(n_rows: int | None, target_rows: int = 62_500) -> int:
+    """Shuffle partition count derived from input size (VERDICT r1 #5:
+    a hardcoded count caps reduce parallelism at cluster scale).
+
+    ~target_rows rows per reduce partition (~64 MB of 1 KB page rows),
+    clamped to [64, 1M]; falls back to DEFAULT_PARTITIONS when the size is
+    unknown. Deterministic per input, so checkpoint/resume layouts agree
+    across runs of the same dataset."""
+    import math
+
+    if not n_rows:
+        return DEFAULT_PARTITIONS
+    return max(64, min(1_048_576, math.ceil(n_rows / target_rows)))
+
+
 def extract_host(urls: np.ndarray) -> np.ndarray:
     """Vectorized host extraction from https://host/path urls."""
     # str.partition via pandas (vectorized C path)
