@@ -21,6 +21,79 @@ import numpy as np
 import pandas as pd
 
 FAIL_MOD = 13
+
+from collections import namedtuple  # noqa: E402
+
+WeatherRequest = namedtuple("WeatherRequest", ["lat", "lon", "city", "date"])
+
+
+def coerce_request_key(key):
+    """check_zipcode_type semantics (utils.py:231-243): str/int/float ->
+    int; non-numeric strings TypeError; negatives ValueError."""
+    def _isint(x):
+        try:
+            return float(str(x)) == int(float(str(x)))
+        except (TypeError, ValueError):
+            return False
+
+    if not isinstance(key, (str, int, float)) or \
+            (isinstance(key, str) and not _isint(key)):
+        raise TypeError
+    if isinstance(key, (str, float)):
+        key = int(float(key))
+    if key < 0:
+        raise ValueError
+    return key
+
+
+def normalize_requests(requests):
+    """verify_request permutations (weather.py:500-560): a single tuple or
+    a list; 2-tuples are (city, datetime) in any element order (exact-key
+    gazetteer lookup, None-skip on the (0,0) sentinel — dd_from_zip
+    semantics); 3-tuples are (lat, lon, datetime) in any order with the
+    reference's check order (range check precedes the None check, so a
+    missing lat raises TypeError exactly like the reference's
+    ``None < -90``); other sizes ValueError."""
+    import datetime as dt
+
+    from .gazetteer import city_from_dd, dd_from_city
+
+    if not isinstance(requests, list):
+        requests = [requests]
+
+    def one(r):
+        if len(r) == 2:
+            city, d = None, None
+            for i in r:
+                if isinstance(i, str):
+                    city = i
+                elif isinstance(i, dt.datetime):
+                    d = i
+            if d is None or city is None:
+                raise ValueError("a 2-request needs (city, datetime)")
+            lat, lon = dd_from_city(city)
+            if lat == lon == 0 and city != "utc_island":
+                return None  # unknown key -> skip (weather.py:531-534)
+            return WeatherRequest(lat=lat, lon=lon, city=city, date=d)
+        if len(r) == 3:
+            lat, lon, d = None, None, None
+            for i in r:
+                if isinstance(i, (int, float)):
+                    if lat is None:
+                        lat = float(i)
+                    elif lon is None:
+                        lon = float(i)
+                elif isinstance(i, dt.datetime):
+                    d = i
+            if lat < -90 or lat > 90 or lon < -180 or lon > 180:
+                raise ValueError("lat, lon must be in a valid range")
+            if d is None:
+                raise ValueError("a 3-request needs a datetime")
+            city = city_from_dd(lat, lon, max_distance_deg=30.0)[0]
+            return WeatherRequest(lat=lat, lon=lon, city=city, date=d)
+        raise ValueError("Only tuples of size 2 or 3 are permitted")
+
+    return [one(r) for r in requests]
 MEASURES = ("temperature", "humidity", "cloudCover", "dewPoint",
             "precipIntensity")
 

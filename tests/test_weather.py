@@ -64,3 +64,46 @@ def test_summarize_all_nan_sentinel():
 def test_weather_cell_grid():
     c = weather_cell(np.array([-90.0, 0.0, 89.5]), np.array([-180.0, 0.0, 179.5]))
     assert c.tolist() == [0, 90 * 360 + 180, 179 * 360 + 359]
+
+
+def test_request_normalization_permutations():
+    """verify_request permutations (reference tests/test_weather.py:121-135
+    shape): element order free, skip-on-unknown, range/size errors."""
+    import datetime as dt
+
+    import pytest
+
+    from gscap_ray.functions.weather import (
+        WeatherRequest,
+        coerce_request_key,
+        normalize_requests,
+    )
+
+    d = dt.datetime(2019, 1, 2)
+    # 2-tuple, both element orders
+    r1 = normalize_requests(("tokyo", d))[0]
+    r2 = normalize_requests([(d, "tokyo")])[0]
+    assert r1 == r2 and r1.city == "tokyo" and abs(r1.lat - 35.6762) < 1e-9
+    # unknown city -> None skip (dd_from_zip (0,0) sentinel semantics)
+    assert normalize_requests(("atlantis", d)) == [None]
+    # 3-tuple, order free; first float is lat, second lon
+    r3 = normalize_requests((35.68, 139.65, d))[0]
+    r4 = normalize_requests((d, 35.68, 139.65))[0]
+    assert r3 == r4 and r3.city == "tokyo"
+    assert isinstance(r3, WeatherRequest)
+    # range violations
+    with pytest.raises(ValueError):
+        normalize_requests((95.0, 0.0, d))
+    # missing lat -> TypeError (reference's None < -90 quirk)
+    with pytest.raises(TypeError):
+        normalize_requests(("x", "y", d))
+    # wrong arity
+    with pytest.raises(ValueError):
+        normalize_requests((1, 2, 3, d))
+    # key coercion (check_zipcode_type semantics)
+    assert coerce_request_key("47579") == 47579
+    assert coerce_request_key(12.0) == 12
+    with pytest.raises(TypeError):
+        coerce_request_key("abc")
+    with pytest.raises(ValueError):
+        coerce_request_key(-5)
