@@ -2055,6 +2055,44 @@ JOIN sleep s ON b.host = s.host AND b.date = s.date
 """
 
 
+def q_image_features(sf_dir: str):
+    """Multimodal with a REAL decode: one deterministic 16x16 PPM image per
+    document (encoded to bytes inside the pipeline), decoded by the
+    ImageFeaturizer actor pool (pure-numpy P6 parser) into per-channel
+    stats — oracle-checked (pixel values are integer arithmetic on
+    (doc_id, x, y, ch), so SQL recomputes the statistics exactly)."""
+    from .functions.images import encode_ppm, synth_pixels
+    from .stages.multimodal import ImageFeaturizer
+
+    def attach_image(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        imgs = [encode_ppm(synth_pixels(int(i))) for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "image": pa.array(imgs, pa.binary())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(attach_image, batch_format="pyarrow")
+            .map_batches(ImageFeaturizer, batch_format="pyarrow",
+                         batch_size=256, concurrency=2))
+
+
+SQL_IMAGE_FEATURES = """
+WITH g AS (SELECT x, y FROM range(16) t1(x), range(16) t2(y)),
+px AS (SELECT d.doc_id,
+              (d.doc_id*31 + g.x*7 + g.y*13) % 256 AS c0,
+              (d.doc_id*31 + g.x*7 + g.y*13 + 101) % 256 AS c1,
+              (d.doc_id*31 + g.x*7 + g.y*13 + 202) % 256 AS c2
+       FROM documents d, g)
+SELECT doc_id,
+       round_even(avg(c0), 4) AS r_mean,
+       round_even(avg(c1), 4) AS g_mean,
+       round_even(avg(c2), 4) AS b_mean,
+       least(min(c0), min(c1), min(c2)) AS px_min,
+       greatest(max(c0), max(c1), max(c2)) AS px_max
+FROM px GROUP BY doc_id
+"""
+
+
 def q_pages_entries(sf_dir: str):
     """Flagship sessionization (C6) over the pages world — entries table
     with midnight merge, per-day pos counters, median centroids and
@@ -2189,6 +2227,7 @@ QUERIES = {
     "pages_entries": q_pages_entries,
     "pages_clusters": q_pages_clusters,
     "multimodal_features": q_multimodal_features,
+    "image_features": q_image_features,
     "spatial_clusters": q_spatial_clusters,
 }
 
@@ -2243,4 +2282,5 @@ ORACLE_SQL = {
     "pages_daily_features": sql_pages_daily_features(),
     "pages_entries": sql_pages_entries(),
     "pages_clusters": sql_pages_clusters(),
+    "image_features": SQL_IMAGE_FEATURES,
 }

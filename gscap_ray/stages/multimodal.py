@@ -74,6 +74,41 @@ class BinaryFeatureExtractor:
                                    pa.array(feats.ravel(), pa.float32()), self.dim)))
 
 
+class ImageFeaturizer:
+    """Actor-pool stage with a REAL decode path: binary PPM payloads ->
+    decode (pure-numpy P6 parser) -> optional bilinear resize -> per-channel
+    statistics columns. No stub: PPM needs no codec. Compressed formats
+    (JPEG/PNG) would slot into ``_decode`` behind the same signature."""
+
+    def __init__(self, payload_col: str = "image", resize_to: int | None = None,
+                 drop_payload: bool = True):
+        from ..functions import images
+
+        self.payload_col = payload_col
+        self.resize_to = resize_to
+        self.drop_payload = drop_payload
+        self._img = images  # module bound once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        cols: dict[str, list] = {"r_mean": [], "g_mean": [], "b_mean": [],
+                                 "px_min": [], "px_max": []}
+        for p in payloads:
+            img = self._img.decode_ppm(p)
+            if self.resize_to:
+                img = self._img.resize_bilinear(img, self.resize_to, self.resize_to)
+            st = self._img.channel_stats(img)
+            for k in cols:
+                cols[k].append(st[k])
+        out = batch.drop_columns([self.payload_col]) if self.drop_payload else batch
+        return (out
+                .append_column("r_mean", pa.array(cols["r_mean"], pa.float64()))
+                .append_column("g_mean", pa.array(cols["g_mean"], pa.float64()))
+                .append_column("b_mean", pa.array(cols["b_mean"], pa.float64()))
+                .append_column("px_min", pa.array(cols["px_min"], pa.int64()))
+                .append_column("px_max", pa.array(cols["px_max"], pa.int64())))
+
+
 class FrameSampler:
     """Actor-pool stage: 'video' payload -> k deterministic frame offsets +
     per-frame feature rows (flat_map-style row expansion inside
