@@ -549,8 +549,10 @@ SELECT event_id, center_id FROM d WHERE rk = 1
 
 
 def q_s2_tiles(sf_dir: str):
-    """C9: real S2 cell ids (level 12) — no SQL analog (rows-only check +
-    self-consistency tests in tests/test_kernels_cells.py)."""
+    """C9: real S2 cell ids (level 12) — oracle-checked: the full encoder
+    (cube-face projection, quadratic ST, 30-level Hilbert curve, parent
+    lsb) is replicated in SQL via a recursive CTE, matching bit-for-bit
+    (the north rule's 'tile assignments must exactly match')."""
     from .functions.cells import s2_cell_id
 
     def cellify(t: pa.Table) -> pa.Table:
@@ -560,6 +562,70 @@ def q_s2_tiles(sf_dir: str):
                 .append_column("s2_cell", pa.array(hexs, pa.string())))
 
     return _points_ds(sf_dir).map_batches(cellify, batch_format="pyarrow")
+
+
+SQL_S2_TILES = f"""
+WITH RECURSIVE
+p AS ({_PTS_SQL}),
+xyz AS (SELECT event_id,
+    cos(radians(lat)) * cos(radians(lon)) AS x,
+    cos(radians(lat)) * sin(radians(lon)) AS y,
+    sin(radians(lat)) AS z
+  FROM p),
+f0 AS (SELECT event_id, x, y, z,
+    CASE WHEN abs(x) >= abs(y)
+         THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+         ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS fa
+  FROM xyz),
+fc AS (SELECT event_id, x, y, z,
+    CASE WHEN (CASE fa WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+         THEN fa + 3 ELSE fa END AS face
+  FROM f0),
+uv AS (SELECT event_id, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fc),
+st AS (SELECT event_id, face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0*u)
+         ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0*u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0*v)
+         ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0*v) END AS t
+  FROM uv),
+ij AS (SELECT event_id, face,
+    CAST(least(greatest(floor(1073741824.0 * s), 0), 1073741823) AS BIGINT) AS i,
+    CAST(least(greatest(floor(1073741824.0 * t), 0), 1073741823) AS BIGINT) AS j
+  FROM st),
+h AS (
+  SELECT event_id, face, i, j, 29 AS k,
+         CAST(0 AS UBIGINT) AS pos, face & 1 AS orient
+  FROM ij
+  UNION ALL
+  SELECT event_id, face, i, j, k - 1,
+         pos * 4 + idx,
+         xor(orient, CASE idx WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END)
+  FROM (SELECT event_id, face, i, j, k, pos, orient,
+          CAST(CASE orient
+            WHEN 0 THEN CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2 ELSE 3 END
+            WHEN 1 THEN CASE ij2 WHEN 0 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 3 END
+            WHEN 2 THEN CASE ij2 WHEN 3 THEN 0 WHEN 2 THEN 1 WHEN 0 THEN 2 ELSE 3 END
+            ELSE        CASE ij2 WHEN 3 THEN 0 WHEN 1 THEN 1 WHEN 0 THEN 2 ELSE 3 END
+          END AS UBIGINT) AS idx
+        FROM (SELECT *, ((i >> k) & 1) * 2 + ((j >> k) & 1) AS ij2
+              FROM h WHERE k >= 0))
+),
+leaf AS (SELECT event_id,
+    (CAST(face AS UBIGINT) << 60 | pos) * 2 + 1 AS cid
+  FROM h WHERE k = -1),
+lvl AS (SELECT event_id,
+    (cid >> 37) * (CAST(1 AS UBIGINT) << 37)
+      + (CAST(1 AS UBIGINT) << 36) AS cell
+  FROM leaf)
+SELECT event_id, printf('%08x%08x',
+    CAST(cell >> 32 AS BIGINT), CAST(cell & 4294967295 AS BIGINT)) AS s2_cell
+FROM lvl
+"""
 
 
 def q_hex_tiles(sf_dir: str):
@@ -2249,6 +2315,7 @@ ORACLE_SQL = {
     "velocity_bins": SQL_VELOCITY_BINS,
     "pip_rect_join": SQL_PIP_RECT_JOIN,
     "knn_centers": SQL_KNN_CENTERS,
+    "s2_tiles": SQL_S2_TILES,
     "sessionize": SQL_SESSIONIZE,
     "gap_sessions": SQL_GAP_SESSIONS,
     "asof_join": SQL_ASOF_JOIN,
