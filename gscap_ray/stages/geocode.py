@@ -93,11 +93,10 @@ def geocode_tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) ->
     """Fused geocode + tile encode: hashes hosts/urls exactly once
     (geocode_batch + tile_batch hash the host column independently; at
     10^7+ rows the duplicate murmur pass is measurable)."""
-    from ..synth import geocode
+    from ..synth import geocode, hash64_dictionary
 
     host_arr = extract_host_arrow(batch["url"])
-    hosts = host_arr.to_numpy(zero_copy_only=False)
-    host_h = hash64(hosts)
+    host_h = hash64_dictionary(host_arr)  # repetitive column: dict path
     urls = batch["url"].to_numpy(zero_copy_only=False)
     ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy()
     lat, lon = geocode(host_h, hash64(urls), ts_us)

@@ -43,8 +43,25 @@ _TRANSIT_HOURS = frozenset([7, 12, 17])
 
 def hash64(values) -> np.ndarray:
     """Deterministic vectorized string -> uint64 (pandas murmur-based
-    hashing with the library-default fixed key; stable across processes)."""
-    return pd.util.hash_array(np.asarray(values, dtype=object))
+    hashing with the library-default fixed key; stable across processes).
+
+    categorize=False: same hash values, ~5x faster on mostly-unique inputs
+    (pandas' categorize pre-pass only pays off via hash64_dictionary)."""
+    return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+
+
+def hash64_dictionary(arr) -> np.ndarray:
+    """uint64 hashes of an Arrow string array with FEW distinct values:
+    dictionary-encode in C++ (no per-row Python objects), hash only the
+    dictionary, gather — ~5x the direct path on repetitive columns like
+    hosts. Identical values to hash64."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(arr)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    uniq = d.dictionary.to_numpy(zero_copy_only=False)
+    return hash64(uniq)[d.indices.to_numpy()]
 
 
 def host_centers(host_hash: np.ndarray):
