@@ -628,8 +628,48 @@ FROM lvl
 """
 
 
+def _sql_hex_tiles() -> str:
+    """Oracle twin of cells.hex_cell_id: axial coords with the constants
+    embedded as exact double literals, cube-rounding via round_even (numpy
+    rint's half-even), res<<56|q<<28|r packing — bit-for-bit."""
+    L1 = repr(float(np.sqrt(3.0) / 3.0))
+    off = 134217728
+
+    def block(res: int) -> str:
+        size = repr(9.96 / (7.0 ** (res / 2.0)))
+        return f"""
+x{res} AS (SELECT event_id, ({L1}*lon - lat/3.0)/{size} AS qf,
+                  (2.0/3.0*lat)/{size} AS rf FROM p),
+y{res} AS (SELECT event_id, qf, rf, -qf-rf AS sf,
+                  round_even(qf, 0) AS q0, round_even(rf, 0) AS r0,
+                  round_even(-qf-rf, 0) AS s0 FROM x{res}),
+z{res} AS (SELECT event_id, q0, r0, s0,
+                  abs(q0-qf) AS dq, abs(r0-rf) AS dr, abs(s0-sf) AS ds
+           FROM y{res}),
+w{res} AS (SELECT event_id,
+                  CASE WHEN dq > dr AND dq > ds THEN -r0-s0 ELSE q0 END AS q1,
+                  r0, s0,
+                  CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+                       THEN 1 ELSE 0 END AS fr
+           FROM z{res}),
+v{res} AS (SELECT event_id,
+                  CAST({res} AS BIGINT)*72057594037927936
+                  + (CAST(q1 AS BIGINT) + {off})*268435456
+                  + (CAST(CASE WHEN fr = 1 THEN -q1-s0 ELSE r0 END AS BIGINT)
+                     + {off}) AS h3_r{res}
+           FROM w{res})"""
+
+    return (f"WITH p AS ({_PTS_SQL})," + ",".join(block(r) for r in (7, 8, 9))
+            + """
+SELECT p.event_id, v7.h3_r7, v8.h3_r8, v9.h3_r9
+FROM p JOIN v7 USING (event_id) JOIN v8 USING (event_id)
+       JOIN v9 USING (event_id)
+""")
+
+
 def q_hex_tiles(sf_dir: str):
-    """C9: H3-style hex ids at res 7/8/9 — rows-only check."""
+    """C9: H3-style hex ids at res 7/8/9 — bit-for-bit oracle-checked
+    (axial + cube-round replicated in SQL)."""
     from .functions.cells import hex_cell_id
 
     def cellify(t: pa.Table) -> pa.Table:
@@ -2316,6 +2356,7 @@ ORACLE_SQL = {
     "pip_rect_join": SQL_PIP_RECT_JOIN,
     "knn_centers": SQL_KNN_CENTERS,
     "s2_tiles": SQL_S2_TILES,
+    "hex_tiles": _sql_hex_tiles(),
     "sessionize": SQL_SESSIONIZE,
     "gap_sessions": SQL_GAP_SESSIONS,
     "asof_join": SQL_ASOF_JOIN,
