@@ -56,9 +56,13 @@ def _pack(cx, cy):
 def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
                        x_col: str = "lon", y_col: str = "lat",
                        id_col: str = "point_id",
-                       cell_factor: float = 64.0) -> rd.Dataset:
-    """Returns a Dataset (id_col, cluster) with global cluster ids
-    (-1 = noise). Exact core semantics; border adoption documented above."""
+                       cell_factor: float = 64.0,
+                       with_core: bool = False) -> rd.Dataset:
+    """Returns a Dataset (id_col, cluster[, core]) with global cluster ids
+    (-1 = noise). Exact core semantics; border adoption documented above.
+    ``with_core=True`` adds the exact global core flag (core status computed
+    over own+halo is exact; the core-only clustering is scan-order-free and
+    therefore oracle-checkable)."""
     cell_side = float(cell_factor) * eps
 
     def scatter(t: pa.Table) -> pa.Table:
@@ -221,6 +225,7 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
         pid = t["pid"].to_numpy()[own_m]
         cell = t["cell"].to_numpy()[own_m]
         label = t["label"].to_numpy()[own_m]
+        core = t["core"].to_numpy(zero_copy_only=False)[own_m]
         out = np.full(pid.shape[0], -1, dtype=np.int64)
         lab = label >= 0
         if lab.any():
@@ -231,7 +236,10 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
                 a = ad.get(int(pid[i]))
                 if a is not None:
                     out[i] = a
-        return pa.table({id_col: pa.array(pid, pa.int64()),
-                        "cluster": pa.array(out, pa.int64())})
+        cols = {id_col: pa.array(pid, pa.int64()),
+                "cluster": pa.array(out, pa.int64())}
+        if with_core:
+            cols["core"] = pa.array(core, pa.bool_())
+        return pa.table(cols)
 
     return labeled.map_batches(finalize, batch_format="pyarrow")

@@ -1717,9 +1717,11 @@ def q_pages_next_phase(sf_dir: str):
 
 def q_spatial_clusters(sf_dir: str):
     """Distributed tile-local DBSCAN with eps-halo merge
-    (pipelines/spatial.py) over the derived event points — rows-only
-    (exactness vs single-node DBSCAN is pytest-verified incl. clusters that
-    straddle cell borders). Returns per-cluster sizes."""
+    (pipelines/spatial.py) over the derived event points, reported as the
+    CORE-point cluster-size histogram — core clustering is scan-order-free,
+    so a recursive-CTE connected-components oracle checks the distributed
+    clustering (incl. the halo merge) exactly. Border/noise assignment
+    remains covered by the exactness pytest vs single-node DBSCAN."""
     from ray.data.aggregate import Count
 
     from .pipelines.spatial import distributed_dbscan
@@ -1727,8 +1729,49 @@ def q_spatial_clusters(sf_dir: str):
     pts = _points_ds(sf_dir).select_columns(["event_id", "lat", "lon"])
     out = distributed_dbscan(pts, eps=0.02, min_samples=20,
                              x_col="lon", y_col="lat", id_col="event_id",
-                             cell_factor=64.0)
-    return (out.groupby("cluster").aggregate(Count(alias_name="n_points")))
+                             cell_factor=64.0, with_core=True)
+    def only_core(t: pa.Table) -> pa.Table:
+        return t.filter(t["core"]).select(["cluster"])
+
+    return (out.map_batches(only_core, batch_format="pyarrow")
+            .groupby("cluster").aggregate(Count(alias_name="csize"))
+            .groupby("csize").aggregate(Count(alias_name="n_clusters")))
+
+
+def _sql_spatial_clusters() -> str:
+    """Oracle: exact DBSCAN core-component size histogram — 3x3-cell grid
+    equi-join for eps-neighbor pairs, degree >= min_samples core mask,
+    recursive smaller-root reachability, min-root component labels."""
+    eps = 0.02
+    eps2 = repr(eps * eps)
+    return f"""
+WITH RECURSIVE
+p AS ({_PTS_SQL}),
+g AS (SELECT event_id, lat, lon,
+             CAST(floor(lon / {eps}) AS BIGINT) AS cx,
+             CAST(floor(lat / {eps}) AS BIGINT) AS cy
+      FROM p),
+r AS (SELECT event_id, lat, lon, cx + dx AS cx, cy + dy AS cy
+      FROM g, (VALUES (-1), (0), (1)) dxs(dx),
+              (VALUES (-1), (0), (1)) dys(dy)),
+nb AS (SELECT a.event_id AS ia, b.event_id AS ib
+       FROM g a JOIN r b ON a.cx = b.cx AND a.cy = b.cy
+       WHERE (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= {eps2}),
+core AS (SELECT ia AS event_id FROM nb GROUP BY ia HAVING count(*) >= 20),
+ce AS (SELECT ia, ib FROM nb
+       WHERE ia IN (SELECT event_id FROM core)
+         AND ib IN (SELECT event_id FROM core)),
+reach AS (
+  SELECT event_id, event_id AS root FROM core
+  UNION
+  SELECT ce.ib AS event_id, reach.root
+  FROM reach JOIN ce ON ce.ia = reach.event_id
+  WHERE reach.root < ce.ib),
+comp AS (SELECT event_id, min(root) AS root FROM reach GROUP BY event_id),
+sizes AS (SELECT root, count(*) AS csize FROM comp GROUP BY root)
+SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize
+"""
 
 
 def q_multimodal_features(sf_dir: str):
@@ -2391,4 +2434,5 @@ ORACLE_SQL = {
     "pages_entries": sql_pages_entries(),
     "pages_clusters": sql_pages_clusters(),
     "image_features": SQL_IMAGE_FEATURES,
+    "spatial_clusters": _sql_spatial_clusters(),
 }
