@@ -21,6 +21,7 @@ SUBSET = [
     "quality_scores", "ann_topk", "impute_points", "cell_dedup",
     "pages_label_stats", "pages_daily_features", "pages_entries",
     "hourly_weather", "weather_daily", "daily_value_quantiles",
+    "s2_tiles", "hex_tiles", "minhash_dedup", "pages_clusters",
 ]
 
 
