@@ -1695,9 +1695,8 @@ def q_pages_next_phase(sf_dir: str):
     from ray.data.aggregate import Count
 
     from .functions.stream import next_phase_clusters
-    from .pipelines.flagship import label_host_group, labeled_pages
 
-    labeled = labeled_pages(_pages_dir_for(sf_dir))
+    labeled = rd.read_parquet(_labeled_dump_for(sf_dir))
 
     def per_host(g: pd.DataFrame) -> pd.DataFrame:
         g = g.rename(columns={"warc_ts": "ts"})
@@ -1713,6 +1712,84 @@ def q_pages_next_phase(sf_dir: str):
            .groupby("host").map_groups(per_host, batch_format="pandas")
            .groupby("cid").aggregate(Count(alias_name="n_hosts"))).to_pandas()
     return out.sort_values("cid").reset_index(drop=True)
+
+
+def q_next_phase_cores(sf_dir: str):
+    """C5/J8 oracle-checkable core: the incremental next-phase pass —
+    anti-join the point stream against the known center layer (drop points
+    within 1500 km of any center, the J8 proximity anti-join), density-
+    cluster the remainder per stream, report the core-point cluster-size
+    histogram (scan-order-free; same strategy as spatial_clusters)."""
+    from ray.data.aggregate import Count
+
+    from .functions.dbscan import core_mask, dbscan_labels
+    from .functions.geo import haversine_m
+
+    clat = np.array([c["lat"] for c in _CENTERS])
+    clon = np.array([c["lon"] for c in _CENTERS])
+
+    def anti(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        dmin = np.min(np.stack([haversine_m(lat, lon, la, lo)
+                                for la, lo in zip(clat, clon)]), axis=0)
+        return t.filter(pa.array(dmin >= 1_500_000.0))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        lon = g["lon"].values
+        lat = g["lat"].values
+        labels = dbscan_labels(lon, lat, 0.02, 20)
+        core = core_mask(lon, lat, 0.02, 20)
+        lab = labels[core]
+        _u, c = np.unique(lab[lab >= 0], return_counts=True)
+        return pd.DataFrame({"csize": pd.Series(c, dtype="int64")})
+
+    return (_points_ds(sf_dir).select_columns(["user_id", "lat", "lon"])
+            .map_batches(anti, batch_format="pyarrow")
+            .groupby("user_id").map_groups(per_user, batch_format="pandas")
+            .groupby("csize").aggregate(Count(alias_name="n_clusters")))
+
+
+def _sql_next_phase_cores() -> str:
+    hav = _HAVERSINE_SQL.format(lat1="p.lat", lon1="p.lon",
+                                lat2="c.clat", lon2="c.clon")
+    eps2 = repr(0.02 * 0.02)
+    return f"""
+WITH RECURSIVE
+p0 AS ({_PTS_SQL}),
+cen AS (SELECT j AS cid2, j*15 - 52.5 AS clat, j*40 - 140.0 AS clon
+        FROM range(8) t(j)),
+dm AS (SELECT p.event_id, min({hav}) AS dmin
+       FROM p0 p CROSS JOIN cen c GROUP BY p.event_id),
+cand AS (SELECT p.user_id, p.event_id, p.lat, p.lon
+         FROM p0 p JOIN dm ON p.event_id = dm.event_id
+         WHERE dm.dmin >= 1500000.0),
+g AS (SELECT *, CAST(floor(lon / 0.02) AS BIGINT) AS cx,
+             CAST(floor(lat / 0.02) AS BIGINT) AS cy FROM cand),
+rep AS (SELECT user_id, event_id, lat, lon, cx + dx AS cx, cy + dy AS cy
+        FROM g, (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+nb AS (SELECT a.user_id, a.event_id AS ia, b.event_id AS ib
+       FROM g a JOIN rep b ON a.user_id = b.user_id
+                          AND a.cx = b.cx AND a.cy = b.cy
+       WHERE (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= {eps2}),
+core AS (SELECT user_id, ia AS event_id FROM nb
+         GROUP BY user_id, ia HAVING count(*) >= 20),
+ce AS (SELECT nb.user_id, ia, ib FROM nb
+       JOIN core c1 ON nb.user_id = c1.user_id AND nb.ia = c1.event_id
+       JOIN core c2 ON nb.user_id = c2.user_id AND nb.ib = c2.event_id),
+reach AS (
+  SELECT user_id, event_id, event_id AS root FROM core
+  UNION
+  SELECT ce.user_id, ce.ib AS event_id, reach.root
+  FROM reach JOIN ce ON ce.user_id = reach.user_id AND ce.ia = reach.event_id
+  WHERE reach.root < ce.ib),
+comp AS (SELECT user_id, event_id, min(root) AS root
+         FROM reach GROUP BY user_id, event_id),
+sizes AS (SELECT user_id, root, count(*) AS csize
+          FROM comp GROUP BY user_id, root)
+SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize
+"""
 
 
 def q_spatial_clusters(sf_dir: str):
@@ -2378,6 +2455,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "image_features": q_image_features,
     "spatial_clusters": q_spatial_clusters,
+    "next_phase_cores": q_next_phase_cores,
 }
 
 ORACLE_SQL = {
@@ -2435,4 +2513,5 @@ ORACLE_SQL = {
     "pages_clusters": sql_pages_clusters(),
     "image_features": SQL_IMAGE_FEATURES,
     "spatial_clusters": _sql_spatial_clusters(),
+    "next_phase_cores": _sql_next_phase_cores(),
 }
