@@ -36,7 +36,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-checkable queries() entry."""
+    """DuckDB-equivalent SQL for every oracle-checkable queries() entry.
+
+    The flagship-tail oracles read the labeled intermediate the Ray side
+    dumps to /tmp; materialize it here too (idempotent, seconds at sf0.01)
+    so the SQL is valid regardless of which side the driver runs first."""
+    try:
+        import os
+
+        if os.path.isdir("/root/testdata/sf0.01"):
+            from gscap_ray.queries import _labeled_dump_for
+
+            _labeled_dump_for("/root/testdata/sf0.01")
+    except Exception:
+        pass  # no Ray session / no testdata: the strings are still returned
+
     from gscap_ray.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
