@@ -2002,12 +2002,20 @@ def q_ann_lsh_recall(sf_dir: str):
     cand = (emb.map_batches(match, batch_format="pyarrow")
             .groupby(["query_id", "cand_id"]).aggregate(Count(alias_name="_c"))
             .select_columns(["query_id", "cand_id"]))
+    return _ann_recall_report(emb, cand, qids, qmat)
 
-    # exact re-rank of each query's candidate set (join back the vectors,
-    # per-query map_groups — candidate sets are the small post-filter side)
+
+def _ann_recall_report(emb: rd.Dataset, cand: rd.Dataset, qids, qmat):
+    """Shared tail of the ANN scale-path queries: join candidate ids back
+    to vectors, per-query exact re-rank (map_groups), streaming brute-force
+    baseline, recall@10 report."""
+    import ray
+
+    from .functions.ann import cosine_topk
+
+    bcast = ray.put((qids, qmat))
+
     def vec_table(t: pa.Table) -> pa.Table:
-        # embeddings as packed float64 blobs (hash join payload cannot be a
-        # list column)
         m = np.stack(t["embedding"].to_pandas().values).astype(np.float64)
         return pa.table({"vid": t["vec_id"].cast(pa.int64()),
                          "vec": pa.array([r.tobytes() for r in m], pa.binary())})
@@ -2016,28 +2024,24 @@ def q_ann_lsh_recall(sf_dir: str):
                        "inner", 8, on=("cand_id",), right_on=("vid",))
 
     def rerank(g: pd.DataFrame) -> pd.DataFrame:
-        ids_, qm, _l = ray.get(bcast)
+        ids_, qm = ray.get(bcast)
         qi = int(g["query_id"].iloc[0])
         qvec = qm[np.where(ids_ == qi)[0][0]]
         cids = g["cand_id"].values.astype(np.int64)
         cmat = np.stack([np.frombuffer(b, np.float64) for b in g["vec"].values])
         top, _ = cosine_topk(qvec[None, :], cmat, cids, k=min(10, len(cids)))
-        return pd.DataFrame({"query_id": qi,
-                             "n_candidates": len(cids),
+        return pd.DataFrame({"query_id": qi, "n_candidates": len(cids),
                              "top_ids": [top[0].tolist()]})
 
-    lsh_top = (joined.groupby("query_id")
-               .map_groups(rerank, batch_format="pandas")).to_pandas()
-
-    # streaming brute-force baseline (the q_ann_topk pattern)
-    qref = ray.put((qids, qmat))
+    top = (joined.groupby("query_id")
+           .map_groups(rerank, batch_format="pandas")).to_pandas()
 
     def partial(t: pa.Table) -> pa.Table:
-        ids_, q = ray.get(qref)
+        ids_, q = ray.get(bcast)
         corpus = np.stack(t["embedding"].to_pandas().values).astype(np.float64)
         cids = t["vec_id"].to_numpy()
         top_ids, scores = cosine_topk(q, corpus, cids, k=10)
-        nq, kk = top_ids.shape
+        _nq, kk = top_ids.shape
         return pa.table({
             "query_id": pa.array(np.repeat(ids_, kk), pa.int64()),
             "neighbor_id": pa.array(top_ids.ravel(), pa.int64()),
@@ -2050,10 +2054,61 @@ def q_ann_lsh_recall(sf_dir: str):
         .apply(set).to_dict()
 
     rows = []
-    for _, r in lsh_top.sort_values("query_id").iterrows():
+    for _, r in top.sort_values("query_id").iterrows():
         rec = len(brute[int(r["query_id"])] & set(r["top_ids"])) / 10.0
         rows.append((int(r["query_id"]), int(r["n_candidates"]), round(rec, 2)))
     return pd.DataFrame(rows, columns=["query_id", "n_candidates", "recall_at_10"])
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    """IVF scale-path ANN, distributed: the coarse quantizer trains on a
+    small sample (driver-side k-means, deterministic), centroids broadcast;
+    cell assignment is a map_batches stage; candidates = vectors in each
+    query's 2 nearest cells; exact per-query re-rank + recall@10 vs the
+    streaming brute-force baseline — rows-only (recall is not
+    SQL-expressible)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from .functions.ann import ivf_assign, normalize
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = emb.limit(512).to_pandas()
+    smat = np.stack(sample["embedding"].values).astype(np.float64)
+    _assign, cent = ivf_assign(smat, n_cells=16, iters=5, seed=13)
+    cref = ray.put(cent)
+
+    qpd = emb.filter(expr="vec_id < 5").to_pandas()
+    qids = qpd["vec_id"].values.astype(np.int64)
+    qmat = np.stack(qpd["embedding"].values).astype(np.float64)
+    qsim = normalize(qmat) @ cent.T
+    probe = {int(qi): set(np.argsort(-qsim[pos])[:2].tolist())
+             for pos, qi in enumerate(qids)}
+    pref = ray.put(probe)
+
+    def match(t: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        pr = ray.get(pref)
+        ids_ = t["vec_id"].to_numpy().astype(np.int64)
+        mat = normalize(np.stack(t["embedding"].to_pandas().values))
+        cells = np.argmax(mat @ cen.T, axis=1)
+        out_q, out_c = [], []
+        for qi, cellset in pr.items():
+            m = np.isin(cells, list(cellset))
+            if m.any():
+                out_q.append(np.full(int(m.sum()), qi, np.int64))
+                out_c.append(ids_[m])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "cand_id": pa.array([], pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                         "cand_id": pa.array(np.concatenate(out_c), pa.int64())})
+
+    cand = (emb.map_batches(match, batch_format="pyarrow")
+            .groupby(["query_id", "cand_id"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["query_id", "cand_id"]))
+    return _ann_recall_report(emb, cand, qids, qmat)
 
 
 def q_csv_roundtrip(sf_dir: str):
@@ -2438,6 +2493,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_dupes": q_embedding_dupes,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "csv_roundtrip": q_csv_roundtrip,
     "json_extract": q_json_extract,
     "category_map": q_category_map,
