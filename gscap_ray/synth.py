@@ -109,7 +109,7 @@ def geocode(host_hash: np.ndarray, url_hash: np.ndarray, ts_us: np.ndarray):
 
 
 def _zipf_counts(n_pages: int, n_hosts: int, alpha: float = 0.5) -> np.ndarray:
-    """Zipf-ish host sizes (hot hosts exercise skew paths). alpha=0.7 keeps
+    """Zipf-ish host sizes (hot hosts exercise skew paths). alpha=0.5 keeps
     the hottest host a few percent of rows — skewed enough to matter, small
     enough that one host (an unsplittable per-stream clustering unit) cannot
     serialize the whole stage."""
