@@ -129,6 +129,17 @@ def run_bench() -> dict:
     timed("distributed_dbscan", spatial_dbscan)
 
     headline = round(sum(v for k, v in timings.items() if k != "pages_per_sec"), 3)
+
+    # record-level labeled path (text through the shuffle), reported but NOT
+    # part of the headline sum (added in round 2; keeps the headline series
+    # comparable across rounds)
+    from gscap_ray.pipelines.flagship import labeled_pages
+
+    t0 = time.time()
+    labeled_pages(pages_dir, polygons=polys).count()
+    timings["labeled_pages"] = round(time.time() - t0, 3)
+    timings["labeled_pages_per_sec"] = round(n_pages / timings["labeled_pages"], 1)
+
     out = {
         "metric": "headline_pipeline_seconds",
         "value": headline,
