@@ -2185,6 +2185,59 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.9
 """
 
 
+def q_embedding_dupes_lsh(sf_dir: str):
+    """Embedding near-dup pairs (> 0.95) — the LSH-bucketed SCALE path:
+    hyperplane codes per vector (map_batches), groupby(table, code) emits
+    within-bucket thresholded pairs, distinct. L=12 tables x 8 bits: a
+    cos>0.95 pair collides in some table with prob ~1-1e-13 at 0.99 sim
+    (~0.999 at exactly 0.95), so the output matches the exact all-pairs
+    oracle; no O(n^2) block grid, buckets shuffle instead."""
+    from ray.data.aggregate import Count
+
+    from .functions.ann import hyperplane_lsh_codes, normalize
+
+    N_BITS, N_TABLES = 8, 12
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def code_explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        mat = normalize(np.stack(t["embedding"].to_pandas().values))
+        out_t, out_c, out_i, out_v = [], [], [], []
+        for ti in range(N_TABLES):
+            codes = hyperplane_lsh_codes(mat, n_bits=N_BITS, seed=101 + ti)
+            out_t.append(np.full(len(ids), ti, np.int32))
+            out_c.append(codes.view(np.int64))
+            out_i.append(ids)
+            out_v.append(mat)
+        return pa.table({
+            "tbl": pa.array(np.concatenate(out_t), pa.int32()),
+            "code": pa.array(np.concatenate(out_c), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_i), pa.int64()),
+            "vec": pa.array([r.tobytes() for r in np.concatenate(out_v)],
+                            pa.binary()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        ids = g["vec_id"].values.astype(np.int64)
+        mat = np.stack([np.frombuffer(b, np.float64) for b in g["vec"].values])
+        s = mat @ mat.T
+        m = (s > 0.95) & (ids[:, None] < ids[None, :])
+        ii, jj = np.where(m)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    out = (emb.map_batches(code_explode, batch_format="pyarrow")
+           .groupby(["tbl", "code"]).map_groups(bucket_pairs, batch_format="pandas")
+           .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
+           .select_columns(["id_a", "id_b"])).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- pages ----
 
 def _pages_dir_for(sf_dir: str) -> str:
@@ -2492,6 +2545,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "ann_topk": q_ann_topk,
     "embedding_dupes": q_embedding_dupes,
+    "embedding_dupes_lsh": q_embedding_dupes_lsh,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "csv_roundtrip": q_csv_roundtrip,
@@ -2553,6 +2607,8 @@ ORACLE_SQL = {
     "hot_cells": sql_hot_cells(),
     "ann_topk": SQL_ANN_TOPK,
     "embedding_dupes": SQL_EMBEDDING_DUPES,
+    # same exact-pair oracle: the LSH path must find every >0.95 pair
+    "embedding_dupes_lsh": SQL_EMBEDDING_DUPES,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "json_extract": SQL_JSON_EXTRACT,
     "category_map": SQL_CATEGORY_MAP,

@@ -136,3 +136,35 @@ def test_lsh_codes_and_ivf():
     assign, cent = ivf_assign(e, n_cells=8)
     assert assign.shape == (200,) and cent.shape[0] == 8
     assert (assign[:100] == assign[100:]).mean() > 0.8
+
+
+def test_embedding_lsh_finds_planted_dupes(ray_session):
+    """LSH-bucketed near-dup path finds exactly the planted >0.95 pairs
+    (the testdata tables contain none, so the oracle check there is
+    trivially empty; this plants real ones)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gscap_ray.functions.ann import cosine_pairs_above, normalize
+
+    rng = np.random.default_rng(77)
+    base = rng.standard_normal((40, 16))
+    # plant 5 near-dup pairs: tiny perturbations of existing rows
+    dup = base[:5] + rng.normal(0, 0.01, (5, 16))
+    emb = np.vstack([base, dup])
+    ids = np.arange(len(emb))
+    want_a, want_b, _ = cosine_pairs_above(emb, ids, threshold=0.95)
+    want = set(zip(want_a.tolist(), want_b.tolist()))
+    assert len(want) >= 5  # the planted pairs are above threshold
+
+    import gscap_ray.queries as Q
+
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(emb)})
+    orig = Q._read
+    try:
+        Q._read = lambda sf, table, columns=None: rd.from_pandas(pdf)
+        got = Q.q_embedding_dupes_lsh("unused")
+    finally:
+        Q._read = orig
+    assert set(zip(got["id_a"], got["id_b"])) == want
