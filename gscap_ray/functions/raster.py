@@ -2,15 +2,17 @@
 
 Reference analog: the hourly-weather lookup keyed by (lat, lon, date)
 (/root/reference/gscap/weather.py:405-489) — a gridded context value sampled
-at point locations. Here a raster layer is a tiled global grid; tiles are
-numpy arrays materialized lazily per actor and cached, sampled with nearest
-or bilinear interpolation, fully vectorized.
+at point locations. A raster layer is a GLOBAL coarse field; tiles are the
+per-actor caching unit (numpy blocks materialized lazily, keyed by tile
+index), sampled with nearest or bilinear interpolation, fully vectorized.
 
-:class:`RasterLayer` is deterministic-synthetic (tile content derived from a
-seed + tile index), standing in for e.g. climate/population rasters; a real
-deployment would subclass and load tiles from object storage in
-``_load_tile`` — the Ray-side plumbing (broadcast config, per-actor tile
-cache, vectorized gather) is identical.
+The synthetic field is integer-hash arithmetic on the global coarse pixel
+index — deterministic AND replicable in oracle SQL (the raster_sample
+query), unlike the seeded-RNG field it replaces. Tile contents derive from
+*global* indices, so tiles are pure caches: values agree across tile
+borders by construction. A real deployment subclasses ``_load_tile`` to
+fetch tiles from object storage — the Ray-side plumbing (broadcast layer,
+per-actor tile cache, vectorized per-tile gather) is identical.
 """
 
 from __future__ import annotations
@@ -18,7 +20,19 @@ from __future__ import annotations
 import numpy as np
 
 TILE_DEG = 10.0  # one tile covers 10x10 degrees
-PIX_PER_DEG = 20  # 0.05-degree pixels
+PIX_PER_DEG = 2  # 0.5-degree coarse pixels
+
+_A = 2654435761
+_B = 40503
+_M = 2147483648  # 2^31
+
+
+def field_value(gy: np.ndarray, gx: np.ndarray, seed: int) -> np.ndarray:
+    """Global coarse-field value at integer pixel indices — the
+    SQL-replicable generator: ((gy*A + gx*B + seed*97) % 2^31) / 2^31 * 100."""
+    h = (gy.astype(np.int64) * _A + gx.astype(np.int64) * _B
+         + int(seed) * 97) % _M
+    return h / 2147483648.0 * 100.0
 
 
 class RasterLayer:
@@ -34,18 +48,9 @@ class RasterLayer:
 
     def _load_tile(self, ty: int, tx: int) -> np.ndarray:
         n = int(TILE_DEG * self.pix_per_deg)
-        rng = np.random.default_rng(self.seed * 1_000_003 + ty * 1000 + tx)
-        # smooth-ish deterministic field: low-res noise upsampled
-        coarse = rng.uniform(0.0, 100.0, size=(n // 10 + 2, n // 10 + 2))
-        yy = np.linspace(0, coarse.shape[0] - 2, n)
-        xx = np.linspace(0, coarse.shape[1] - 2, n)
-        y0 = yy.astype(int); x0 = xx.astype(int)
-        fy = (yy - y0)[:, None]; fx = (xx - x0)[None, :]
-        tile = (coarse[y0][:, x0] * (1 - fy) * (1 - fx)
-                + coarse[y0 + 1][:, x0] * fy * (1 - fx)
-                + coarse[y0][:, x0 + 1] * (1 - fy) * fx
-                + coarse[y0 + 1][:, x0 + 1] * fy * fx)
-        return tile
+        rows = ty * n + np.arange(n, dtype=np.int64)
+        cols = tx * n + np.arange(n, dtype=np.int64)
+        return field_value(rows[:, None], cols[None, :], self.seed)
 
     def _tile(self, ty: int, tx: int) -> np.ndarray:
         t = self._tiles.get((ty, tx))

@@ -1667,9 +1667,33 @@ FROM p GROUP BY user_id
 """
 
 
+SQL_RASTER_SAMPLE = f"""
+WITH p AS ({_PTS_SQL}),
+c AS (SELECT event_id, (lat + 90.0) * 2 AS gy, (lon + 180.0) * 2 AS gx FROM p),
+f AS (SELECT event_id, gy, gx,
+        CAST(floor(gy) AS BIGINT) AS y0, CAST(floor(gx) AS BIGINT) AS x0
+      FROM c),
+v AS (SELECT event_id, gy - y0 AS fy, gx - x0 AS fx,
+        ((y0*2654435761 + x0*40503 + 4074) % 2147483648)
+          / 2147483648.0 * 100.0 AS v00,
+        (((y0+1)*2654435761 + x0*40503 + 4074) % 2147483648)
+          / 2147483648.0 * 100.0 AS v10,
+        ((y0*2654435761 + (x0+1)*40503 + 4074) % 2147483648)
+          / 2147483648.0 * 100.0 AS v01,
+        (((y0+1)*2654435761 + (x0+1)*40503 + 4074) % 2147483648)
+          / 2147483648.0 * 100.0 AS v11
+      FROM f)
+SELECT event_id,
+  round(v00*(1-fy)*(1-fx) + v10*fy*(1-fx) + v01*(1-fy)*fx + v11*fy*fx, 4)
+    AS raster_value
+FROM v
+"""
+
+
 def q_raster_sample(sf_dir: str):
     """C10: deterministic raster sampled at event points (bilinear,
-    per-actor tile cache) — rows-only."""
+    per-actor tile cache) — oracle-checked: the global coarse field is
+    integer-hash arithmetic, so the SQL recomputes the exact bilinear."""
     import ray
 
     from .functions.raster import RasterLayer
@@ -2618,6 +2642,7 @@ ORACLE_SQL = {
     "first_event": SQL_FIRST_EVENT,
     "pairwise_distances": SQL_PAIRWISE_DISTANCES,
     "cell_dedup": SQL_CELL_DEDUP,
+    "raster_sample": SQL_RASTER_SAMPLE,
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "pages_label_stats": sql_pages_label_stats(),
     "pages_daily_features": sql_pages_daily_features(),
