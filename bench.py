@@ -99,13 +99,13 @@ def run_bench() -> dict:
     from gscap_ray.ops import topk_by_count
     from gscap_ray.stages.geocode import extract_host_arrow
     from gscap_ray.synth import geocode as synth_geocode
-    from gscap_ray.synth import hash64
+    from gscap_ray.synth import hash64, hash64_dictionary
 
     def cell_only(t: pa.Table) -> pa.Table:
-        hosts = extract_host_arrow(t["url"]).to_numpy(zero_copy_only=False)
+        host_h = hash64_dictionary(extract_host_arrow(t["url"]))
         urls = t["url"].to_numpy(zero_copy_only=False)
         ts_us = t["warc_ts"].cast(pa.int64()).to_numpy()
-        lat, lon = synth_geocode(hash64(hosts), hash64(urls), ts_us)
+        lat, lon = synth_geocode(host_h, hash64(urls), ts_us)
         return pa.table({"h3_r7": pa.array(
             hex_cell_id(lat, lon, 7).view(np.int64), pa.int64())})
 

@@ -276,11 +276,12 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
     )
 
     from ..stages.geocode import dataset_num_rows, geocode_tile_batch, partitions_for
+    from ..state.checkpoint import run_is_complete
 
     parts = partitions_for(dataset_num_rows(pages_dir))
     done = completed_partitions(out_dir, input_fingerprint)
-    if len(done) >= parts:
-        # every partition has a valid manifest: nothing to read at all
+    if run_is_complete(out_dir, input_fingerprint, done) or len(done) >= parts:
+        # prior run drained fully for this input: nothing to read at all
         return {"partitions": 0, "written": 0, "skipped": 0,
                 "rows_written": 0, "skipped_at_read": len(done)}
     ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS)

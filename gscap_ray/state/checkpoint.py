@@ -116,6 +116,13 @@ def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str):
 
     res = (labeled_ds.groupby("part_key")
            .map_groups(write_group, batch_format="pandas")).to_pandas()
+    # the dataset drained fully -> every input row is now under a valid
+    # manifest; record the full partition-key set so later resumes can
+    # short-circuit by re-validating manifests only (works even when some
+    # part_keys are empty and the dir count never reaches the nominal
+    # partition count; deleting/corrupting a partition invalidates it)
+    all_keys = done | set(int(k) for k in res["part_key"]) if len(res) else done
+    mark_run_complete(out_dir, input_fingerprint, all_keys)
     if len(res) == 0:  # everything was filtered out at the read (full resume)
         return {"partitions": 0, "written": 0, "skipped": 0, "rows_written": 0}
     return {
@@ -124,6 +131,30 @@ def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str):
         "skipped": int(res["skipped"].sum()),
         "rows_written": int(res["rows"].sum()),
     }
+
+
+def mark_run_complete(out_dir: str, input_fingerprint: str,
+                      part_keys: set[int]) -> None:
+    with open(os.path.join(out_dir, "_COMPLETE.json"), "w") as f:
+        json.dump({"input_fingerprint": input_fingerprint,
+                   "part_keys": sorted(int(k) for k in part_keys),
+                   "completed_at": time.time()}, f)
+
+
+def run_is_complete(out_dir: str, input_fingerprint: str,
+                    done: set[int]) -> bool:
+    """True iff a prior run for this input drained fully AND every
+    partition it wrote still carries a valid manifest (``done``)."""
+    p = os.path.join(out_dir, "_COMPLETE.json")
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return False
+    return (m.get("input_fingerprint") == input_fingerprint
+            and set(m.get("part_keys", [])) <= done)
 
 
 def filter_out_partitions(ds, done: set[int]):
