@@ -1877,8 +1877,10 @@ SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize
 
 def q_multimodal_features(sf_dir: str):
     """Multimodal binary-column pipeline: html payload -> actor-pool feature
-    extraction (stubbed decode, real Ray plumbing) -> per-lang mean feature
-    norm — rows-only."""
+    extraction (stub decode over an md5 payload hash, real Ray plumbing) ->
+    per-lang mean feature norm — oracle-checked (the payload derives from
+    ``text``, so SQL reconstructs the bytes, hashes with md5_number_lower
+    and replicates the float32 feature rounding via FLOAT casts)."""
     from ray.data.aggregate import Count, Mean
 
     from .stages.multimodal import BinaryFeatureExtractor
@@ -1889,7 +1891,7 @@ def q_multimodal_features(sf_dir: str):
                         fn_constructor_kwargs=dict(dim=16))
 
     def norm(t: pa.Table) -> pa.Table:
-        f = np.stack(t["features"].to_pandas().values)
+        f = np.stack(t["features"].to_pandas().values).astype(np.float64)
         n = np.linalg.norm(f, axis=1)
         return (t.select(["lang"]).append_column("fnorm", pa.array(n, pa.float64())))
 
@@ -1898,6 +1900,25 @@ def q_multimodal_features(sf_dir: str):
                                       Count(alias_name="n"))).to_pandas()
     out["mean_fnorm"] = out["mean_fnorm"].round(4)
     return out
+
+
+def sql_multimodal_features(
+        path: str = "/tmp/gscap_pages_sf0.01/*.parquet") -> str:
+    nibs = " + ".join(
+        f"CAST(((h >> {4 * k}) & 15) / 15.0 AS FLOAT)"
+        f" * CAST(((h >> {4 * k}) & 15) / 15.0 AS FLOAT)"
+        for k in range(1, 16))
+    return f"""
+WITH pg AS (SELECT lang, '<html><body>' || text || '</body></html>' AS html
+            FROM read_parquet('{path}')),
+hh AS (SELECT lang, md5_number_lower(html) AS h, strlen(html) AS sz FROM pg),
+f AS (SELECT lang,
+        sqrt(CAST(ln(1 + sz) AS FLOAT) * CAST(ln(1 + sz) AS FLOAT)
+             + {nibs}) AS fnorm
+      FROM hh)
+SELECT lang, round(avg(fnorm), 4) AS mean_fnorm, count(*) AS n
+FROM f GROUP BY lang
+"""
 
 
 def q_pages_clusters(sf_dir: str):
@@ -2651,4 +2672,5 @@ ORACLE_SQL = {
     "image_features": SQL_IMAGE_FEATURES,
     "spatial_clusters": _sql_spatial_clusters(),
     "next_phase_cores": _sql_next_phase_cores(),
+    "multimodal_features": sql_multimodal_features(),
 }

@@ -46,13 +46,15 @@ class BinaryFeatureExtractor:
             raise NotImplementedError(
                 "real decode requires an image/audio codec, not present in "
                 "this environment; plug a codec call here")
-        from ..synth import hash64
+        import hashlib
 
         n = len(payloads)
         sizes = np.array([len(p) if p is not None else 0 for p in payloads],
                          dtype=np.int64)
-        h = hash64(np.array([p if p is not None else b"" for p in payloads],
-                            dtype=object))
+        # md5-based payload hash (DuckDB md5_number_lower-compatible) so the
+        # stub features are oracle-checkable end to end
+        h = np.array([int.from_bytes(hashlib.md5(p or b"").digest()[8:], "little")
+                      for p in payloads], dtype=np.uint64)
         # deterministic pseudo-features: nibble expansion of the hash
         shifts = (np.arange(self.dim, dtype=np.uint64) * np.uint64(4)) % np.uint64(64)
         feats = ((h[:, None] >> shifts[None, :]) & np.uint64(0xF)).astype(np.float32) / 15.0
