@@ -132,3 +132,36 @@ def test_write_tiled(pages_dir, tmp_path):
         coarse = set(f"{v:016x}" for v in s2_parent(t["s2_cell"].to_numpy(), 4).tolist())
         assert coarse == {d.split("=", 1)[1]}
     assert total == N_PAGES
+
+
+def test_label_partition_equals_per_host_path(ray_session):
+    """The Arrow part_key fast path produces exactly the per-host pandas
+    path's labels (cid, binning, velocity features, distance_from_home) for
+    every url — the round-2 rewrite is a pure execution change."""
+    import numpy as np
+    import pandas as pd
+
+    from gscap_ray.pipelines.flagship import label_host_group, labeled_pages
+    from gscap_ray.stages.geocode import geocode_batch
+    from gscap_ray.synth import ensure_pages, generate_pages_table
+
+    pages_dir = ensure_pages("/tmp/gscap_eqtest_pages", 4000, n_hosts=6,
+                             days=4, seed=11)
+    new = labeled_pages(pages_dir).to_pandas().sort_values("url").reset_index(drop=True)
+
+    # reference path: per-host pandas labeling over the same geocoded rows
+    import pyarrow as pa
+
+    t = generate_pages_table(4000, n_hosts=6, days=4, seed=11)
+    g = geocode_batch(t).to_pandas()
+    outs = [label_host_group(grp) for _h, grp in g.groupby("host", sort=False)]
+    old = pd.concat(outs, ignore_index=True).sort_values("url").reset_index(drop=True)
+
+    assert list(new["url"]) == list(old["url"])
+    for col in ("cid", "binning"):
+        assert (new[col].values == old[col].values).all(), col
+    for col in ("displacement", "time_delta", "velocity", "distance_from_home"):
+        a, b = new[col].values, old[col].values
+        assert np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True), col
+    # byte identity of text through the new path
+    assert (new["text"].values == old["text"].values).all()
