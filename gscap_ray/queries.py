@@ -2481,11 +2481,15 @@ def q_pages_entries(sf_dir: str):
     dump = _labeled_dump_for(sf_dir)
     ds = rd.read_parquet(dump, columns=["host", "warc_ts", "lat", "lon",
                                         "binning", "cid"])
-    out = (ds.groupby("host")
-           .map_groups(entries_host_group, batch_format="pandas")).to_pandas()
-    out["lat"] = out["lat"].round(6)
-    out["lon"] = out["lon"].round(6)
-    return out
+
+    def rounded(g: pd.DataFrame) -> pd.DataFrame:
+        e = entries_host_group(g)
+        if len(e):
+            e["lat"] = e["lat"].round(6)
+            e["lon"] = e["lon"].round(6)
+        return e
+
+    return ds.groupby("host").map_groups(rounded, batch_format="pandas")
 
 
 def sql_pages_entries(path: str = _DUMP_GLOB) -> str:
