@@ -92,6 +92,30 @@ def hyperplane_lsh_codes(emb: np.ndarray, n_bits: int = 16, seed: int = 11) -> n
     return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(np.uint64)
 
 
+def rademacher_signs(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """(dim, n_bits) +/-1 hyperplane matrix from integer-hash bits —
+    SQL-replicable (multiply-mix then middle bit), standard sign-random-
+    projection LSH with Rademacher entries."""
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    b = np.arange(n_bits, dtype=np.int64)[None, :]
+    # mod-reduce between the multiplies keeps every product within int64
+    # (overflow-free => identical in BIGINT SQL; no silent numpy wraparound)
+    h1 = (d * 2654435761 + b * 40503 + int(seed) * 97) % (1 << 31)
+    h = (h1 * 2654435761) % (1 << 31)
+    return np.where((h >> 15) & 1 == 1, 1.0, -1.0)
+
+
+def rademacher_codes(emb: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
+    """uint64 bucket codes: sign bits of emb @ rademacher_signs (raw
+    embeddings — signs are scale-invariant, so no normalization and no
+    normalization-order float divergence vs the SQL oracle)."""
+    e = np.asarray(emb, dtype=np.float64)
+    s = rademacher_signs(e.shape[1], n_bits, seed)
+    bits = (e @ s) > 0
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(np.uint64)
+
+
 def ivf_assign(emb: np.ndarray, n_cells: int = 16, iters: int = 5, seed: int = 13):
     """Tiny deterministic k-means (IVF coarse quantizer). Returns
     (assignments, centroids). Scale path: search only the closest cells."""

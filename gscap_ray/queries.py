@@ -1996,18 +1996,18 @@ SELECT query_id, cid AS neighbor_id, rank FROM r WHERE rank <= 10
 
 
 def q_ann_lsh_recall(sf_dir: str):
-    """Scale-path ANN, fully distributed (VERDICT r1 fix #3): hyperplane-LSH
-    bucket prefilter (L tables + 1-bit multi-probe) as a map_batches stage
-    emitting (query_id, cand_id) matches, per-query exact re-rank in
-    map_groups, and a streaming brute-force baseline — no full-table
-    driver materialization. Returns (query_id, n_candidates, recall_at_10),
-    rows-only (recall is not SQL-expressible)."""
+    """Scale-path ANN, fully distributed (VERDICT r1 fix #3): sign-random-
+    projection LSH (Rademacher hyperplanes from an integer hash; L tables +
+    1-bit multi-probe) as a map_batches stage emitting (query_id, cand_id)
+    matches, per-query exact re-rank in map_groups, and a streaming
+    brute-force baseline. ORACLE-CHECKED: the hash-derived hyperplanes,
+    bucket gather, re-rank and recall are all replicated in SQL."""
     import ray
 
-    from .functions.ann import cosine_topk, hyperplane_lsh_codes, normalize
+    from .functions.ann import rademacher_codes
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    N_BITS, N_TABLES = 6, 3
+    N_BITS, N_TABLES = 8, 3
 
     # small side: the 5 query vectors + their probe sets per table
     qpd = emb.filter(expr="vec_id < 5").to_pandas()
@@ -2015,7 +2015,7 @@ def q_ann_lsh_recall(sf_dir: str):
     qmat = np.stack(qpd["embedding"].values).astype(np.float64)
     probes = []  # per table: dict code -> list of query positions
     for ti in range(N_TABLES):
-        qcodes = hyperplane_lsh_codes(qmat, n_bits=N_BITS, seed=11 + ti)
+        qcodes = rademacher_codes(qmat, n_bits=N_BITS, seed=11 + ti)
         lut: dict[int, list[int]] = {}
         for pos, qc in enumerate(qcodes):
             for code in {int(qc)} | {int(qc ^ np.uint64(1 << b)) for b in range(N_BITS)}:
@@ -2029,7 +2029,7 @@ def q_ann_lsh_recall(sf_dir: str):
         mat = np.stack(t["embedding"].to_pandas().values).astype(np.float64)
         out_q, out_c = [], []
         for ti, lut in enumerate(luts):
-            codes = hyperplane_lsh_codes(mat, n_bits=N_BITS, seed=11 + ti)
+            codes = rademacher_codes(mat, n_bits=N_BITS, seed=11 + ti)
             for code, qpos in lut.items():
                 m = codes == np.uint64(code)
                 if m.any():
@@ -2048,6 +2048,53 @@ def q_ann_lsh_recall(sf_dir: str):
             .groupby(["query_id", "cand_id"]).aggregate(Count(alias_name="_c"))
             .select_columns(["query_id", "cand_id"]))
     return _ann_recall_report(emb, cand, qids, qmat)
+
+
+SQL_ANN_LSH_RECALL = """
+WITH
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+codes AS (SELECT vec_id, t.tbl,
+    CAST(list_sum(list_transform(range(0, 8), b ->
+      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), d ->
+             v[d] * (CASE WHEN (((((d-1)*2654435761 + b*40503
+                                  + (11 + t.tbl)*97) % 2147483648)
+                                 * 2654435761) % 2147483648) >> 15 & 1 = 1
+                          THEN 1.0 ELSE -1.0 END))) > 0
+           THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS code
+  FROM e, (VALUES (0), (1), (2)) t(tbl)),
+q AS (SELECT vec_id AS query_id, tbl, code FROM codes WHERE vec_id < 5),
+probes AS (SELECT query_id, tbl, code FROM q
+           UNION
+           SELECT query_id, tbl, xor(code, CAST(1 AS BIGINT) << b)
+           FROM q, range(8) r(b)),
+cand AS (SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+         FROM probes p JOIN codes c ON c.tbl = p.tbl AND c.code = p.code),
+sim AS (SELECT cand.query_id, cand.cand_id,
+          list_cosine_similarity(qe.v, ce.v) AS sc
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ce ON ce.vec_id = cand.cand_id),
+lsh10 AS (SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, cand_id)
+             AS rk
+    FROM sim) WHERE rk <= 10),
+ncand AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+bs AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cid,
+         list_cosine_similarity(qq.v, cc.v) AS sc
+       FROM e qq CROSS JOIN e cc WHERE qq.vec_id < 5),
+b10 AS (SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, cid) AS rk
+    FROM bs) WHERE rk <= 10),
+inter AS (SELECT l.query_id, count(*) AS hits
+          FROM lsh10 l JOIN b10 b
+            ON l.query_id = b.query_id AND l.cand_id = b.cid
+          GROUP BY l.query_id)
+SELECT n.query_id, n.n_candidates,
+       round(coalesce(i.hits, 0) / 10.0, 2) AS recall_at_10
+FROM ncand n LEFT JOIN inter i ON n.query_id = i.query_id
+"""
 
 
 def _ann_recall_report(emb: rd.Dataset, cand: rd.Dataset, qids, qmat):
@@ -2655,6 +2702,7 @@ ORACLE_SQL = {
     "sampled_stats": SQL_SAMPLED_STATS,
     "hot_cells": sql_hot_cells(),
     "ann_topk": SQL_ANN_TOPK,
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "embedding_dupes": SQL_EMBEDDING_DUPES,
     # same exact-pair oracle: the LSH path must find every >0.95 pair
     "embedding_dupes_lsh": SQL_EMBEDDING_DUPES,
