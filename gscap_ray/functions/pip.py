@@ -90,20 +90,23 @@ class PolygonIndex:
             if not cands:
                 continue
             idx = order[s:e]
-            undecided = idx
+            la, lo = lat[idx], lon[idx]
+            res = np.full(idx.shape[0], -1, dtype=np.int64)
+            un = np.ones(idx.shape[0], dtype=bool)  # undecided positions
             for pi in cands:  # ascending id -> first match wins
-                if undecided.shape[0] == 0:
+                if not un.any():
                     break
                 b = self.bboxes[pi]
-                la, lo = lat[undecided], lon[undecided]
-                m = (la >= b[0]) & (la <= b[1]) & (lo >= b[2]) & (lo <= b[3])
+                m = un & (la >= b[0]) & (la <= b[1]) & (lo >= b[2]) & (lo <= b[3])
                 if not m.any():
                     continue
-                cand_pts = undecided[m]
+                pos = np.flatnonzero(m)
                 rx, ry = self.rings[pi]
-                hit = points_in_polygon(lon[cand_pts], lat[cand_pts], rx, ry)
-                out[cand_pts[hit]] = pi
-                undecided = undecided[~np.isin(undecided, cand_pts[hit])]
+                hit = points_in_polygon(lo[pos], la[pos], rx, ry)
+                hp = pos[hit]
+                res[hp] = pi
+                un[hp] = False
+            out[idx] = res
         return out
 
     def lookup_place_ids(self, idx: np.ndarray):
