@@ -1921,6 +1921,69 @@ FROM f GROUP BY lang
 """
 
 
+def q_pages_cluster_metrics(sf_dir: str):
+    """A3/C8 (cluster_metrics, gps.py:656-796) over the flagship entries:
+    per (host, cid != xNot) visit statistics — times_entered, total/mean/
+    std/max/min duration (hours, 3 dp, sample std), mean interval between
+    visit midpoints — oracle-checked (the mean interval telescopes, so it
+    is ordering-independent on both sides)."""
+    from .pipelines.flagship import entries_host_group
+
+    dump = _labeled_dump_for(sf_dir)
+    ds = rd.read_parquet(dump, columns=["host", "warc_ts", "lat", "lon",
+                                        "binning", "cid"])
+    entries = ds.groupby("host").map_groups(entries_host_group,
+                                            batch_format="pandas")
+
+    def per_cid(g: pd.DataFrame) -> pd.DataFrame:
+        dur_h = g["duration_s"].values / 3600.0
+        mid_s = g["midpoint"].values.astype("datetime64[us]").astype(np.int64) / 1e6
+        gaps = np.diff(np.sort(mid_s))
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "cid": [g["cid"].iloc[0]],
+            "times_entered": [len(g)],
+            "total_duration": [np.round(dur_h.sum(), 3)],
+            "mean_duration": [np.round(dur_h.mean(), 3)],
+            "std_duration": [np.round(float(pd.Series(dur_h).std()), 3)],
+            "max_duration": [np.round(dur_h.max(), 3)],
+            "min_duration": [np.round(dur_h.min(), 3)],
+            "mean_ti_between_visits":
+                [np.round(float(np.mean(gaps)) / 3600.0, 3)
+                 if gaps.size else np.nan],
+        })
+
+    def not_xnot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t["cid"], "xNot"))
+
+    return (entries.map_batches(not_xnot, batch_format="pyarrow")
+            .groupby(["host", "cid"]).map_groups(per_cid, batch_format="pandas"))
+
+
+def sql_pages_cluster_metrics(
+        path: str = "/tmp/gscap_labeled_sf0.01/*.parquet") -> str:
+    entries = sql_pages_entries(path)
+    return f"""
+WITH entries AS ({entries}),
+m AS (SELECT host, cid, duration_s / 3600.0 AS dur_h,
+             epoch_us(midpoint) / 1000000.0 AS mid_s
+      FROM entries WHERE cid <> 'xNot'),
+l AS (SELECT *, mid_s - lag(mid_s) OVER (PARTITION BY host, cid
+                                         ORDER BY mid_s) AS gap
+      FROM m)
+SELECT host, cid, count(*) AS times_entered,
+       round(sum(dur_h), 3) AS total_duration,
+       round(avg(dur_h), 3) AS mean_duration,
+       round(stddev_samp(dur_h), 3) AS std_duration,
+       round(max(dur_h), 3) AS max_duration,
+       round(min(dur_h), 3) AS min_duration,
+       round(avg(gap) / 3600.0, 3) AS mean_ti_between_visits
+FROM l GROUP BY host, cid
+"""
+
+
 def q_pages_clusters(sf_dir: str):
     """Flagship per-host cluster table (J5/A2 analog): per (host, cid)
     final-membership centroid (5 dp) + member count — oracle-checked over
@@ -2658,6 +2721,7 @@ QUERIES = {
     "pages_daily_features": q_pages_daily_features,
     "pages_entries": q_pages_entries,
     "pages_clusters": q_pages_clusters,
+    "pages_cluster_metrics": q_pages_cluster_metrics,
     "multimodal_features": q_multimodal_features,
     "image_features": q_image_features,
     "spatial_clusters": q_spatial_clusters,
@@ -2721,6 +2785,7 @@ ORACLE_SQL = {
     "pages_daily_features": sql_pages_daily_features(),
     "pages_entries": sql_pages_entries(),
     "pages_clusters": sql_pages_clusters(),
+    "pages_cluster_metrics": sql_pages_cluster_metrics(),
     "image_features": SQL_IMAGE_FEATURES,
     "spatial_clusters": _sql_spatial_clusters(),
     "next_phase_cores": _sql_next_phase_cores(),
