@@ -140,6 +140,12 @@ def run_bench() -> dict:
     timings["labeled_pages"] = round(time.time() - t0, 3)
     timings["labeled_pages_per_sec"] = round(n_pages / timings["labeled_pages"], 1)
 
+    # LLM-data operators (round 2; timed after the headline sum is fixed,
+    # so they report without shifting the cross-round headline series)
+    timed("minhash_dedup", lambda: Q.q_minhash_dedup(sf_dir))
+    timed("weather_daily", lambda: consume(Q.q_weather_daily(sf_dir)))
+    timed("place_normalize", lambda: consume(Q.q_place_normalize(sf_dir)))
+
     out = {
         "metric": "headline_pipeline_seconds",
         "value": headline,

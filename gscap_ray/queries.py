@@ -1269,22 +1269,42 @@ def q_minhash_dedup(sf_dir: str):
         nonempty = np.array([len(x.split()) > 0 for x in txt], dtype=bool)
         keys = batch_band_keys(txt[nonempty])
         n, b = keys.shape
+        # (band, key) folded into one bucket id; shuffle on a 256-way hash
+        # partition of it (per-bucket map_groups would mean one Python call
+        # per ~empty bucket — 300k+ groups at sf0.1)
+        bucket = (keys ^ (np.arange(b, dtype=np.uint64)[None, :]
+                          * np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
         return pa.table({
             "doc_id": pa.array(np.repeat(ids[nonempty], b), pa.int64()),
-            "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n), pa.int32()),
-            "key": pa.array(keys.view(np.int64).ravel(), pa.int64()),
+            "bucket": pa.array(bucket.ravel(), pa.int64()),
+            "part": pa.array((bucket.ravel() % 256).astype(np.int32), pa.int32()),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].unique())
-        if len(d) < 2:
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        bk = g["bucket"].values
+        ids = g["doc_id"].values
+        order = np.lexsort((ids, bk))
+        bs, di = bk[order], ids[order]
+        bounds = np.flatnonzero(np.diff(bs))
+        starts = np.concatenate([[0], bounds + 1])
+        ends = np.concatenate([bounds + 1, [len(bs)]])
+        sizes = ends - starts
+        out_a, out_b = [], []
+        for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
+            d = np.unique(di[s:e])
+            if d.shape[0] < 2:
+                continue
+            ii, jj = np.triu_indices(d.shape[0], k=1)
+            out_a.append(d[ii])
+            out_b.append(d[jj])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        ii, jj = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"doc_a": d[ii], "doc_b": d[jj]})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
     cand = (docs.map_batches(explode, batch_format="pyarrow")
-            .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+            .groupby("part").map_groups(pairs_part, batch_format="pandas")
             .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c"))
             .select_columns(["doc_a", "doc_b"]))
 
