@@ -194,4 +194,11 @@ def summarize_daily(g: pd.DataFrame) -> pd.DataFrame:
     out["temp_std"] = [std]
     out["temp_med"] = [np.round(q50, 2)]
     out["temp_IQR"] = [np.round(q75 - q25, 2)]
-    return pd.DataFrame(out)
+    df = pd.DataFrame(out)
+    # np.round(-0.004, 2) yields -0.0; DuckDB's round_even yields +0.0.
+    # Equal numerically but different bytes — normalize so a byte-level
+    # hash of the result matches the oracle. (+0.0 maps -0.0 to +0.0.)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].values + 0.0
+    return df

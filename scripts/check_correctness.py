@@ -53,6 +53,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+EXACT = os.environ.get("GSCAP_EXACT_CHECK", "") == "1"
+
+
 def compare(name, ray_df, sql_df):
     a, b = canon(ray_df), canon(sql_df)
     if list(a.columns) != list(b.columns):
@@ -62,6 +65,16 @@ def compare(name, ray_df, sql_df):
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         if pd.api.types.is_float_dtype(a[c]):
+            if EXACT:
+                # Byte-level equality, the driver's hash standard: -0.0 vs
+                # 0.0 and last-ulp differences count as mismatches.
+                ok = (av.astype(np.float64).view(np.uint64)
+                      == bv.astype(np.float64).view(np.uint64)).all()
+                if not ok:
+                    bad = np.where(av.astype(np.float64).view(np.uint64)
+                                   != bv.astype(np.float64).view(np.uint64))[0][:3]
+                    return (f"BITDIFF col={c} rows={bad.tolist()} "
+                            f"ray={av[bad]} sql={bv[bad]}")
             ok = np.allclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
         else:
             ok = (av == bv).all()
