@@ -100,6 +100,45 @@ def test_yelp_golden_and_precedence():
         parse_yelp_response(1)
 
 
+def test_yelp_full_table_loaded():
+    # VERDICT r2 #4: the FULL 1540-row alias space must be live, not a
+    # subset. 1539 data rows (header excluded) with first-wins dedup.
+    from gscap_ray.functions.places import YELP_TYPE_MAP
+
+    assert len(YELP_TYPE_MAP) >= 1500
+    assert set(YELP_TYPE_MAP.values()) >= {
+        "dining_out", "entertainment", "repair", "health", "consumer_goods",
+        "personal_services", "home_store", "automotive", "education",
+        "supermarket", "transit", "lodging", "finance",
+        "government_offices", "other_organization", "place_of_worship",
+        "place_of_mourning", "park"}
+
+
+@pytest.mark.parametrize("alias,major", [
+    # goldens OUTSIDE the pre-r3 subset (reference yelp table rows)
+    ("absinthebars", "entertainment"),
+    ("acupuncture", "health"),
+    ("courthouses", "government_offices"),
+    ("funeralservices", "place_of_mourning"),
+    ("mortuaryservices", "place_of_mourning"),
+    ("departmentsofmotorvehicles", "government_offices"),
+    ("abruzzese", "dining_out"),
+    ("accountants", "finance"),
+])
+def test_yelp_out_of_subset_goldens(alias, major):
+    c = json.dumps({"businesses": [
+        {"name": "x", "categories": [{"alias": alias}]}]})
+    assert parse_yelp_response(c)["major_categories"] == major
+
+
+def test_yelp_unknown_alias_defaults_undefined():
+    # documented deviation: reference .loc raises KeyError on an unmapped
+    # alias; the engine degrades to 'undefined category' (gmapping's rule)
+    c = json.dumps({"businesses": [
+        {"name": "x", "categories": [{"alias": "not-a-real-alias"}]}]})
+    assert parse_yelp_response(c)["major_categories"] == "undefined category"
+
+
 def test_place_normalize_matches_oracle(ray_session):
     import duckdb
 
