@@ -108,8 +108,16 @@ def rademacher_signs(dim: int, n_bits: int, seed: int) -> np.ndarray:
 def rademacher_codes(emb: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
     """uint64 bucket codes: sign bits of emb @ rademacher_signs (raw
     embeddings — signs are scale-invariant, so no normalization and no
-    normalization-order float divergence vs the SQL oracle)."""
+    normalization-order float divergence vs the SQL oracle).
+
+    The embedding is quantized to the 2^-12 dyadic grid first (ADVICE r2
+    #5): every +/-1 product is then an exact multiple of 2^-12 and the
+    64-term projection sum is exactly representable in float64, so BLAS
+    pairwise/FMA ordering and SQL's sequential list_sum produce the SAME
+    double — the sign bit cannot straddle 0 differently on the two
+    sides."""
     e = np.asarray(emb, dtype=np.float64)
+    e = np.rint(e * 4096.0) / 4096.0
     s = rademacher_signs(e.shape[1], n_bits, seed)
     bits = (e @ s) > 0
     weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))

@@ -201,6 +201,25 @@ _HEX_EDGE0_DEG = 9.96
 _SQRT3 = np.sqrt(3.0)
 _HEX_OFFSET = 1 << 27
 
+# Canonical aperture-7 inter-resolution rotation (H3's Class II/III
+# alternation, ISEA7H): each finer grid is rotated by
+# alpha = atan(sqrt(3)/5) ~ 19.1066 deg so that the coarser lattice is
+# EXACTLY the index-7 sublattice of the finer one (generated by axial
+# (2, 1), whose hex norm 2^2 + 2*1 + 1^2 = 7). cos/sin are the algebraic
+# constants 5/(2*sqrt(7)) and sqrt(3)/(2*sqrt(7)).
+_HEX_COS = 0.944911182523068
+_HEX_SIN = 0.32732683535398854
+
+
+def _hex_rot(res: int) -> tuple[float, float]:
+    """(cos, sin) of res*alpha via sequential complex product — the SAME
+    iteration generates the literals embedded in the SQL oracle, so both
+    sides use bit-identical rotation entries."""
+    c, s = 1.0, 0.0
+    for _ in range(res):
+        c, s = c * _HEX_COS - s * _HEX_SIN, c * _HEX_SIN + s * _HEX_COS
+    return c, s
+
 
 def _hex_edge(res: int) -> float:
     return _HEX_EDGE0_DEG / (7.0 ** (res / 2.0))
@@ -210,15 +229,23 @@ def hex_cell_id(lat_deg, lon_deg, res: int = 7) -> np.ndarray:
     """Vectorized lat/lon -> H3-style hex cell id (uint64): res<<56|q<<28|r.
 
     Pointy-top axial coordinates over equirectangular degrees with
-    cube-rounding to the nearest hex center.
-    """
+    cube-rounding to the nearest hex center. Resolutions form a TRUE
+    aperture-7 hierarchy: grid r+1 is scaled by 1/sqrt(7) and rotated by
+    alpha relative to grid r, so every res-r cell has exactly 7 res-(r+1)
+    children (hex_children) and every cell one parent (hex_parent) — the
+    H3 invariants, verified by the property suite in
+    tests/test_hex_hierarchy.py (the 122-base-cell icosahedral H3
+    numbering itself is re-scoped, deviation #7)."""
     if not 0 <= res <= 15:
         raise ValueError("res must be in [0, 15]")
     x = np.asarray(lon_deg, dtype=np.float64)
     y = np.asarray(lat_deg, dtype=np.float64)
+    c, s = _hex_rot(res)
+    xr = c * x - s * y
+    yr = s * x + c * y
     size = _hex_edge(res)
-    q = (_SQRT3 / 3.0 * x - y / 3.0) / size
-    r = (2.0 / 3.0 * y) / size
+    q = (_SQRT3 / 3.0 * xr - yr / 3.0) / size
+    r = (2.0 / 3.0 * yr) / size
     q, r = _cube_round(q, r)
     return ((np.uint64(res) << np.uint64(56))
             | ((q + _HEX_OFFSET).astype(np.uint64) << np.uint64(28))
@@ -240,16 +267,77 @@ def _cube_round(qf, rf):
     return q.astype(np.int64), r.astype(np.int64)
 
 
-def hex_cell_center(cell_id) -> tuple[np.ndarray, np.ndarray]:
-    """(lat, lon) degrees of hex cell centers."""
+def _hex_decode(cell_id):
     cid = np.asarray(cell_id, dtype=np.uint64)
     res = (cid >> np.uint64(56)).astype(np.int64)
     q = ((cid >> np.uint64(28)) & np.uint64((1 << 28) - 1)).astype(np.int64) - _HEX_OFFSET
     r = (cid & np.uint64((1 << 28) - 1)).astype(np.int64) - _HEX_OFFSET
+    return res, q, r
+
+
+def _hex_encode(res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
+    return ((np.uint64(res) << np.uint64(56))
+            | ((q + _HEX_OFFSET).astype(np.uint64) << np.uint64(28))
+            | (r + _HEX_OFFSET).astype(np.uint64))
+
+
+def hex_cell_center(cell_id) -> tuple[np.ndarray, np.ndarray]:
+    """(lat, lon) degrees of hex cell centers."""
+    res, q, r = _hex_decode(cell_id)
     size = _HEX_EDGE0_DEG / (7.0 ** (res / 2.0))
-    x = size * (_SQRT3 * q + _SQRT3 / 2.0 * r)
-    y = size * (1.5 * r)
+    xr = size * (_SQRT3 * q + _SQRT3 / 2.0 * r)
+    yr = size * (1.5 * r)
+    rs = np.atleast_1d(res)
+    cs = np.array([_hex_rot(int(v)) for v in rs])
+    c = cs[:, 0].reshape(np.shape(res)) if np.ndim(res) else cs[0, 0]
+    s = cs[:, 1].reshape(np.shape(res)) if np.ndim(res) else cs[0, 1]
+    x = c * xr + s * yr
+    y = -s * xr + c * yr
     return y, x  # lat, lon
+
+
+def hex_parent(cell_id) -> np.ndarray:
+    """Aperture-7 parent: the coarser lattice is the index-7 sublattice of
+    the child lattice (basis (2,1)/(-1,3) in child axial coords), so the
+    parent is cube_round(T^-1 (q, r)) with T^-1 = [[3, 1], [-1, 2]]/7 —
+    EXACT lattice arithmetic, identical to the geometric
+    nearest-parent-center assignment (verified 1.0 agreement in the
+    property suite)."""
+    res, q, r = _hex_decode(cell_id)
+    res0 = int(np.atleast_1d(res)[0])
+    if res0 < 1:
+        raise ValueError("res-0 cells have no parent")
+    af = (3.0 * q + r) / 7.0
+    bf = (-1.0 * q + 2.0 * r) / 7.0
+    a, b = _cube_round(af, bf)
+    return _hex_encode(res0 - 1, a, b)
+
+
+# the 7 cosets of the index-7 sublattice: center + its 6 inner offsets
+_HEX_COSETS = np.array([(0, 0), (1, 0), (0, 1), (-1, 1),
+                        (-1, 0), (0, -1), (1, -1)], dtype=np.int64)
+
+
+def hex_children(cell_id) -> np.ndarray:
+    """The exactly-7 aperture-7 children of each cell: T (a, b) =
+    (2a - b, a + 3b) in child axial coords, plus the 6 unit offsets."""
+    res, a, b = _hex_decode(cell_id)
+    res0 = int(np.atleast_1d(res)[0])
+    cq = 2 * a - b
+    cr = a + 3 * b
+    q = (np.atleast_1d(cq)[:, None] + _HEX_COSETS[None, :, 0]).ravel()
+    r = (np.atleast_1d(cr)[:, None] + _HEX_COSETS[None, :, 1]).ravel()
+    return _hex_encode(res0 + 1, q, r)
+
+
+def hex_neighbors(cell_id) -> np.ndarray:
+    """The 6 edge neighbors of each cell (axial unit directions)."""
+    res, q, r = _hex_decode(cell_id)
+    res0 = int(np.atleast_1d(res)[0])
+    d = _HEX_COSETS[1:]  # the 6 unit hex directions
+    qn = (np.atleast_1d(q)[:, None] + d[None, :, 0]).ravel()
+    rn = (np.atleast_1d(r)[:, None] + d[None, :, 1]).ravel()
+    return _hex_encode(res0, qn, rn)
 
 
 # ------------------------------------------------------------- grid --------

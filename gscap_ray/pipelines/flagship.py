@@ -279,8 +279,10 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
     from ..state.checkpoint import run_is_complete
 
     parts = partitions_for(dataset_num_rows(pages_dir))
-    done = completed_partitions(out_dir, input_fingerprint)
-    if run_is_complete(out_dir, input_fingerprint, done) or len(done) >= parts:
+    # partition count rides along so manifests written under a different
+    # layout (e.g. a changed partitions_for target) never validate
+    done = completed_partitions(out_dir, input_fingerprint, parts)
+    if run_is_complete(out_dir, input_fingerprint, done, parts) or len(done) >= parts:
         # prior run drained fully for this input: nothing to read at all
         return {"partitions": 0, "written": 0, "skipped": 0,
                 "rows_written": 0, "skipped_at_read": len(done)}
@@ -293,22 +295,74 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
         ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
                             batch_format="pyarrow", concurrency=enrich_concurrency)
     labeled = ds.groupby("part_key").map_groups(label_partition, batch_format="pyarrow")
-    summary = run_partitioned(labeled, out_dir, input_fingerprint)
+    summary = run_partitioned(labeled, out_dir, input_fingerprint, parts)
     summary["skipped_at_read"] = len(done)
     return summary
 
 
+ENTRIES_PARTITIONS = 256
+
+
+def _add_part_key(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Append an int partition key derived from the host string so the
+    downstream shuffle exchanges a uint32 instead of sorting host strings
+    (VERDICT r2 #6). Recomputed from `host` rather than reusing a
+    possibly-present part_key column: cheap (one murmur pass per batch)
+    and works for callers reading the labeled dump, which drops it."""
+    from ..stages.geocode import hash64
+
+    ds = ds.select_columns(cols)
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        hh = hash64(t["host"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "part_key",
+            pa.array((hh % np.uint64(ENTRIES_PARTITIONS)).astype(np.uint32),
+                     pa.uint32()))
+
+    return ds.map_batches(add_pk, batch_format="pyarrow", batch_size=None)
+
+
+def _apply_per_host(per_host_fn, g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized in-task host sub-grouping for one part_key partition:
+    factorize (C hash) + one stable argsort, then the per-host pandas
+    kernel runs per contiguous slice — the fused_partition_arrow pattern,
+    replacing one Ray group (and reduce task) per host string."""
+    if len(g) == 0:
+        return pd.DataFrame()
+    codes, _ = pd.factorize(g["host"].values)
+    order = np.argsort(codes, kind="stable")
+    g = g.iloc[order].reset_index(drop=True)
+    codes = codes[order]
+    bounds = np.flatnonzero(np.diff(codes))
+    starts = np.concatenate([[0], bounds + 1])
+    ends = np.concatenate([bounds + 1, [len(codes)]])
+    outs = [per_host_fn(g.iloc[s:e]) for s, e in zip(starts, ends)]
+    outs = [o for o in outs if len(o)]
+    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+
+
+def _entries_partition(g: pd.DataFrame) -> pd.DataFrame:
+    return _apply_per_host(entries_host_group, g)
+
+
+def _daily_partition(g: pd.DataFrame) -> pd.DataFrame:
+    return _apply_per_host(daily_host_group, g)
+
+
 def entries_table(labeled: rd.Dataset) -> rd.Dataset:
     cols = ["host", "warc_ts", "lat", "lon", "binning", "cid"]
-    return (labeled.select_columns(cols)
-            .groupby("host").map_groups(entries_host_group, batch_format="pandas"))
+    return (_add_part_key(labeled, cols)
+            .groupby("part_key")
+            .map_groups(_entries_partition, batch_format="pandas"))
 
 
 def daily_features(labeled: rd.Dataset) -> rd.Dataset:
     cols = ["host", "warc_ts", "lat", "lon", "binning", "cid",
             "time_delta", "displacement"]
-    return (labeled.select_columns(cols)
-            .groupby("host").map_groups(daily_host_group, batch_format="pandas"))
+    return (_add_part_key(labeled, cols)
+            .groupby("part_key")
+            .map_groups(_daily_partition, batch_format="pandas"))
 
 
 def cluster_table(labeled: rd.Dataset) -> rd.Dataset:

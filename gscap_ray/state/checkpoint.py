@@ -28,6 +28,19 @@ import numpy as np
 import pandas as pd
 
 
+# Hash-scheme version stamped into every manifest. Bump whenever the
+# host -> part_key mapping changes (hash function, salt, key column):
+# a manifest from another scheme must never validate, or resume will
+# silently drop rows whose new part_key collides with an old directory
+# (ADVICE r2, medium).
+LAYOUT_SCHEME = "murmur-host-v1"
+
+
+def _layout(partitions: int | None) -> dict | None:
+    return None if partitions is None else {
+        "partitions": int(partitions), "scheme": LAYOUT_SCHEME}
+
+
 def partition_fingerprint(part_key: int, input_fingerprint: str) -> str:
     return f"{input_fingerprint}:{part_key}"
 
@@ -43,22 +56,32 @@ def load_manifest(part_dir: str) -> dict | None:
         return None
 
 
-def completed_partitions(out_dir: str, input_fingerprint: str) -> set[int]:
-    """Partition keys whose manifest validates against the input."""
+def completed_partitions(out_dir: str, input_fingerprint: str,
+                         partitions: int | None = None) -> set[int]:
+    """Partition keys whose manifest validates against the input AND the
+    current partition layout. A manifest written under a different
+    partition count (partitions_for can change with target_rows) or hash
+    scheme is treated as NOT done — its part_key numbers a different row
+    set, so skipping it would lose rows on cross-version resume."""
     done = set()
     if not os.path.isdir(out_dir):
         return done
+    want_layout = _layout(partitions)
     for name in os.listdir(out_dir):
         if not name.startswith("part_key="):
             continue
         m = load_manifest(os.path.join(out_dir, name))
-        if m and m.get("input_fingerprint") == input_fingerprint:
-            done.add(int(name.split("=", 1)[1]))
+        if not m or m.get("input_fingerprint") != input_fingerprint:
+            continue
+        if want_layout is not None and m.get("layout") != want_layout:
+            continue
+        done.add(int(name.split("=", 1)[1]))
     return done
 
 
 def write_partition(df: pd.DataFrame, out_dir: str, part_key: int,
-                    input_fingerprint: str, metrics: dict | None = None) -> dict:
+                    input_fingerprint: str, metrics: dict | None = None,
+                    partitions: int | None = None) -> dict:
     """Atomically write one partition + manifest; returns the manifest."""
     from ..synth import hash64
 
@@ -75,6 +98,7 @@ def write_partition(df: pd.DataFrame, out_dir: str, part_key: int,
     manifest = {
         "part_key": int(part_key),
         "input_fingerprint": input_fingerprint,
+        "layout": _layout(partitions),
         "rows": int(len(df)),
         "text_xor_hash": text_checksum,
         "write_seconds": round(time.time() - t0, 3),
@@ -88,13 +112,14 @@ def write_partition(df: pd.DataFrame, out_dir: str, part_key: int,
     return manifest
 
 
-def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str):
+def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str,
+                    partitions: int | None = None):
     """Consume a labeled Dataset, writing one checkpointed partition per
     part_key and skipping already-valid partitions. Returns summary dict.
 
     Uses ``map_groups`` on part_key so each partition is written by the task
     that holds its rows (no driver materialization)."""
-    done = completed_partitions(out_dir, input_fingerprint)
+    done = completed_partitions(out_dir, input_fingerprint, partitions)
     os.makedirs(out_dir, exist_ok=True)
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -111,7 +136,8 @@ def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str):
         if "cid" in g.columns:
             metrics["cid_counts"] = {str(k): int(v)
                                      for k, v in g["cid"].value_counts().items()}
-        m = write_partition(g, out_dir, pk, input_fingerprint, metrics=metrics)
+        m = write_partition(g, out_dir, pk, input_fingerprint,
+                            metrics=metrics, partitions=partitions)
         return pd.DataFrame({"part_key": [pk], "rows": [m["rows"]], "skipped": [False]})
 
     res = (labeled_ds.groupby("part_key")
@@ -122,7 +148,7 @@ def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str):
     # part_keys are empty and the dir count never reaches the nominal
     # partition count; deleting/corrupting a partition invalidates it)
     all_keys = done | set(int(k) for k in res["part_key"]) if len(res) else done
-    mark_run_complete(out_dir, input_fingerprint, all_keys)
+    mark_run_complete(out_dir, input_fingerprint, all_keys, partitions)
     if len(res) == 0:  # everything was filtered out at the read (full resume)
         return {"partitions": 0, "written": 0, "skipped": 0, "rows_written": 0}
     return {
@@ -134,17 +160,20 @@ def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str):
 
 
 def mark_run_complete(out_dir: str, input_fingerprint: str,
-                      part_keys: set[int]) -> None:
+                      part_keys: set[int],
+                      partitions: int | None = None) -> None:
     with open(os.path.join(out_dir, "_COMPLETE.json"), "w") as f:
         json.dump({"input_fingerprint": input_fingerprint,
+                   "layout": _layout(partitions),
                    "part_keys": sorted(int(k) for k in part_keys),
                    "completed_at": time.time()}, f)
 
 
 def run_is_complete(out_dir: str, input_fingerprint: str,
-                    done: set[int]) -> bool:
-    """True iff a prior run for this input drained fully AND every
-    partition it wrote still carries a valid manifest (``done``)."""
+                    done: set[int], partitions: int | None = None) -> bool:
+    """True iff a prior run for this input drained fully under the SAME
+    partition layout AND every partition it wrote still carries a valid
+    manifest (``done``)."""
     p = os.path.join(out_dir, "_COMPLETE.json")
     if not os.path.exists(p):
         return False
@@ -152,6 +181,9 @@ def run_is_complete(out_dir: str, input_fingerprint: str,
         with open(p) as f:
             m = json.load(f)
     except (json.JSONDecodeError, OSError):
+        return False
+    want_layout = _layout(partitions)
+    if want_layout is not None and m.get("layout") != want_layout:
         return False
     return (m.get("input_fingerprint") == input_fingerprint
             and set(m.get("part_keys", [])) <= done)

@@ -111,6 +111,48 @@ def test_checkpoint_resume(pages_dir, tmp_path):
     assert s4["written"] == s1["written"] and s4["skipped_at_read"] == 0
 
 
+def test_checkpoint_layout_binding(tmp_path):
+    """ADVICE r2 (medium): a manifest written under a different partition
+    layout (count or hash-scheme version) must NOT validate — resuming
+    across a layout change would silently drop rows whose new part_key
+    collides with an old directory."""
+    import pandas as pd
+
+    from gscap_ray.state.checkpoint import (
+        LAYOUT_SCHEME,
+        completed_partitions,
+        run_is_complete,
+        write_partition,
+    )
+
+    out = str(tmp_path / "ck")
+    os.makedirs(out)
+    df = pd.DataFrame({"part_key": [3, 3], "v": [1, 2]})
+    write_partition(df, out, 3, "fpX", partitions=128)
+
+    # same layout -> valid; different count -> invalid; unknown -> lenient
+    assert completed_partitions(out, "fpX", 128) == {3}
+    assert completed_partitions(out, "fpX", 256) == set()
+    assert completed_partitions(out, "fpX") == {3}
+
+    # legacy manifest without a layout stamp never validates against a
+    # layout-aware resume
+    with open(os.path.join(out, "part_key=3", "manifest.json")) as f:
+        m = json.load(f)
+    m.pop("layout")
+    with open(os.path.join(out, "part_key=3", "manifest.json"), "w") as f:
+        json.dump(m, f)
+    assert completed_partitions(out, "fpX", 128) == set()
+
+    # _COMPLETE.json is layout-bound the same way
+    from gscap_ray.state.checkpoint import mark_run_complete
+
+    mark_run_complete(out, "fpX", {3}, partitions=128)
+    assert run_is_complete(out, "fpX", {3}, 128)
+    assert not run_is_complete(out, "fpX", {3}, 256)
+    assert LAYOUT_SCHEME.startswith("murmur-host")
+
+
 def test_write_tiled(pages_dir, tmp_path):
     import os
 
