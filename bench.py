@@ -146,6 +146,39 @@ def run_bench() -> dict:
     timed("weather_daily", lambda: consume(Q.q_weather_daily(sf_dir)))
     timed("place_normalize", lambda: consume(Q.q_place_normalize(sf_dir)))
 
+    # skewed-host stress (VERDICT r2 #10, SURVEY §4): same-size pages world
+    # with ONE host holding 10% of all pages (the per-host stream is the
+    # unsplittable clustering unit). Runs the fused flagship end-to-end on
+    # it plus the salted hot-cell aggregate (the hot host concentrates its
+    # pages into hot tile keys); skew_ratio ~1.0-1.3 means the streaming
+    # executor overlaps the hot partition with the remaining work and the
+    # salted partials absorb the hot keys.
+    skew_dir = ensure_pages(f"/tmp/gscap_bench_pages_skew_{n_pages}", n_pages,
+                            n_hosts=n_hosts, days=6, seed=42, files=32,
+                            hot_frac=0.10)
+    for root, _dirs, files in os.walk(skew_dir):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+
+    def flagship_skew():
+        daily_features_direct(skew_dir, polygons=polys).count()
+
+    timed("flagship_pages_skew", flagship_skew)
+    timings["skew_ratio"] = round(
+        timings["flagship_pages_skew"] / timings["flagship_pages"], 3)
+
+    def hot_cells_skew():
+        ds = rd.read_parquet(skew_dir, columns=["url", "warc_ts"])
+        ds = ds.map_batches(cell_only, batch_format="pyarrow", batch_size=None)
+        # salt>0: the planted hot host makes a few tile keys hold ~10% of
+        # rows — the exact few-hot-keys regime the salt exists for
+        topk_by_count(ds, "h3_r7", 10, salt=8, combine_blocks=16)
+
+    timed("hot_cells_topk_skew", hot_cells_skew)
+    timings["hot_cells_skew_ratio"] = round(
+        timings["hot_cells_topk_skew"] / timings["hot_cells_topk"], 3)
+
     out = {
         "metric": "headline_pipeline_seconds",
         "value": headline,

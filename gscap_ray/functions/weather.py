@@ -95,7 +95,13 @@ def normalize_requests(requests):
 
     return [one(r) for r in requests]
 MEASURES = ("temperature", "humidity", "cloudCover", "dewPoint",
-            "precipIntensity")
+            "precipIntensity",
+            # full hourly breadth (reference weather.py:46-53 HOURLY_COLS;
+            # the daily summary consumes only the 5 above — these ride
+            # along so a reference user keeps every numeric measure)
+            "precipProbability", "apparentTemperature", "pressure",
+            "windSpeed", "windBearing", "uvIndex", "visibility", "ozone",
+            "windGust")
 
 
 def weather_cell(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
@@ -109,12 +115,22 @@ def hourly_values(cell: np.ndarray, d: np.ndarray, hour: np.ndarray) -> dict:
     c, dd, h = (cell.astype(np.int64), d.astype(np.int64),
                 hour.astype(np.int64))
     temp = ((c * 31 + h * 7 + dd * 13) % 400) / 10.0 - 10.0
+    wind = ((c * 19 + h * 3 + dd * 5) % 300) / 10.0
     return {
         "temperature": temp,
         "humidity": ((c * 17 + h * 5 + dd * 3) % 101) / 100.0,
         "cloudCover": ((c * 23 + h * 11 + dd * 7) % 101) / 100.0,
         "dewPoint": temp - ((c * 7 + h) % 50) / 10.0,
         "precipIntensity": ((c * 41 + h * 13 + dd * 17) % 100) / 1000.0,
+        "precipProbability": ((c * 43 + h * 19 + dd * 11) % 101) / 100.0,
+        "apparentTemperature": temp - ((c * 11 + h * 2) % 30) / 10.0,
+        "pressure": 980.0 + ((c * 13 + h * 17 + dd * 23) % 600) / 10.0,
+        "windSpeed": wind,
+        "windBearing": ((c * 29 + h * 23 + dd * 31) % 360) / 1.0,
+        "uvIndex": ((c * 3 + h * 13 + dd) % 12) / 1.0,
+        "visibility": ((c * 37 + h * 29 + dd * 41) % 161) / 10.0,
+        "ozone": 250.0 + ((c * 47 + h * 31 + dd * 37) % 1500) / 10.0,
+        "windGust": wind + ((c * 5 + h * 7 + dd * 3) % 80) / 10.0,
     }
 
 

@@ -969,10 +969,22 @@ hourly AS (
      ((cell*23 + h*11 + d*7) % 101) / 100.0 AS cloudCover,
      ((cell*31 + h*7 + d*13) % 400) / 10.0 - 10.0
        - ((cell*7 + h) % 50) / 10.0 AS dewPoint,
-     ((cell*41 + h*13 + d*17) % 100) / 1000.0 AS precipIntensity
+     ((cell*41 + h*13 + d*17) % 100) / 1000.0 AS precipIntensity,
+     ((cell*43 + h*19 + d*11) % 101) / 100.0 AS precipProbability,
+     ((cell*31 + h*7 + d*13) % 400) / 10.0 - 10.0
+       - ((cell*11 + h*2) % 30) / 10.0 AS apparentTemperature,
+     980.0 + ((cell*13 + h*17 + d*23) % 600) / 10.0 AS pressure,
+     ((cell*19 + h*3 + d*5) % 300) / 10.0 AS windSpeed,
+     ((cell*29 + h*23 + d*31) % 360) / 1.0 AS windBearing,
+     ((cell*3 + h*13 + d) % 12) / 1.0 AS uvIndex,
+     ((cell*37 + h*29 + d*41) % 161) / 10.0 AS visibility,
+     250.0 + ((cell*47 + h*31 + d*37) % 1500) / 10.0 AS ozone,
+     ((cell*19 + h*3 + d*5) % 300) / 10.0
+       + ((cell*5 + h*7 + d*3) % 80) / 10.0 AS windGust
   FROM req, range(24) t(h) WHERE cell % 13 <> 0
   UNION ALL
-  SELECT cell, d, 12, NULL, NULL, NULL, NULL, NULL
+  SELECT cell, d, 12, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
   FROM req WHERE cell % 13 = 0),
 hourly_d AS (SELECT *, strftime(make_timestamp(d * 86400000000), '%Y-%m-%d')
                     AS date FROM hourly)
@@ -1015,7 +1027,8 @@ def q_hourly_weather(sf_dir: str):
 
 SQL_HOURLY_WEATHER = _WX_HOURLY_SQL + """
 SELECT cell, hour, temperature, humidity, cloudCover, dewPoint,
-       precipIntensity, date
+       precipIntensity, precipProbability, apparentTemperature, pressure,
+       windSpeed, windBearing, uvIndex, visibility, ozone, windGust, date
 FROM hourly_d
 """
 
@@ -1027,7 +1040,12 @@ def q_weather_daily(sf_dir: str):
     percentile == round_even virtual index)."""
     from .functions.weather import summarize_daily
 
+    # prune to the 5 consumed measures before the shuffle (the hourly table
+    # now carries the full 14-measure breadth)
+    cols = ["cell", "date", "cloudCover", "dewPoint", "humidity",
+            "temperature", "precipIntensity"]
     return (_weather_hourly_ds(sf_dir)
+            .select_columns(cols)
             .groupby(["cell", "date"])
             .map_groups(summarize_daily, batch_format="pandas"))
 

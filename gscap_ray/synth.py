@@ -131,10 +131,27 @@ def _zipf_counts(n_pages: int, n_hosts: int, alpha: float = 0.5) -> np.ndarray:
 
 
 def generate_pages_table(n_pages: int, n_hosts: int = 50, days: int = 6,
-                         seed: int = 42) -> pa.Table:
+                         seed: int = 42, hot_frac: float = 0.0) -> pa.Table:
     """Build the pages table in memory (deterministic; ``seed`` varies the
-    host name universe)."""
+    host name universe). ``hot_frac`` > 0 plants a pathological hot host
+    holding that fraction of ALL pages (skew stress, SURVEY §4 /
+    VERDICT r2 #10) — bypassing the default 1.5% per-host cap."""
     counts = _zipf_counts(n_pages, n_hosts)
+    if hot_frac > 0.0:
+        want = int(n_pages * hot_frac)
+        # take the surplus evenly from the others, keeping n_pages exact
+        surplus = want - counts[0]
+        if surplus > 0:
+            take = np.minimum(counts[1:] - 8,
+                              np.ceil(surplus / (n_hosts - 1)).astype(np.int64))
+            taken = np.minimum(take, np.maximum(counts[1:] - 8, 0))
+            cum = np.cumsum(taken)
+            stop = np.searchsorted(cum, surplus)
+            taken[stop + 1:] = 0
+            if stop < len(taken):
+                taken[stop] -= int(cum[stop] - surplus)
+            counts[1:] -= taken
+            counts[0] += int(taken.sum())
     hosts = np.array([f"h{seed}-{i}.example.com" for i in range(n_hosts)], dtype=object)
 
     total_slots = days * 1440
@@ -171,14 +188,15 @@ def generate_pages_table(n_pages: int, n_hosts: int = 50, days: int = 6,
 
 
 def ensure_pages(out_dir: str, n_pages: int, n_hosts: int = 50, days: int = 6,
-                 seed: int = 42, files: int = 8) -> str:
+                 seed: int = 42, files: int = 8, hot_frac: float = 0.0) -> str:
     """Write (once) a deterministic pages parquet dataset; returns out_dir.
 
     Split into ``files`` row-group-aligned part files so ray.data can
     parallelize the read.
     """
     marker = os.path.join(out_dir, "_DONE")
-    stamp = f"v3 rows={n_pages} hosts={n_hosts} days={days} seed={seed}\n"
+    hot = f" hot={hot_frac}" if hot_frac > 0.0 else ""
+    stamp = f"v3 rows={n_pages} hosts={n_hosts} days={days} seed={seed}{hot}\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == stamp:
@@ -187,7 +205,8 @@ def ensure_pages(out_dir: str, n_pages: int, n_hosts: int = 50, days: int = 6,
 
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    t = generate_pages_table(n_pages, n_hosts=n_hosts, days=days, seed=seed)
+    t = generate_pages_table(n_pages, n_hosts=n_hosts, days=days, seed=seed,
+                             hot_frac=hot_frac)
     per = max(1, t.num_rows // files)
     k = 0
     for off in range(0, t.num_rows, per):
