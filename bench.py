@@ -146,6 +146,20 @@ def run_bench() -> dict:
     timed("weather_daily", lambda: consume(Q.q_weather_daily(sf_dir)))
     timed("place_normalize", lambda: consume(Q.q_place_normalize(sf_dir)))
 
+    if os.environ.get("GRAFT_SKIP_SKEW") == "1":
+        out = {
+            "metric": "headline_pipeline_seconds",
+            "value": headline,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": ncpus,
+            "pages": n_pages,
+            "pages_per_sec": timings["pages_per_sec"],
+        }
+        ray.shutdown()
+        return out
+
     # skewed-host stress (VERDICT r2 #10, SURVEY §4): same-size pages world
     # with ONE host holding 10% of all pages (the per-host stream is the
     # unsplittable clustering unit). Runs the fused flagship end-to-end on
@@ -195,7 +209,9 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # the ladder measures the flagship; skip the skew section (it has
+        # its own entry in the default bench) so 8 subruns stay affordable
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_SKEW="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -110,33 +110,43 @@ def weather_cell(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
             + np.floor(lon + 180).astype(np.int64))
 
 
-def hourly_values(cell: np.ndarray, d: np.ndarray, hour: np.ndarray) -> dict:
-    """Deterministic hourly measures (integer arithmetic, SQL-replicable)."""
+def hourly_values(cell: np.ndarray, d: np.ndarray, hour: np.ndarray,
+                  measures: tuple = MEASURES) -> dict:
+    """Deterministic hourly measures (integer arithmetic, SQL-replicable).
+    Only the requested ``measures`` are computed."""
     c, dd, h = (cell.astype(np.int64), d.astype(np.int64),
                 hour.astype(np.int64))
-    temp = ((c * 31 + h * 7 + dd * 13) % 400) / 10.0 - 10.0
-    wind = ((c * 19 + h * 3 + dd * 5) % 300) / 10.0
-    return {
-        "temperature": temp,
-        "humidity": ((c * 17 + h * 5 + dd * 3) % 101) / 100.0,
-        "cloudCover": ((c * 23 + h * 11 + dd * 7) % 101) / 100.0,
-        "dewPoint": temp - ((c * 7 + h) % 50) / 10.0,
-        "precipIntensity": ((c * 41 + h * 13 + dd * 17) % 100) / 1000.0,
-        "precipProbability": ((c * 43 + h * 19 + dd * 11) % 101) / 100.0,
-        "apparentTemperature": temp - ((c * 11 + h * 2) % 30) / 10.0,
-        "pressure": 980.0 + ((c * 13 + h * 17 + dd * 23) % 600) / 10.0,
-        "windSpeed": wind,
-        "windBearing": ((c * 29 + h * 23 + dd * 31) % 360) / 1.0,
-        "uvIndex": ((c * 3 + h * 13 + dd) % 12) / 1.0,
-        "visibility": ((c * 37 + h * 29 + dd * 41) % 161) / 10.0,
-        "ozone": 250.0 + ((c * 47 + h * 31 + dd * 37) % 1500) / 10.0,
-        "windGust": wind + ((c * 5 + h * 7 + dd * 3) % 80) / 10.0,
+    need = set(measures)
+    temp = (((c * 31 + h * 7 + dd * 13) % 400) / 10.0 - 10.0
+            if need & {"temperature", "dewPoint", "apparentTemperature"}
+            else None)
+    wind = (((c * 19 + h * 3 + dd * 5) % 300) / 10.0
+            if need & {"windSpeed", "windGust"} else None)
+    fns = {
+        "temperature": lambda: temp,
+        "humidity": lambda: ((c * 17 + h * 5 + dd * 3) % 101) / 100.0,
+        "cloudCover": lambda: ((c * 23 + h * 11 + dd * 7) % 101) / 100.0,
+        "dewPoint": lambda: temp - ((c * 7 + h) % 50) / 10.0,
+        "precipIntensity": lambda: ((c * 41 + h * 13 + dd * 17) % 100) / 1000.0,
+        "precipProbability": lambda: ((c * 43 + h * 19 + dd * 11) % 101) / 100.0,
+        "apparentTemperature": lambda: temp - ((c * 11 + h * 2) % 30) / 10.0,
+        "pressure": lambda: 980.0 + ((c * 13 + h * 17 + dd * 23) % 600) / 10.0,
+        "windSpeed": lambda: wind,
+        "windBearing": lambda: ((c * 29 + h * 23 + dd * 31) % 360) / 1.0,
+        "uvIndex": lambda: ((c * 3 + h * 13 + dd) % 12) / 1.0,
+        "visibility": lambda: ((c * 37 + h * 29 + dd * 41) % 161) / 10.0,
+        "ozone": lambda: 250.0 + ((c * 47 + h * 31 + dd * 37) % 1500) / 10.0,
+        "windGust": lambda: wind + ((c * 5 + h * 7 + dd * 3) % 80) / 10.0,
     }
+    return {m: fns[m]() for m in measures}
 
 
-def expand_hourly(cell: np.ndarray, d: np.ndarray) -> pd.DataFrame:
+def expand_hourly(cell: np.ndarray, d: np.ndarray,
+                  measures: tuple = MEASURES) -> pd.DataFrame:
     """Requests -> hourly rows: 24 per ok request, 1 NaN sentinel (hour=12)
-    per failed request (weather.py:458-475 semantics)."""
+    per failed request (weather.py:458-475 semantics). ``measures`` limits
+    which columns are computed (the daily summary consumes 5 of the 14 —
+    compute-pruning mirrors column-pruning at the read)."""
     cell = cell.astype(np.int64)
     d = d.astype(np.int64)
     fail = (cell % FAIL_MOD) == 0
@@ -152,7 +162,7 @@ def expand_hourly(cell: np.ndarray, d: np.ndarray) -> pd.DataFrame:
         "d": np.concatenate([rd, fd]),
         "hour": np.concatenate([rh, np.full(fc.shape[0], 12, np.int64)]),
     }
-    for m in MEASURES:
+    for m in measures:
         out[m] = np.concatenate([vals[m], np.full(fc.shape[0], np.nan)])
     df = pd.DataFrame(out)
     df["date"] = ((df["d"].values * np.int64(86_400_000_000))
@@ -185,32 +195,40 @@ def _int_stats(v: np.ndarray, scale: float, offset: float):
     return np.round(mean, 2), np.round(std, 2)
 
 
-def summarize_daily(g: pd.DataFrame) -> pd.DataFrame:
-    """weather.py:349-402 vstats over one (cell, date) report."""
-    out = {"cell": [int(g["cell"].iloc[0])], "date": [g["date"].iloc[0]]}
+def _report_stats(vals: dict) -> dict:
+    """weather.py:349-402 vstats for ONE (cell, date) report's arrays —
+    returns scalars in the output column order."""
+    out = {}
     for col, pre, scale, offset in (
             ("cloudCover", "cloud_cover", 100.0, 0.0),
             ("dewPoint", "dew_point", 10.0, 10.0),
             ("humidity", "humidity", 100.0, 0.0)):
-        v = g[col].values.astype(np.float64)
+        v = vals[col]
         q25, q50, q75 = _nearest_q(v)
         mean, std = _int_stats(v, scale, offset)
-        out[f"{pre}_mean"] = [mean]
-        out[f"{pre}_std"] = [std]
-        out[f"{pre}_median"] = [np.round(q50, 2)]
-        out[f"{pre}_IQR"] = [np.round(q75 - q25, 2)]
-    v = g["temperature"].values.astype(np.float64)
+        out[f"{pre}_mean"] = mean
+        out[f"{pre}_std"] = std
+        out[f"{pre}_median"] = np.round(q50, 2)
+        out[f"{pre}_IQR"] = np.round(q75 - q25, 2)
+    v = vals["temperature"]
     q25, q50, q75 = _nearest_q(v)
     mean, std = _int_stats(v, 10.0, 10.0)
-    p = g["precipIntensity"].values.astype(np.float64)
+    p = vals["precipIntensity"]
     pv = ~np.isnan(p)
     psum = int(np.rint(p[pv] * 1000).astype(np.int64).sum()) if pv.any() else 0
-    out["precip_sum"] = [np.round(psum / 1000.0, 2)]
-    out["temp_mean"] = [mean]
-    out["temp_std"] = [std]
-    out["temp_med"] = [np.round(q50, 2)]
-    out["temp_IQR"] = [np.round(q75 - q25, 2)]
-    df = pd.DataFrame(out)
+    out["precip_sum"] = np.round(psum / 1000.0, 2)
+    out["temp_mean"] = mean
+    out["temp_std"] = std
+    out["temp_med"] = np.round(q50, 2)
+    out["temp_IQR"] = np.round(q75 - q25, 2)
+    return out
+
+
+_DAILY_COLS = ("cloudCover", "dewPoint", "humidity", "temperature",
+               "precipIntensity")
+
+
+def _negzero_fix(df: pd.DataFrame) -> pd.DataFrame:
     # np.round(-0.004, 2) yields -0.0; DuckDB's round_even yields +0.0.
     # Equal numerically but different bytes — normalize so a byte-level
     # hash of the result matches the oracle. (+0.0 maps -0.0 to +0.0.)
@@ -218,3 +236,43 @@ def summarize_daily(g: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype.kind == "f":
             df[c] = df[c].values + 0.0
     return df
+
+
+def summarize_daily(g: pd.DataFrame) -> pd.DataFrame:
+    """One (cell, date) report -> one summary row."""
+    st = _report_stats({c: g[c].values.astype(np.float64)
+                        for c in _DAILY_COLS})
+    out = {"cell": [int(g["cell"].iloc[0])], "date": [g["date"].iloc[0]],
+           **{k: [v] for k, v in st.items()}}
+    return _negzero_fix(pd.DataFrame(out))
+
+
+def summarize_daily_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Many (cell, date) reports per hash partition -> summary rows.
+
+    The per-report pandas DataFrame construction (one per group under
+    ``groupby(cell, date).map_groups``) dominated the stage at sf0.1
+    (~40k groups); here one lexsort segments the partition and the numpy
+    report kernel runs per slice, emitting ONE DataFrame per partition."""
+    if len(g) == 0:
+        return pd.DataFrame()
+    cells = g["cell"].values.astype(np.int64)
+    dcodes, dkeys = pd.factorize(g["date"].values)
+    order = np.lexsort((dcodes, cells))
+    cs, dc = cells[order], dcodes[order]
+    cols = {c: g[c].values[order].astype(np.float64) for c in _DAILY_COLS}
+    key = cs * np.int64(len(dkeys) + 1) + dc
+    bounds = np.flatnonzero(np.diff(key))
+    starts = np.concatenate([[0], bounds + 1])
+    ends = np.concatenate([bounds + 1, [len(key)]])
+    out_cell, out_date, acc = [], [], None
+    for s, e in zip(starts, ends):
+        st = _report_stats({c: v[s:e] for c, v in cols.items()})
+        if acc is None:
+            acc = {k: [] for k in st}
+        out_cell.append(int(cs[s]))
+        out_date.append(dkeys[dc[s]])
+        for k, v in st.items():
+            acc[k].append(v)
+    return _negzero_fix(pd.DataFrame(
+        {"cell": np.asarray(out_cell, np.int64), "date": out_date, **acc}))

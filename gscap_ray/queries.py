@@ -991,14 +991,17 @@ hourly_d AS (SELECT *, strftime(make_timestamp(d * 86400000000), '%Y-%m-%d')
 """
 
 
-def _weather_hourly_ds(sf_dir: str) -> rd.Dataset:
+def _weather_hourly_ds(sf_dir: str, measures: tuple | None = None) -> rd.Dataset:
     """S3/C10 requests: distinct (1-deg cell, day) over the event points
     (partial per-batch dedup + groupby — the D1 request-dedup pattern),
     expanded to hourly report rows (24 per ok request, all-NaN sentinel
-    per failed one; weather.py:405-489 semantics)."""
+    per failed one; weather.py:405-489 semantics). ``measures`` prunes
+    which hourly columns are even computed."""
     from ray.data.aggregate import Count
 
-    from .functions.weather import expand_hourly, weather_cell
+    from .functions.weather import MEASURES, expand_hourly, weather_cell
+
+    measures = MEASURES if measures is None else measures
 
     def reqs(t: pa.Table) -> pa.Table:
         cell = weather_cell(t["lat"].to_numpy(), t["lon"].to_numpy())
@@ -1008,7 +1011,8 @@ def _weather_hourly_ds(sf_dir: str) -> rd.Dataset:
                          "d": pa.array(pairs & np.int64((1 << 20) - 1), pa.int64())})
 
     def expand(t: pa.Table) -> pa.Table:
-        df = expand_hourly(t["cell"].to_numpy(), t["d"].to_numpy())
+        df = expand_hourly(t["cell"].to_numpy(), t["d"].to_numpy(),
+                           measures=measures)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (_points_ds(sf_dir).select_columns(["ts", "lat", "lon"])
@@ -1038,16 +1042,24 @@ def q_weather_daily(sf_dir: str):
     interpolation median/IQR + mean/std for cloudCover/dewPoint/humidity/
     temperature, precip sum, 2 dp — oracle-checked (numpy 'nearest'
     percentile == round_even virtual index)."""
-    from .functions.weather import summarize_daily
+    from .functions.weather import summarize_daily_partition
 
-    # prune to the 5 consumed measures before the shuffle (the hourly table
-    # now carries the full 14-measure breadth)
-    cols = ["cell", "date", "cloudCover", "dewPoint", "humidity",
-            "temperature", "precipIntensity"]
-    return (_weather_hourly_ds(sf_dir)
-            .select_columns(cols)
-            .groupby(["cell", "date"])
-            .map_groups(summarize_daily, batch_format="pandas"))
+    # compute-prune the expansion to the 5 consumed measures, shuffle on a
+    # 64-way hash of the cell (coarse partitions), and summarize all
+    # (cell, date) reports of a partition in ONE numpy pass — the
+    # per-group map_groups was ~40k pandas constructions at sf0.1
+    daily = ("cloudCover", "dewPoint", "humidity", "temperature",
+             "precipIntensity")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["cell"].to_numpy() % np.int64(64)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    out = (_weather_hourly_ds(sf_dir, measures=daily)
+           .map_batches(add_part, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(summarize_daily_partition, batch_format="pandas"))
+    return out
 
 
 def sql_weather_daily() -> str:
