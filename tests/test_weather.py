@@ -107,3 +107,31 @@ def test_request_normalization_permutations():
         coerce_request_key("abc")
     with pytest.raises(ValueError):
         coerce_request_key(-5)
+
+
+def test_partition_summary_equals_per_group():
+    """The fused partition kernel must emit byte-identical rows to the
+    per-(cell, date) path for every report in a mixed partition."""
+    from gscap_ray.functions.weather import (
+        expand_hourly,
+        summarize_daily,
+        summarize_daily_partition,
+    )
+
+    cells = np.array([1, 2, 13, 26, 7, 7], dtype=np.int64)
+    days = np.array([17897, 17897, 17898, 17899, 17897, 17898], dtype=np.int64)
+    hourly = expand_hourly(cells, days)
+
+    fused = (summarize_daily_partition(hourly)
+             .sort_values(["cell", "date"]).reset_index(drop=True))
+    per_group = (pd.concat([summarize_daily(g) for _, g in
+                            hourly.groupby(["cell", "date"], sort=True)],
+                           ignore_index=True)
+                 .sort_values(["cell", "date"]).reset_index(drop=True))
+    assert list(fused.columns) == list(per_group.columns)
+    for c in fused.columns:
+        a, b = fused[c].values, per_group[c].values
+        if a.dtype.kind == "f":
+            assert (a.view(np.uint64) == b.view(np.uint64)).all(), c
+        else:
+            assert (a == b).all(), c
