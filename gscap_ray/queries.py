@@ -1365,9 +1365,16 @@ def q_minhash_dedup(sf_dir: str):
                              col_sh: pa.array(sh, pa.binary())})
         return docs.map_batches(mk, batch_format="pyarrow")
 
-    j1 = cand.join(shingle_table("ka", "sh_a"), "inner", 8,
+    # join parallelism sized to the cluster: each hash-shuffle join spawns
+    # num_partitions aggregator actors, and two 8-partition joins deadlock
+    # a 4-CPU cluster (observed: bench --scaling 4-CPU level hung >50 min)
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    jp = max(2, min(8, ncpu // 2))
+    j1 = cand.join(shingle_table("ka", "sh_a"), "inner", jp,
                    on=("doc_a",), right_on=("ka",))
-    j2 = j1.join(shingle_table("kb", "sh_b"), "inner", 8,
+    j2 = j1.join(shingle_table("kb", "sh_b"), "inner", jp,
                  on=("doc_b",), right_on=("kb",))
 
     def verify(t: pa.Table) -> pa.Table:
