@@ -130,11 +130,14 @@ def _load_yelp_map() -> dict[str, str]:
                         "data", "yelp_categories.csv")
     out: dict[str, str] = {}
     with open(path, encoding="utf-8") as f:
-        header = f.readline()
-        assert header.strip() == "cat,mapping", header
+        saw_header = False
         for line in f:
             line = line.strip()
-            if not line:
+            if not line or line.startswith("#"):
+                continue
+            if not saw_header:
+                assert line == "cat,mapping", line
+                saw_header = True
                 continue
             cat, _, major = line.partition(",")
             out.setdefault(cat, major)

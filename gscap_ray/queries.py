@@ -691,6 +691,136 @@ def q_hex_tiles(sf_dir: str):
     return _points_ds(sf_dir).map_batches(cellify, batch_format="pyarrow")
 
 
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization + exact dedup (the Common-Crawl curation
+    staple): strip scheme / leading www. / query string / trailing slash,
+    lowercase, then count rows per canonical key with the two-phase
+    partial-count pattern (ops.partial_count: per-batch combine, shuffle
+    moves partials not rows). The dump's URLs are unique by construction,
+    so a deterministic variant (https://www. + ...?utm_source=x) is
+    planted for URLs whose last digit is divisible by 3 on BOTH sides — the dedup must collapse
+    exactly those pairs."""
+    from .ops import partial_count
+
+    ds = rd.read_parquet(_labeled_dump_for(sf_dir), columns=["url"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_numpy(zero_copy_only=False))
+        plant = urls[urls.str.slice(-1).astype(np.int64) % 3 == 0]
+        variants = "https://www." + plant.str.slice(8) + "?utm_source=x"
+        allu = pd.concat([urls, variants], ignore_index=True)
+        c = (allu.str.replace(r"^https?://", "", regex=True)
+                 .str.replace(r"^www\.", "", regex=True)
+                 .str.replace(r"\?.*$", "", regex=True)
+                 .str.replace(r"/$", "", regex=True)
+                 .str.lower())
+        return pa.table({"canon_url": pa.array(c.values, pa.string())})
+
+    agg = partial_count(ds.map_batches(canon, batch_format="pyarrow"),
+                        "canon_url")
+
+    def dupes(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n"], 2))
+
+    return agg.map_batches(dupes, batch_format="pyarrow")
+
+
+SQL_URL_DEDUP = """
+WITH u AS (SELECT url FROM read_parquet('/tmp/gscap_labeled_sf0.01/*.parquet')),
+planted AS (SELECT url FROM u
+            UNION ALL
+            SELECT 'https://www.' || substr(url, 9) || '?utm_source=x'
+            FROM u WHERE CAST(substr(url, -1) AS INT) % 3 = 0),
+c AS (SELECT lower(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(url, '^https?://', ''),
+              '^www\\.', ''),
+            '\\?.*$', ''),
+          '/$', '')) AS canon_url
+      FROM planted)
+SELECT canon_url, count(*) AS n FROM c GROUP BY canon_url HAVING count(*) >= 2
+"""
+
+
+def q_hex_parents(sf_dir: str):
+    """C9 hierarchy: res-8 hex cell of each event point plus its
+    aperture-7 PARENT via the exact index-7-sublattice arithmetic
+    (functions/cells.py hex_parent) — bit-for-bit oracle-checked, proving
+    the hierarchy math itself is SQL-replicable (the invariants are
+    property-tested in test_hex_hierarchy.py)."""
+    from .functions.cells import hex_cell_id, hex_parent
+
+    def cellify(t: pa.Table) -> pa.Table:
+        lat, lon = t["lat"].to_numpy(), t["lon"].to_numpy()
+        c8 = hex_cell_id(lat, lon, 8)
+        p7 = hex_parent(c8)
+        return pa.table({
+            "event_id": t["event_id"],
+            "h3_r8": pa.array(c8.astype(np.int64), pa.int64()),
+            "h3_r8_parent": pa.array(p7.astype(np.int64), pa.int64()),
+        })
+
+    return _points_ds(sf_dir).map_batches(cellify, batch_format="pyarrow")
+
+
+def _sql_hex_parents() -> str:
+    """Oracle twin of hex_cell_id(res=8) + hex_parent: the res-8 axial
+    coords, then parent = cube_round(((3q + r)/7, (-q + 2r)/7)) encoded at
+    res 7 — all double arithmetic mirrored (rotation literals from the
+    same Python iteration; round_even = np.rint)."""
+    from .functions.cells import _hex_rot
+
+    L1 = repr(float(np.sqrt(3.0) / 3.0))
+    size = repr(9.96 / (7.0 ** (8 / 2.0)))
+    c, s = _hex_rot(8)
+    c, s = repr(float(c)), repr(float(s))
+    off = 134217728
+    return f"""
+WITH p AS ({_PTS_SQL}),
+rx AS (SELECT event_id, {c}*lon - {s}*lat AS lonr,
+              {s}*lon + {c}*lat AS latr FROM p),
+x AS (SELECT event_id, ({L1}*lonr - latr/3.0)/{size} AS qf,
+             (2.0/3.0*latr)/{size} AS rf FROM rx),
+y AS (SELECT event_id, qf, rf, -qf-rf AS sf,
+             round_even(qf, 0) AS q0, round_even(rf, 0) AS r0,
+             round_even(-qf-rf, 0) AS s0 FROM x),
+z AS (SELECT event_id, q0, r0, s0,
+             abs(q0-qf) AS dq, abs(r0-rf) AS dr, abs(s0-sf) AS ds FROM y),
+c8 AS (SELECT event_id,
+              CAST(CASE WHEN dq > dr AND dq > ds THEN -r0-s0 ELSE q0 END
+                   AS BIGINT) AS q8,
+              CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+                   THEN -(CASE WHEN dq > dr AND dq > ds THEN -r0-s0 ELSE q0
+                          END)-s0
+                   ELSE r0 END AS BIGINT) AS r8
+       FROM z),
+pf AS (SELECT event_id, q8, r8,
+              (3.0*q8 + r8)/7.0 AS af, (-1.0*q8 + 2.0*r8)/7.0 AS bf
+       FROM c8),
+py AS (SELECT *, -af-bf AS cf, round_even(af, 0) AS a0,
+              round_even(bf, 0) AS b0, round_even(-af-bf, 0) AS c0 FROM pf),
+pz AS (SELECT *, abs(a0-af) AS da, abs(b0-bf) AS db, abs(c0-cf) AS dc
+       FROM py),
+pr AS (SELECT event_id, q8, r8,
+              CAST(CASE WHEN da > db AND da > dc THEN -b0-c0 ELSE a0 END
+                   AS BIGINT) AS a7,
+              CAST(CASE WHEN NOT (da > db AND da > dc) AND db > dc
+                   THEN -(CASE WHEN da > db AND da > dc THEN -b0-c0 ELSE a0
+                          END)-c0
+                   ELSE b0 END AS BIGINT) AS b7
+       FROM pz)
+SELECT event_id,
+       8*72057594037927936 + (q8 + {off})*268435456 + (r8 + {off}) AS h3_r8,
+       7*72057594037927936 + (a7 + {off})*268435456 + (b7 + {off})
+         AS h3_r8_parent
+FROM pr
+"""
+
+
 # ------------------------------------------------------------- sessions ----
 
 def q_sessionize(sf_dir: str):
@@ -2974,6 +3104,8 @@ QUERIES = {
     "join_nation_region": q_join_nation_region,
     "join_orders_customers": q_join_orders_customers,
     "join_lineitem_orders": q_join_lineitem_orders,
+    "hex_parents": q_hex_parents,
+    "url_dedup": q_url_dedup,
     "ann_ivf_recall": q_ann_ivf_recall,
 }
 
@@ -2997,6 +3129,8 @@ ORACLE_SQL = {
     "knn_centers": SQL_KNN_CENTERS,
     "s2_tiles": SQL_S2_TILES,
     "hex_tiles": _sql_hex_tiles(),
+    "hex_parents": _sql_hex_parents(),
+    "url_dedup": SQL_URL_DEDUP,
     "sessionize": SQL_SESSIONIZE,
     "gap_sessions": SQL_GAP_SESSIONS,
     "asof_join": SQL_ASOF_JOIN,
