@@ -95,12 +95,16 @@ def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) ->
                     break
             core[rows] = counts >= min_samples
 
-    # ---- pass 2: dbscan_inner-equivalent expansion ----
+    # ---- pass 2: dbscan_inner-equivalent expansion, layer-batched ----
     # dbscan_inner labels a point at pop time, but the label is constant for
     # the whole expansion, so labeling at *discovery* time yields identical
-    # final labels while letting us query only still-unlabeled candidates.
-    # Per-cell "active" (unlabeled) index lists shrink as the cluster grows,
-    # which makes dense blobs near-linear instead of quadratic.
+    # final labels; and because every point reached in one expansion gets the
+    # SAME label, the traversal order within a cluster is irrelevant — BFS by
+    # whole layers reaches exactly the core-connected component that DFS
+    # does.  Each layer groups the frontier by grid cell and probes each 3x3
+    # window cell with ONE chunked distance block (early exit once every
+    # active point is hit) instead of a per-point Python loop.  Per-cell
+    # "active" (unlabeled) index lists shrink as the cluster grows.
     active: dict[int, np.ndarray] = {
         int(c): order[s:e] for c, s, e in zip(uniq_cells, starts, ends)
     }
@@ -118,17 +122,28 @@ def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) ->
                     yield base + xx
 
     label = 0
+    empty = np.empty(0, dtype=np.int64)
     for i in range(n):
         if labels[i] != -1 or not core[i]:
             continue
         labels[i] = label
-        frontier = [i]
-        while frontier:
-            j = frontier.pop()
-            if not core[j]:
-                continue  # border point: labeled, not expanded
-            xj, yj = x[j], y[j]
-            for wc in window_cells(int(cell[j])):
+        frontier = np.array([i], dtype=np.int64)
+        while frontier.shape[0]:
+            fcells = cell[frontier]
+            fo = np.argsort(fcells, kind="stable")
+            fsorted = frontier[fo]
+            fc_u, fc_starts = np.unique(fcells[fo], return_index=True)
+            fc_ends = np.append(fc_starts[1:], frontier.shape[0])
+            probes: dict[int, list[np.ndarray]] = {}
+            for fci, s, e in zip(fc_u, fc_starts, fc_ends):
+                grp = fsorted[s:e]
+                for wc in window_cells(int(fci)):
+                    if wc in probes:
+                        probes[wc].append(grp)
+                    else:
+                        probes[wc] = [grp]
+            nxt = []
+            for wc, grps in probes.items():
                 a = active.get(wc)
                 if a is None:
                     continue
@@ -136,13 +151,27 @@ def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) ->
                 if a.shape[0] == 0:
                     active[wc] = a
                     continue
-                d2 = (x[a] - xj) ** 2 + (y[a] - yj) ** 2
-                hit = a[d2 <= eps2]
+                fpts = grps[0] if len(grps) == 1 else np.concatenate(grps)
+                ax, ay = x[a], y[a]
+                hitm = np.zeros(a.shape[0], dtype=bool)
+                und = np.arange(a.shape[0])
+                for off in range(0, fpts.shape[0], _CHUNK):
+                    fp = fpts[off:off + _CHUNK]
+                    d2 = (ax[und, None] - x[fp][None, :]) ** 2 \
+                        + (ay[und, None] - y[fp][None, :]) ** 2
+                    h = (d2 <= eps2).any(axis=1)
+                    hitm[und[h]] = True
+                    und = und[~h]
+                    if und.shape[0] == 0:
+                        break
+                hit = a[hitm]
                 if hit.shape[0]:
                     labels[hit] = label
-                    frontier.extend(hit.tolist())
-                    a = a[d2 > eps2]
-                active[wc] = a
+                    nxt.append(hit[core[hit]])
+                    active[wc] = a[~hitm]
+                else:
+                    active[wc] = a
+            frontier = np.concatenate(nxt) if nxt else empty
         label += 1
     return labels
 
