@@ -133,3 +133,112 @@ def quarantined_count(quarantine_dir: str) -> int:
         return 0
     return sum(pq.read_metadata(os.path.join(quarantine_dir, f)).num_rows
                for f in os.listdir(quarantine_dir) if f.endswith(".parquet"))
+
+
+def _star_round(edges: rd.Dataset, large: bool, parts: int) -> rd.Dataset:
+    """One large-star or small-star contraction round over an (u, v) edge set.
+
+    Large-star: every node links its strictly-larger neighbors to the
+    minimum of its neighborhood (incl. itself).  Small-star: with edges
+    oriented (larger, smaller), every node links its smaller neighbors and
+    itself to the minimum neighbor.  Alternating the two converges to
+    per-component stars rooted at the component-minimum node in O(log n)
+    rounds (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014 — public algorithm, re-expressed as Ray Data
+    map_batches + groupby; only the edge set is shuffled each round).
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy().astype(np.int64)
+        v = t["v"].to_numpy().astype(np.int64)
+        if large:
+            uu = np.concatenate([u, v])
+            vv = np.concatenate([v, u])
+        else:
+            uu = np.maximum(u, v)
+            vv = np.minimum(u, v)
+        return pa.table({"u": pa.array(uu, pa.int64()),
+                         "v": pa.array(vv, pa.int64()),
+                         "part": pa.array((uu % parts).astype(np.int32),
+                                          pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].values
+        v = g["v"].values
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(us)) + 1])
+        seg_len = np.diff(np.append(starts, us.shape[0]))
+        useg = us[starts]
+        minv = vs[starts]          # vs ascending within each segment
+        if large:
+            m_rep = np.repeat(np.minimum(useg, minv), seg_len)
+            mask = vs > us
+            out_u, out_v = vs[mask], m_rep[mask]
+        else:
+            m_rep = np.repeat(minv, seg_len)   # all vs < us after orient
+            mask = vs != m_rep
+            out_u = np.concatenate([vs[mask], useg])
+            out_v = np.concatenate([m_rep[mask], minv])
+        if out_u.size == 0:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        z = np.empty(out_u.size, dtype=[("u", np.int64), ("v", np.int64)])
+        z["u"] = out_u
+        z["v"] = out_v
+        z = np.unique(z)
+        return pd.DataFrame({"u": z["u"], "v": z["v"]})
+
+    return (edges.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas"))
+
+
+def _edge_signature(edges: rd.Dataset) -> tuple[int, int]:
+    """(row count, order-independent checksum) of an edge Dataset."""
+
+    def h(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        with np.errstate(over="ignore"):
+            s = int((u * np.int64(1315423911)
+                     ^ v * np.int64(-0x61C8864680B583EB)).sum())
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([s], pa.int64())})
+
+    agg = edges.map_batches(h, batch_format="pyarrow").sum(["n", "s"])
+    return (agg["sum(n)"], agg["sum(s)"])
+
+
+def connected_components(edges: rd.Dataset, parts: int = 64,
+                         max_rounds: int = 64) -> rd.Dataset:
+    """Distributed connected components over an undirected (u, v) edge set.
+
+    Returns an (id, rep) Dataset covering every node that appears in an
+    edge, with ``rep`` = the minimum node id of its component.  Alternates
+    large-star/small-star contraction (see :func:`_star_round`) until the
+    canonical star edge set reaches a fixpoint (count + order-independent
+    checksum unchanged).  Each round shuffles only the current edge set —
+    the verified near-duplicate pair list, which is tiny relative to the
+    corpus — and the iteration state is materialized per round so the
+    lazy lineage does not re-execute compounding rounds.
+    """
+    edges = edges.materialize()
+    prev = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True, parts=parts).materialize()
+        edges = _star_round(edges, large=False, parts=parts).materialize()
+        sig = _edge_signature(edges)
+        if sig == prev:
+            break
+        prev = sig
+    # Converged: edges are (node, root) stars.  Emit them as (id, rep) and
+    # add one (root, root) row per distinct root (distributed dedup).
+    members = edges.map_batches(
+        lambda t: pa.table({"id": t["u"].cast(pa.int64()),
+                            "rep": t["v"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    roots = (edges.groupby("v").count()
+             .map_batches(lambda t: pa.table({"id": t["v"].cast(pa.int64()),
+                                              "rep": t["v"].cast(pa.int64())}),
+                          batch_format="pyarrow"))
+    return members.union(roots)

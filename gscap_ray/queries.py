@@ -1426,14 +1426,15 @@ GROUP BY event_type
 """
 
 
-def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dedup, fully distributed (VERDICT r1 fix #2):
-    shingle -> signature -> band buckets (map_batches) -> groupby(band,key)
-    candidate pairs -> pair dedup (groupby) -> exact-Jaccard verify as a
-    hash-join of the candidate pairs against a per-doc shingle-set table
-    (no driver-side document materialization). r=2/b=64 bands make the
-    candidate set exhaustive at the 0.5 threshold, so the output equals the
-    exact all-pairs Jaccard oracle."""
+def _minhash_verified_pairs(sf_dir: str) -> rd.Dataset:
+    """MinHash+LSH near-dedup pair Dataset, fully distributed (VERDICT r1
+    fix #2): shingle -> signature -> band buckets (map_batches) ->
+    groupby(band,key) candidate pairs -> pair dedup (groupby) ->
+    exact-Jaccard verify as a hash-join of the candidate pairs against a
+    per-doc shingle-set table (no driver-side document materialization).
+    r=2/b=64 bands make the candidate set exhaustive at the 0.5 threshold,
+    so the output equals the exact all-pairs Jaccard oracle.  Returns the
+    verified (doc_a, doc_b, jaccard) Dataset."""
     from ray.data.aggregate import Count
 
     from .functions.dedup import batch_band_keys, shingle_hashes
@@ -1538,7 +1539,12 @@ def q_minhash_dedup(sf_dir: str):
                          "doc_b": pa.array(db[keep], pa.int64()),
                          "jaccard": pa.array(np.round(js[keep], 4), pa.float64())})
 
-    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def q_minhash_dedup(sf_dir: str):
+    """Near-dup pairs with exact Jaccard (see :func:`_minhash_verified_pairs`)."""
+    out = _minhash_verified_pairs(sf_dir).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -1562,6 +1568,72 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs -> transitive dedup clusters -> canonical keep-list.
+
+    The step real LLM-corpus dedup needs after pair generation: group the
+    verified near-duplicate pairs into connected components and keep one
+    canonical document (the minimum doc_id) per component.  Components are
+    computed with the distributed alternating large-star/small-star
+    contraction (:func:`gscap_ray.ops.connected_components`, Kiveris et al.
+    SoCC 2014) — each round shuffles only the pair set, never the corpus.
+    Output: (doc_id, rep, keep) for every document in some dup component.
+    """
+    pairs = _minhash_verified_pairs(sf_dir)
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["doc_a"].cast(pa.int64()),
+                         "v": t["doc_b"].cast(pa.int64())})
+
+    from .ops import connected_components
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "rep": pd.Series([], dtype="int64"),
+                             "keep": pd.Series([], dtype="bool")})
+    cc = connected_components(edges)
+    df = cc.to_pandas().rename(columns={"id": "doc_id"})
+    df["keep"] = df["doc_id"] == df["rep"]
+    return (df[["doc_id", "rep", "keep"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# Same shingle/Jaccard CTE chain as SQL_MINHASH_DEDUP (kept verbatim so the
+# pair set is identical), then connected components via a recursive
+# reachability walk: rep(id) = min node reachable from id.
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+sh AS (SELECT doc_id,
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              END AS shingles
+       FROM t),
+e AS (SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+edges AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+w(id, front) AS (
+  SELECT eu, eu FROM edges
+  UNION
+  SELECT w.id, e2.ev FROM w JOIN edges e2 ON e2.eu = w.front
+),
+cc AS (SELECT id, min(front) AS rep FROM w GROUP BY id)
+SELECT id AS doc_id, rep, (id = rep) AS keep FROM cc ORDER BY doc_id
 """
 
 
@@ -3106,6 +3178,7 @@ QUERIES = {
     "join_lineitem_orders": q_join_lineitem_orders,
     "hex_parents": q_hex_parents,
     "url_dedup": q_url_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "ann_ivf_recall": q_ann_ivf_recall,
 }
 
@@ -3174,4 +3247,5 @@ ORACLE_SQL = {
     "spatial_clusters": _sql_spatial_clusters(),
     "next_phase_cores": _sql_next_phase_cores(),
     "multimodal_features": sql_multimodal_features(),
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 }
