@@ -74,13 +74,31 @@ def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) ->
     # chunk has reached min_samples the remaining candidates can't change the
     # core decision (dense cells finish after one candidate chunk).
     core = np.zeros(n, dtype=bool)
-    for c, s, e in zip(uniq_cells, starts, ends):
+    # vectorized 3x3 window-population prefilter: a cell whose window holds
+    # fewer than min_samples points cannot contain a core point, so the
+    # distance pass skips it without even gathering candidates (sparse
+    # cells dominate GPS traces; uniq_cells is sorted, so each neighbor
+    # offset is one searchsorted over all cells at once)
+    cell_counts = ends - starts
+    cyi_a, cxi_a = np.divmod(uniq_cells, ncx)
+    wcount = np.zeros(uniq_cells.shape[0], dtype=np.int64)
+    last = uniq_cells.shape[0] - 1
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nb = uniq_cells + dy * ncx + dx
+            ok = ((cyi_a + dy >= 0) & (cyi_a + dy < ncy)
+                  & (cxi_a + dx >= 0) & (cxi_a + dx < ncx))
+            idx = np.clip(np.searchsorted(uniq_cells, nb), 0, last)
+            found = ok & (uniq_cells[idx] == nb)
+            wcount += np.where(found, cell_counts[idx], 0)
+
+    for c, s, e, wc in zip(uniq_cells, starts, ends, wcount):
+        if wc < min_samples:
+            continue  # no point in this cell can be core
         members = order[s:e]
         cand = window_members(int(c))
         cxv, cyv = x[cand], y[cand]
         m_cand = cand.shape[0]
-        if m_cand < min_samples:
-            continue  # no point in this cell can be core
         for off in range(0, members.shape[0], _CHUNK):
             rows = members[off:off + _CHUNK]
             counts = np.zeros(rows.shape[0], dtype=np.int64)
