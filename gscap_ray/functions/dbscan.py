@@ -141,9 +141,24 @@ def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) ->
 
     label = 0
     empty = np.empty(0, dtype=np.int64)
-    for i in range(n):
-        if labels[i] != -1 or not core[i]:
+    # seed scan in index order, vectorized in bounded chunks: find the next
+    # still-unlabeled core point with a boolean scan over at most _SEED_SCAN
+    # core indices at a time, so the total rescan work is
+    # O(n_core + clusters * _SEED_SCAN) — fast both for dense few-cluster
+    # keys (one long skip per scan) and sparse many-cluster keys (where a
+    # whole-remainder rescan per seed would be O(n * clusters))
+    _SEED_SCAN = 1024
+    core_idx = np.flatnonzero(core)
+    ncore = core_idx.shape[0]
+    pos = 0
+    while pos < ncore:
+        blk = core_idx[pos:pos + _SEED_SCAN]
+        off = np.flatnonzero(labels[blk] == -1)
+        if off.shape[0] == 0:
+            pos += blk.shape[0]
             continue
+        i = int(blk[off[0]])
+        pos += int(off[0]) + 1
         labels[i] = label
         frontier = np.array([i], dtype=np.int64)
         while frontier.shape[0]:
@@ -173,8 +188,8 @@ def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) ->
                 ax, ay = x[a], y[a]
                 hitm = np.zeros(a.shape[0], dtype=bool)
                 und = np.arange(a.shape[0])
-                for off in range(0, fpts.shape[0], _CHUNK):
-                    fp = fpts[off:off + _CHUNK]
+                for co in range(0, fpts.shape[0], _CHUNK):
+                    fp = fpts[co:co + _CHUNK]
                     d2 = (ax[und, None] - x[fp][None, :]) ** 2 \
                         + (ay[und, None] - y[fp][None, :]) ** 2
                     h = (d2 <= eps2).any(axis=1)

@@ -2863,10 +2863,13 @@ def _labeled_dump_for(sf_dir: str) -> str:
     out = f"/tmp/gscap_labeled_{tag}"
     marker = out + "._DONE"
     stamp = "v1 " + pages_dir
-    if os.path.exists(marker):
+    if os.path.exists(marker) and os.path.isdir(out):
         with open(marker) as f:
             if f.read() == stamp:
                 return out
+    # stale marker (dump dir removed out from under it) must not short-circuit
+    if os.path.exists(marker):
+        os.remove(marker)
     shutil.rmtree(out, ignore_errors=True)
     from .pipelines.flagship import labeled_pages
 
