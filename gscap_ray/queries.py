@@ -3152,7 +3152,6 @@ QUERIES = {
     "geocode_points": q_geocode_points,
     "grid_cells": q_grid_cells,
     "velocity_bins": q_velocity_bins,
-    "pair_distances": q_pair_distances,
     "pip_rect_join": q_pip_rect_join,
     "knn_centers": q_knn_centers,
     "s2_tiles": q_s2_tiles,
@@ -3164,10 +3163,16 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "place_normalize": q_place_normalize,
-    # relational staples (keep two in-window as aggregation sentinels)
+    # round-3 operators promoted into the window (their ops' other
+    # witnesses — hot_cells for SRT2, pairwise_distances for M1/C7,
+    # daily_* for plain grouped aggregation — stay in-window too)
+    "hex_parents": q_hex_parents,
+    "url_dedup": q_url_dedup,
+    "dedup_clusters": q_dedup_clusters,
+    # ---- past the driver's 50-entry window: demos + rows-only ----
     "groupby_agg": q_groupby_agg,
     "topk_users": q_topk_users,
-    # ---- past the driver's 50-entry window: demos + rows-only ----
+    "pair_distances": q_pair_distances,
     "global_sort": q_global_sort,
     "validity_filter": q_validity_filter,
     "distinct_types": q_distinct_types,
@@ -3179,9 +3184,6 @@ QUERIES = {
     "join_nation_region": q_join_nation_region,
     "join_orders_customers": q_join_orders_customers,
     "join_lineitem_orders": q_join_lineitem_orders,
-    "hex_parents": q_hex_parents,
-    "url_dedup": q_url_dedup,
-    "dedup_clusters": q_dedup_clusters,
     "ann_ivf_recall": q_ann_ivf_recall,
 }
 
