@@ -2548,38 +2548,64 @@ def _ann_recall_report(emb: rd.Dataset, cand: rd.Dataset, qids, qmat):
 
 
 def q_ann_ivf_recall(sf_dir: str):
-    """IVF scale-path ANN, distributed: the coarse quantizer trains on a
-    small sample (driver-side k-means, deterministic), centroids broadcast;
-    cell assignment is a map_batches stage; candidates = vectors in each
-    query's 2 nearest cells; exact per-query re-rank + recall@10 vs the
-    streaming brute-force baseline — rows-only (recall is not
-    SQL-expressible)."""
+    """IVF scale-path ANN, distributed AND oracle-checked: the coarse
+    quantizer is a deterministic hash-reservoir sample of 16 corpus vectors
+    (centroid provenance — sampled vs Lloyd-refined — is a recall knob
+    orthogonal to the engine semantics; the trained-k-means quantizer
+    `functions.ann.ivf_assign` is unit-tested separately).  Centroid
+    selection is a distributed per-block partial top-16 by hash + a tiny
+    final top-16; centroids broadcast; cell assignment is a map_batches
+    argmax over grid-quantized dot products (2^-12 grid => every partial
+    sum is an exact multiple of 2^-24, so numpy's BLAS order and DuckDB's
+    sequential list_inner_product produce bit-identical scores — the
+    rademacher_codes trick); candidates = vectors in each query's 2 nearest
+    cells; exact per-query re-rank + recall@10 vs the streaming brute-force
+    baseline, all replicated in SQL_ANN_IVF_RECALL."""
     import ray
 
     from ray.data.aggregate import Count
 
-    from .functions.ann import ivf_assign, normalize
-
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    sample = emb.limit(512).to_pandas()
-    smat = np.stack(sample["embedding"].values).astype(np.float64)
-    _assign, cent = ivf_assign(smat, n_cells=16, iters=5, seed=13)
-    cref = ray.put(cent)
+
+    def partial_top16(t: pa.Table) -> pa.Table:
+        ids_ = t["vec_id"].to_numpy().astype(np.int64)
+        h = ((ids_ % 100000007) * 2654435761) % 2147483648
+        o = np.lexsort((ids_, h))[:16]
+        return pa.table({"vec_id": pa.array(ids_[o], pa.int64()),
+                         "h": pa.array(h[o], pa.int64())})
+
+    cpd = (emb.map_batches(partial_top16, batch_format="pyarrow")
+           .sort(["h", "vec_id"]).limit(16).to_pandas())
+    cent_ids = cpd["vec_id"].values.astype(np.int64)  # cell = position
+
+    def grab(t: pa.Table) -> pa.Table:
+        ids_ = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.isin(ids_, cent_ids)
+        return t.filter(pa.array(m))
+
+    cvecs = emb.map_batches(grab, batch_format="pyarrow").to_pandas()
+    cvecs = cvecs.set_index("vec_id").loc[cent_ids]
+    cq = np.rint(np.stack(cvecs["embedding"].values).astype(np.float64)
+                 * 4096.0) / 4096.0
+    cnorm = np.sqrt((cq * cq).sum(axis=1))
+    cref = ray.put((cq, cnorm))
 
     qpd = emb.filter(expr="vec_id < 5").to_pandas()
     qids = qpd["vec_id"].values.astype(np.int64)
     qmat = np.stack(qpd["embedding"].values).astype(np.float64)
-    qsim = normalize(qmat) @ cent.T
-    probe = {int(qi): set(np.argsort(-qsim[pos])[:2].tolist())
+    qq = np.rint(qmat * 4096.0) / 4096.0
+    qscore = (qq @ cq.T) / cnorm[None, :]
+    probe = {int(qi): set(np.argsort(-qscore[pos], kind="stable")[:2].tolist())
              for pos, qi in enumerate(qids)}
     pref = ray.put(probe)
 
     def match(t: pa.Table) -> pa.Table:
-        cen = ray.get(cref)
+        cen, cn = ray.get(cref)
         pr = ray.get(pref)
         ids_ = t["vec_id"].to_numpy().astype(np.int64)
-        mat = normalize(np.stack(t["embedding"].to_pandas().values))
-        cells = np.argmax(mat @ cen.T, axis=1)
+        mat = np.rint(np.stack(t["embedding"].to_pandas().values)
+                      .astype(np.float64) * 4096.0) / 4096.0
+        cells = np.argmax((mat @ cen.T) / cn[None, :], axis=1)
         out_q, out_c = [], []
         for qi, cellset in pr.items():
             m = np.isin(cells, list(cellset))
@@ -2596,6 +2622,62 @@ def q_ann_ivf_recall(sf_dir: str):
             .groupby(["query_id", "cand_id"]).aggregate(Count(alias_name="_c"))
             .select_columns(["query_id", "cand_id"]))
     return _ann_recall_report(emb, cand, qids, qmat)
+
+
+# Full SQL replication of the sampled-quantizer IVF path: hash top-16
+# centroid pick, grid-quantized assignment (bit-identical scores, see
+# q_ann_ivf_recall docstring), 2-cell probe, exact re-rank, recall@10.
+SQL_ANN_IVF_RECALL = """
+WITH
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eq AS (SELECT vec_id, v,
+         list_transform(v, x -> round_even(x * 4096.0, 0) / 4096.0) AS vq
+       FROM e),
+ctop AS (SELECT vec_id,
+                ((vec_id % 100000007) * 2654435761) % 2147483648 AS h
+         FROM e ORDER BY h, vec_id LIMIT 16),
+cent AS (SELECT row_number() OVER (ORDER BY ctop.h, ctop.vec_id) - 1 AS cell,
+                eq.vq AS c,
+                sqrt(list_inner_product(eq.vq, eq.vq)) AS cn
+         FROM ctop JOIN eq ON eq.vec_id = ctop.vec_id),
+score AS (SELECT eq.vec_id, cent.cell,
+                 list_inner_product(eq.vq, cent.c) / cent.cn AS s
+          FROM eq CROSS JOIN cent),
+assign AS (SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rk
+    FROM score) WHERE rk = 1),
+qprobe AS (SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rk
+    FROM score WHERE vec_id < 5) WHERE rk <= 2),
+cand AS (SELECT qp.query_id, a.vec_id AS cand_id
+         FROM qprobe qp JOIN assign a ON a.cell = qp.cell),
+sim AS (SELECT cand.query_id, cand.cand_id,
+          list_cosine_similarity(qe.v, ce.v) AS sc
+        FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ce ON ce.vec_id = cand.cand_id),
+ivf10 AS (SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, cand_id)
+             AS rk
+    FROM sim) WHERE rk <= 10),
+ncand AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+bs AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cid,
+         list_cosine_similarity(qq.v, cc.v) AS sc
+       FROM e qq CROSS JOIN e cc WHERE qq.vec_id < 5),
+b10 AS (SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, cid) AS rk
+    FROM bs) WHERE rk <= 10),
+inter AS (SELECT l.query_id, count(*) AS hits
+          FROM ivf10 l JOIN b10 b
+            ON l.query_id = b.query_id AND l.cand_id = b.cid
+          GROUP BY l.query_id)
+SELECT n.query_id, CAST(n.n_candidates AS BIGINT) AS n_candidates,
+       round(coalesce(i.hits, 0) / 10.0, 2) AS recall_at_10
+FROM ncand n LEFT JOIN inter i ON n.query_id = i.query_id
+"""
 
 
 def q_csv_roundtrip(sf_dir: str):
@@ -3228,6 +3310,7 @@ ORACLE_SQL = {
     "hot_cells": sql_hot_cells(),
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "embedding_dupes": SQL_EMBEDDING_DUPES,
     # same exact-pair oracle: the LSH path must find every >0.95 pair
     "embedding_dupes_lsh": SQL_EMBEDDING_DUPES,
