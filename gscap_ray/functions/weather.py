@@ -101,7 +101,13 @@ MEASURES = ("temperature", "humidity", "cloudCover", "dewPoint",
             # along so a reference user keeps every numeric measure)
             "precipProbability", "apparentTemperature", "pressure",
             "windSpeed", "windBearing", "uvIndex", "visibility", "ozone",
-            "windGust")
+            "windGust",
+            # error/accumulation columns completing HOURLY_COLS' numerics
+            "precipAccumulation", "temperatureError", "pressureError",
+            "cloudCoverError", "windSpeedError", "windBearingError")
+
+# categorical HOURLY_COLS (precipType/summary/icon) are derived from the
+# numeric grid in expand_hourly when requested
 
 
 def weather_cell(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
@@ -137,16 +143,25 @@ def hourly_values(cell: np.ndarray, d: np.ndarray, hour: np.ndarray,
         "visibility": lambda: ((c * 37 + h * 29 + dd * 41) % 161) / 10.0,
         "ozone": lambda: 250.0 + ((c * 47 + h * 31 + dd * 37) % 1500) / 10.0,
         "windGust": lambda: wind + ((c * 5 + h * 7 + dd * 3) % 80) / 10.0,
+        "precipAccumulation": lambda: ((c * 53 + h * 37 + dd * 43) % 120) / 10.0,
+        "temperatureError": lambda: ((c * 59 + h * 41 + dd * 47) % 30) / 10.0,
+        "pressureError": lambda: ((c * 61 + h * 43 + dd * 53) % 50) / 10.0,
+        "cloudCoverError": lambda: ((c * 67 + h * 47 + dd * 59) % 21) / 100.0,
+        "windSpeedError": lambda: ((c * 71 + h * 53 + dd * 61) % 40) / 10.0,
+        "windBearingError": lambda: ((c * 73 + h * 59 + dd * 67) % 90) / 1.0,
     }
     return {m: fns[m]() for m in measures}
 
 
 def expand_hourly(cell: np.ndarray, d: np.ndarray,
-                  measures: tuple = MEASURES) -> pd.DataFrame:
+                  measures: tuple = MEASURES,
+                  categoricals: bool = False) -> pd.DataFrame:
     """Requests -> hourly rows: 24 per ok request, 1 NaN sentinel (hour=12)
     per failed request (weather.py:458-475 semantics). ``measures`` limits
-    which columns are computed (the daily summary consumes 5 of the 14 —
-    compute-pruning mirrors column-pruning at the read)."""
+    which columns are computed (the daily summary consumes 5 of the 20 —
+    compute-pruning mirrors column-pruning at the read). ``categoricals``
+    adds the string HOURLY_COLS (precipType from a hash grid; summary/icon
+    from cloudCover buckets), NULL on sentinel rows."""
     cell = cell.astype(np.int64)
     d = d.astype(np.int64)
     fail = (cell % FAIL_MOD) == 0
@@ -165,6 +180,21 @@ def expand_hourly(cell: np.ndarray, d: np.ndarray,
     for m in measures:
         out[m] = np.concatenate([vals[m], np.full(fc.shape[0], np.nan)])
     df = pd.DataFrame(out)
+    if categoricals:
+        nf = fc.shape[0]
+        ptype_code = (rc * 79 + rh * 61 + rd * 71) % 3
+        ptype = np.array(["rain", "snow", "sleet"], dtype=object)[ptype_code]
+        cc = (vals["cloudCover"] if "cloudCover" in vals
+              else ((rc * 23 + rh * 11 + rd * 7) % 101) / 100.0)
+        sm_code = np.where(cc < 0.25, 0, np.where(cc < 0.75, 1, 2))
+        summary = np.array(["clear", "partly cloudy", "cloudy"],
+                           dtype=object)[sm_code]
+        icon = np.array(["clear-day", "partly-cloudy-day", "cloudy"],
+                        dtype=object)[sm_code]
+        sent = np.full(nf, None, dtype=object)
+        df["precipType"] = np.concatenate([ptype, sent])
+        df["summary"] = np.concatenate([summary, sent])
+        df["icon"] = np.concatenate([icon, sent])
     df["date"] = ((df["d"].values * np.int64(86_400_000_000))
                   .astype("datetime64[us]").astype("datetime64[D]").astype(str))
     return df.drop(columns=["d"])

@@ -1110,18 +1110,35 @@ hourly AS (
      ((cell*37 + h*29 + d*41) % 161) / 10.0 AS visibility,
      250.0 + ((cell*47 + h*31 + d*37) % 1500) / 10.0 AS ozone,
      ((cell*19 + h*3 + d*5) % 300) / 10.0
-       + ((cell*5 + h*7 + d*3) % 80) / 10.0 AS windGust
+       + ((cell*5 + h*7 + d*3) % 80) / 10.0 AS windGust,
+     ((cell*53 + h*37 + d*43) % 120) / 10.0 AS precipAccumulation,
+     ((cell*59 + h*41 + d*47) % 30) / 10.0 AS temperatureError,
+     ((cell*61 + h*43 + d*53) % 50) / 10.0 AS pressureError,
+     ((cell*67 + h*47 + d*59) % 21) / 100.0 AS cloudCoverError,
+     ((cell*71 + h*53 + d*61) % 40) / 10.0 AS windSpeedError,
+     ((cell*73 + h*59 + d*67) % 90) / 1.0 AS windBearingError,
+     CASE (cell*79 + h*61 + d*71) % 3 WHEN 0 THEN 'rain'
+          WHEN 1 THEN 'snow' ELSE 'sleet' END AS precipType,
+     CASE WHEN ((cell*23 + h*11 + d*7) % 101) / 100.0 < 0.25 THEN 'clear'
+          WHEN ((cell*23 + h*11 + d*7) % 101) / 100.0 < 0.75
+            THEN 'partly cloudy' ELSE 'cloudy' END AS summary,
+     CASE WHEN ((cell*23 + h*11 + d*7) % 101) / 100.0 < 0.25 THEN 'clear-day'
+          WHEN ((cell*23 + h*11 + d*7) % 101) / 100.0 < 0.75
+            THEN 'partly-cloudy-day' ELSE 'cloudy' END AS icon
   FROM req, range(24) t(h) WHERE cell % 13 <> 0
   UNION ALL
   SELECT cell, d, 12, NULL, NULL, NULL, NULL, NULL,
-         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
   FROM req WHERE cell % 13 = 0),
 hourly_d AS (SELECT *, strftime(make_timestamp(d * 86400000000), '%Y-%m-%d')
                     AS date FROM hourly)
 """
 
 
-def _weather_hourly_ds(sf_dir: str, measures: tuple | None = None) -> rd.Dataset:
+def _weather_hourly_ds(sf_dir: str, measures: tuple | None = None,
+                       categoricals: bool = False) -> rd.Dataset:
     """S3/C10 requests: distinct (1-deg cell, day) over the event points
     (partial per-batch dedup + groupby — the D1 request-dedup pattern),
     expanded to hourly report rows (24 per ok request, all-NaN sentinel
@@ -1142,7 +1159,7 @@ def _weather_hourly_ds(sf_dir: str, measures: tuple | None = None) -> rd.Dataset
 
     def expand(t: pa.Table) -> pa.Table:
         df = expand_hourly(t["cell"].to_numpy(), t["d"].to_numpy(),
-                           measures=measures)
+                           measures=measures, categoricals=categoricals)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (_points_ds(sf_dir).select_columns(["ts", "lat", "lon"])
@@ -1155,14 +1172,17 @@ def _weather_hourly_ds(sf_dir: str, measures: tuple | None = None) -> rd.Dataset
 def q_hourly_weather(sf_dir: str):
     """Hourly weather-report expansion (weather.py:405-489): 24 rows per
     (cell, date) request, deterministic measures, all-NaN hour-12 sentinel
-    for failed cells — oracle-checked."""
-    return _weather_hourly_ds(sf_dir)
+    for failed cells — oracle-checked (full 23-column HOURLY_COLS breadth
+    incl. error measures and precipType/summary/icon categoricals)."""
+    return _weather_hourly_ds(sf_dir, categoricals=True)
 
 
 SQL_HOURLY_WEATHER = _WX_HOURLY_SQL + """
 SELECT cell, hour, temperature, humidity, cloudCover, dewPoint,
        precipIntensity, precipProbability, apparentTemperature, pressure,
-       windSpeed, windBearing, uvIndex, visibility, ozone, windGust, date
+       windSpeed, windBearing, uvIndex, visibility, ozone, windGust,
+       precipAccumulation, temperatureError, pressureError, cloudCoverError,
+       windSpeedError, windBearingError, precipType, summary, icon, date
 FROM hourly_d
 """
 
