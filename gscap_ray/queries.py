@@ -911,20 +911,36 @@ FROM c GROUP BY user_id
 
 
 def q_session_metrics(sf_dir: str):
-    """A3/C8: per-session-type visit statistics (duration sums/means)."""
-    sess = q_sessionize(sf_dir).to_pandas()
-    dur = (sess["time_out"] - sess["time_in"]).dt.total_seconds()
-    sess = sess.assign(dur=dur)
-    out = sess.groupby("event_type").agg(
-        times_entered=("dur", "size"),
-        total_duration_s=("dur", "sum"),
-        mean_duration_s=("dur", "mean"),
-        max_duration_s=("dur", "max"),
-    ).reset_index()
-    out["total_duration_s"] = out["total_duration_s"].round(3)
-    out["mean_duration_s"] = out["mean_duration_s"].round(3)
-    out["max_duration_s"] = out["max_duration_s"].round(3)
-    return out
+    """A3/C8: per-session-type visit statistics (duration sums/means),
+    aggregated distributedly — durations stay exact int64 microseconds
+    through the shuffle (order-independent sums, the weather trick), so
+    the result is byte-stable at any parallelism; the old driver-side
+    pandas groupby pulled every session row to the driver."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def durs(t: pa.Table) -> pa.Table:
+        d = (t["time_out"].cast(pa.int64()).to_numpy()
+             - t["time_in"].cast(pa.int64()).to_numpy())
+        return pa.table({"event_type": t["event_type"],
+                         "dur_us": pa.array(d, pa.int64())})
+
+    agg = (q_sessionize(sf_dir)
+           .map_batches(durs, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="times_entered"),
+                      Sum("dur_us", alias_name="sum_us"),
+                      Max("dur_us", alias_name="max_us"))).to_pandas()
+    n = agg["times_entered"].to_numpy().astype(np.int64)
+    sum_us = agg["sum_us"].to_numpy().astype(np.int64)
+    max_us = agg["max_us"].to_numpy().astype(np.int64)
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "times_entered": n,
+        "total_duration_s": np.round(sum_us / 1e6, 3) + 0.0,
+        "mean_duration_s": np.round((sum_us / n) / 1e6, 3) + 0.0,
+        "max_duration_s": np.round(max_us / 1e6, 3) + 0.0,
+    })
+    return out.sort_values("event_type", ignore_index=True)
 
 
 SQL_SESSION_METRICS = """
@@ -934,13 +950,22 @@ WITH e AS (SELECT user_id, ts, event_id, event_type,
                   AS island
            FROM events),
 s AS (SELECT user_id, event_type,
-             epoch_us(max(ts) - min(ts)) / 1000000.0 AS dur
-      FROM e GROUP BY user_id, event_type, island)
-SELECT event_type, count(*) AS times_entered,
-       round(sum(dur), 3) AS total_duration_s,
-       round(avg(dur), 3) AS mean_duration_s,
-       round(max(dur), 3) AS max_duration_s
-FROM s GROUP BY event_type
+             epoch_us(max(ts) - min(ts)) AS dur_us
+      FROM e GROUP BY user_id, event_type, island),
+-- exact integer-us sums; the double chain (/1e6, *1e3, round_even, /1e3)
+-- mirrors np.round(sum_us / 1e6, 3) operation-for-operation
+g AS (SELECT event_type, count(*) AS n,
+             CAST(sum(dur_us) AS DOUBLE) AS sum_us,
+             CAST(max(dur_us) AS DOUBLE) AS max_us
+      FROM s GROUP BY event_type)
+SELECT event_type, n AS times_entered,
+       CAST(round_even((sum_us / 1000000.0) * 1000.0, 0) AS BIGINT) / 1000.0
+         AS total_duration_s,
+       CAST(round_even(((sum_us / n) / 1000000.0) * 1000.0, 0) AS BIGINT) / 1000.0
+         AS mean_duration_s,
+       CAST(round_even((max_us / 1000000.0) * 1000.0, 0) AS BIGINT) / 1000.0
+         AS max_duration_s
+FROM g ORDER BY event_type
 """
 
 
