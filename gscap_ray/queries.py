@@ -1647,6 +1647,76 @@ def q_dedup_clusters(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_dedup_representatives(sf_dir: str):
+    """Curation keep-list: inside each transitive near-dup component keep
+    the member with the MOST tokens (ties -> smallest doc_id) and drop the
+    rest — the step an LLM-corpus pipeline runs right after clustering,
+    choosing the best representative instead of an arbitrary min-id.
+
+    Distributed shape: components via the alternating star contraction
+    (pair-set shuffles only, never the corpus); token counts stream via
+    map_batches; corpus⟕components is a Dataset hash join with the DENSE
+    corpus side on the left (Ray 2.49's join crashes on empty left
+    partitions — the component side is sparse); per-component argmax is a
+    map_groups keyed on rep (components are tiny by construction).  The
+    tie metric is an integer, so no float-order hazard exists anywhere."""
+    import ray
+
+    pairs = _minhash_verified_pairs(sf_dir)
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["doc_a"].cast(pa.int64()),
+                         "v": t["doc_b"].cast(pa.int64())})
+
+    from .functions.text import token_counts
+    from .ops import connected_components
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "rep": pd.Series([], dtype="int64"),
+                             "ntok": pd.Series([], dtype="int64"),
+                             "kept": pd.Series([], dtype="bool")})
+    cc = connected_components(edges)
+
+    def ntok(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "ntok": pa.array(token_counts(txt), pa.int64())})
+
+    nt = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(ntok, batch_format="pyarrow"))
+    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    j = (nt.join(cc, "inner", nparts, on=("doc_id",), right_on=("id",))
+         .select_columns(["doc_id", "ntok", "rep"]))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        ids_ = g["doc_id"].to_numpy().astype(np.int64)
+        nt_ = g["ntok"].to_numpy().astype(np.int64)
+        kept = np.zeros(ids_.shape[0], dtype=bool)
+        kept[np.lexsort((ids_, -nt_))[0]] = True
+        return pd.DataFrame({"doc_id": ids_, "rep": g["rep"].to_numpy(),
+                             "ntok": nt_, "kept": kept})
+
+    return j.groupby("rep").map_groups(pick, batch_format="pandas")
+
+
+# Same component chain as SQL_DEDUP_CLUSTERS, then the keep decision as a
+# per-component window argmax over the text_stats token count.
+SQL_DEDUP_REPRESENTATIVES_TAIL = """
+nt AS (SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS ntok
+       FROM documents),
+m AS (SELECT cc.id AS doc_id, cc.rep, nt.ntok,
+             row_number() OVER (PARTITION BY cc.rep
+                                ORDER BY nt.ntok DESC, cc.id) AS rk
+      FROM cc JOIN nt ON nt.doc_id = cc.id)
+SELECT doc_id, rep, ntok, (rk = 1) AS kept FROM m ORDER BY doc_id
+"""
+
+
 # Same shingle/Jaccard CTE chain as SQL_MINHASH_DEDUP (kept verbatim so the
 # pair set is identical), then connected components via a recursive
 # reachability walk: rep(id) = min node reachable from id.
@@ -1680,6 +1750,10 @@ w(id, front) AS (
 cc AS (SELECT id, min(front) AS rep FROM w GROUP BY id)
 SELECT id AS doc_id, rep, (id = rep) AS keep FROM cc ORDER BY doc_id
 """
+
+SQL_DEDUP_REPRESENTATIVES = (
+    SQL_DEDUP_CLUSTERS.split("SELECT id AS doc_id")[0].rstrip().rstrip(",")
+    + ",\n" + SQL_DEDUP_REPRESENTATIVES_TAIL)
 
 
 def q_json_extract(sf_dir: str):
@@ -3268,7 +3342,7 @@ QUERIES = {
     "session_metrics": q_session_metrics,
     "daily_user_metrics": q_daily_user_metrics,
     "daily_value_stats": q_daily_value_stats,
-    "daily_entropy": q_daily_entropy,
+    "dedup_representatives": q_dedup_representatives,
     "daily_value_quantiles": q_daily_value_quantiles,
     "sliding_window": q_sliding_window,
     "minute_resample": q_minute_resample,
@@ -3311,6 +3385,7 @@ QUERIES = {
     "join_nation_region": q_join_nation_region,
     "join_orders_customers": q_join_orders_customers,
     "join_lineitem_orders": q_join_lineitem_orders,
+    "daily_entropy": q_daily_entropy,
     "ann_ivf_recall": q_ann_ivf_recall,
 }
 
@@ -3381,4 +3456,5 @@ ORACLE_SQL = {
     "next_phase_cores": _sql_next_phase_cores(),
     "multimodal_features": sql_multimodal_features(),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_representatives": SQL_DEDUP_REPRESENTATIVES,
 }
