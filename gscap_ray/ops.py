@@ -205,8 +205,15 @@ def _edge_signature(edges: rd.Dataset) -> tuple[int, int]:
         return pa.table({"n": pa.array([t.num_rows], pa.int64()),
                          "s": pa.array([s], pa.int64())})
 
-    agg = edges.map_batches(h, batch_format="pyarrow").sum(["n", "s"])
-    return (agg["sum(n)"], agg["sum(s)"])
+    # fold the one-row-per-block partials on the driver with explicit
+    # int64 wraparound: Ray's Sum reduce accumulates unbounded Python
+    # ints, overflows the Arrow int64 column and silently falls back to a
+    # pickled-object block
+    rows = edges.map_batches(h, batch_format="pyarrow").take_all()
+    n = int(sum(r["n"] for r in rows))
+    with np.errstate(over="ignore"):
+        s = int(np.array([r["s"] for r in rows], dtype=np.int64).sum())
+    return (n, s)
 
 
 def connected_components(edges: rd.Dataset, parts: int = 64,
