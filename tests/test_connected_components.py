@@ -73,3 +73,41 @@ def test_cc_random_graphs():
         want = union_find_components(edges)
         got = run_cc(edges)
         assert got == want, trial
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_representatives_tie_semantics(tmp_path):
+    """Keep-list picks max token count, ties -> smallest doc_id; every
+    component member appears exactly once (planted world, no oracle)."""
+    import ray.data as rd
+
+    import gscap_ray.queries as Q
+
+    # planted docs: 0/1/2 one component (near-identical text), 3/4 another
+    # with a token-count tie, 5 a singleton (must NOT appear in output)
+    b1 = "alpha beta gamma delta epsilon zeta eta theta"
+    b2 = "red orange yellow green blue indigo violet umber"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [b1 + " one two three",           # 11 tokens
+                 b1 + " one two three four",      # 12 tokens  <- keeper c1
+                 b1 + " one two",                 # 10 tokens
+                 b2 + " x y z",                   # 11 tokens  <- keeper c2 (tie, min id)
+                 b2 + " x y w",                   # 11 tokens (tie loser)
+                 "totally different text entirely unrelated words here"],
+    })
+    sf = tmp_path / "world"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    out = Q.q_dedup_representatives(str(sf))
+    if isinstance(out, rd.Dataset):
+        out = out.to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert set(out["doc_id"]) == {0, 1, 2, 3, 4}, out
+    kept = dict(zip(out["doc_id"], out["kept"]))
+    assert kept == {0: False, 1: True, 2: False, 3: True, 4: False}, kept
+    # reps are component minima
+    reps = dict(zip(out["doc_id"], out["rep"]))
+    assert reps[0] == reps[1] == reps[2] == 0
+    assert reps[3] == reps[4] == 3
