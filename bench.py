@@ -90,6 +90,17 @@ def run_bench() -> dict:
     timings["flagship_pages_run2"] = second
     timings["pages_per_sec"] = round(n_pages / timings["flagship_pages"], 1)
 
+    # record-level labeled path (text through the shuffle), reported but NOT
+    # part of the headline sum; measured HERE — right after the flagship,
+    # before hot_cells/distributed_dbscan pressure the object store (the r3
+    # in-suite reading drifted to 2.3x its isolated cost when it ran last)
+    from gscap_ray.pipelines.flagship import labeled_pages
+
+    t0 = time.time()
+    labeled_pages(pages_dir, polygons=polys).count()
+    timings["labeled_pages"] = round(time.time() - t0, 3)
+    timings["labeled_pages_per_sec"] = round(n_pages / timings["labeled_pages"], 1)
+
     timed("velocity_bins", lambda: consume(Q.q_velocity_bins(sf_dir)))
     timed("grid_cells", lambda: consume(Q.q_grid_cells(sf_dir)))
     timed("knn_centers", lambda: consume(Q.q_knn_centers(sf_dir)))
@@ -140,17 +151,8 @@ def run_bench() -> dict:
 
     headline = round(sum(v for k, v in timings.items()
                          if k not in ("pages_per_sec", "flagship_pages_run1",
-                                      "flagship_pages_run2")), 3)
-
-    # record-level labeled path (text through the shuffle), reported but NOT
-    # part of the headline sum (added in round 2; keeps the headline series
-    # comparable across rounds)
-    from gscap_ray.pipelines.flagship import labeled_pages
-
-    t0 = time.time()
-    labeled_pages(pages_dir, polygons=polys).count()
-    timings["labeled_pages"] = round(time.time() - t0, 3)
-    timings["labeled_pages_per_sec"] = round(n_pages / timings["labeled_pages"], 1)
+                                      "flagship_pages_run2", "labeled_pages",
+                                      "labeled_pages_per_sec")), 3)
 
     # LLM-data operators (round 2; timed after the headline sum is fixed,
     # so they report without shifting the cross-round headline series)
