@@ -1503,33 +1503,58 @@ def _minhash_verified_pairs(sf_dir: str) -> rd.Dataset:
             "part": pa.array((bucket.ravel() % 256).astype(np.int32), pa.int32()),
         })
 
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        bk = g["bucket"].values
-        ids = g["doc_id"].values
-        order = np.lexsort((ids, bk))
-        bs, di = bk[order], ids[order]
-        bounds = np.flatnonzero(np.diff(bs))
-        starts = np.concatenate([[0], bounds + 1])
-        ends = np.concatenate([bounds + 1, [len(bs)]])
-        sizes = ends - starts
-        out_a, out_b = [], []
-        for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
-            d = np.unique(di[s:e])
-            if d.shape[0] < 2:
-                continue
-            ii, jj = np.triu_indices(d.shape[0], k=1)
-            out_a.append(d[ii])
-            out_b.append(d[jj])
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+    cand = _postings_candidates(docs.map_batches(explode, batch_format="pyarrow"))
+    return _exact_jaccard_verify(docs, cand)
 
-    cand = (docs.map_batches(explode, batch_format="pyarrow")
-            .groupby("part").map_groups(pairs_part, batch_format="pandas")
+
+def _postings_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One 256-way hash partition of (doc_id, bucket) postings -> the
+    within-bucket doc-id pairs, via one lexsort + segment scan (no Python
+    call per bucket)."""
+    bk = g["bucket"].values
+    ids = g["doc_id"].values
+    order = np.lexsort((ids, bk))
+    bs, di = bk[order], ids[order]
+    bounds = np.flatnonzero(np.diff(bs))
+    starts = np.concatenate([[0], bounds + 1])
+    ends = np.concatenate([bounds + 1, [len(bs)]])
+    sizes = ends - starts
+    out_a, out_b = [], []
+    for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
+        d = np.unique(di[s:e])
+        if d.shape[0] < 2:
+            continue
+        ii, jj = np.triu_indices(d.shape[0], k=1)
+        out_a.append(d[ii])
+        out_b.append(d[jj])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
+
+
+def _postings_candidates(postings: rd.Dataset) -> rd.Dataset:
+    """(doc_id, bucket, part) posting rows -> deduped (doc_a, doc_b)
+    candidate pairs. Shuffles only the postings (ids + bucket keys, never
+    document bytes); pair generation is a per-partition segment scan."""
+    from ray.data.aggregate import Count
+
+    return (postings
+            .groupby("part").map_groups(_postings_pairs_part,
+                                        batch_format="pandas")
             .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c"))
             .select_columns(["doc_a", "doc_b"]))
+
+
+def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
+    """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs as a hash
+    join against a per-doc shingle-blob table; keeps pairs with J >= 0.5.
+
+    Shared tail of the MinHash and prefix-filter candidate generators —
+    the verify moves each document's shingle set through the join exactly
+    once, never the corpus."""
+    from .functions.dedup import shingle_hashes
 
     # shingle sets travel as packed little-endian uint64 blobs (Arrow's
     # hash join carries binary payloads but not list columns). Shingling is
@@ -1614,6 +1639,65 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
 """
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """n-gram (3-shingle) Jaccard near-dedup via EXACT prefix filtering —
+    the deterministic counterpart to :func:`q_minhash_dedup`.
+
+    Candidate generation is the AllPairs/PPJoin prefix filter (Bayardo,
+    Ma & Srikant, WWW'07 §3; Xiao et al. WWW'08): order each document's
+    distinct shingle hashes by a fixed global order (ascending uint64) and
+    index only its first ``n - ceil(t*n) + 1`` shingles.  Two sets with
+    Jaccard >= t must intersect inside those prefixes, so unlike MinHash
+    banding the candidate set provably contains EVERY qualifying pair —
+    no probabilistic miss (ADVICE r2 flagged the minhash/LSH gates as
+    probabilistic; this operator is the exact gate).
+
+    Scale shape: postings carry only (shingle, doc_id) ints — ~half the
+    rows of the full inverted index at t=0.5 — through one 256-way hash
+    partition; pair emission is a per-partition segment scan; the exact
+    verify joins each doc's shingle blob through the candidate set once
+    (shared tail with minhash). Reference analog: the 5-dp cache-line
+    collapse (gps.py:94-95) generalized to content near-dedup.
+    """
+    from .functions.dedup import shingle_hashes
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        out_sh, out_id = [], []
+        for did, x in zip(ids, txt):
+            toks = x.split()
+            if not toks:
+                continue
+            sh = shingle_hashes(toks)  # np.unique -> ascending = global order
+            n = sh.shape[0]
+            p = n - (n + 1) // 2 + 1  # n - ceil(0.5*n) + 1
+            out_sh.append(sh[:p])
+            out_id.append(np.full(p, did, dtype=np.int64))
+        if not out_sh:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        bucket = np.concatenate(out_sh).view(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "part": pa.array((bucket % 256).astype(np.int32), pa.int32()),
+        })
+
+    cand = _postings_candidates(
+        docs.map_batches(explode_prefix, batch_format="pyarrow"))
+    out = _exact_jaccard_verify(docs, cand).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# the prefix filter is lossless at t=0.5, so the oracle is the same exact
+# all-pairs Jaccard SQL as the minhash gate
+SQL_NGRAM_JACCARD = SQL_MINHASH_DEDUP
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -3329,6 +3413,7 @@ QUERIES = {
     "pages_next_phase": q_pages_next_phase,
     # dedup / similarity / ANN
     "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
     "embedding_dupes_lsh": q_embedding_dupes_lsh,
     "embedding_dupes": q_embedding_dupes,
     "ann_topk": q_ann_topk,
@@ -3341,7 +3426,6 @@ QUERIES = {
     "gap_sessions": q_gap_sessions,
     "session_metrics": q_session_metrics,
     "daily_user_metrics": q_daily_user_metrics,
-    "daily_value_stats": q_daily_value_stats,
     "dedup_representatives": q_dedup_representatives,
     "daily_value_quantiles": q_daily_value_quantiles,
     "sliding_window": q_sliding_window,
@@ -3371,6 +3455,9 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "dedup_clusters": q_dedup_clusters,
     # ---- past the driver's 50-entry window: demos + rows-only ----
+    # (daily_value_stats' op — plain grouped agg — is witnessed in-window
+    # by daily_user_metrics / session_metrics)
+    "daily_value_stats": q_daily_value_stats,
     "groupby_agg": q_groupby_agg,
     "topk_users": q_topk_users,
     "pair_distances": q_pair_distances,
@@ -3445,6 +3532,7 @@ ORACLE_SQL = {
     "cell_dedup": SQL_CELL_DEDUP,
     "raster_sample": SQL_RASTER_SAMPLE,
     "minhash_dedup": SQL_MINHASH_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "pages_next_phase": sql_pages_next_phase(),
     "pages_label_stats": sql_pages_label_stats(),
     "pages_daily_features": sql_pages_daily_features(),

@@ -206,3 +206,64 @@ def test_embedding_lsh_planted_skew(ray_session):
     finally:
         Q._read, Q._LSH_CHUNK = orig, orig_chunk
     assert set(zip(got["id_a"], got["id_b"])) == want
+
+
+def test_ngram_jaccard_prefix_filter_lossless(ray_session):
+    """The AllPairs prefix filter (index only the first n - ceil(t*n) + 1
+    of each doc's globally-ordered shingles) must find EVERY pair with
+    exact Jaccard >= 0.5 — compare against brute-force all-pairs on
+    adversarial inputs: identical docs, single-shingle docs, pairs planted
+    right at / just under the threshold, empties."""
+    import pandas as pd
+    import ray.data as rd
+
+    import gscap_ray.queries as Q
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(400)])
+    texts = []
+    # random background docs
+    for _ in range(60):
+        texts.append(" ".join(rng.choice(vocab, size=rng.integers(5, 40))))
+    # identical pair (J = 1.0)
+    texts += ["alpha beta gamma delta epsilon"] * 2
+    # single-shingle docs (< k tokens): identical and different
+    texts += ["tiny doc", "tiny doc", "other doc"]
+    # planted pair exactly at threshold: share half their tokens-run
+    base = [f"s{i}" for i in range(30)]
+    texts.append(" ".join(base))
+    texts.append(" ".join(base[:16] + [f"t{i}" for i in range(14)]))
+    # near-identical long pair (one token changed mid-doc)
+    long = [f"u{i}" for i in range(50)]
+    texts.append(" ".join(long))
+    texts.append(" ".join(long[:25] + ["X"] + long[26:]))
+    texts.append("")  # empty doc is excluded on both sides
+
+    ids = np.arange(len(texts), dtype=np.int64)
+    # brute-force expected pairs
+    shs = [shingle_hashes(t.split()) for t in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if not texts[i].split() or not texts[j].split():
+                continue
+            jc = jaccard(shs[i], shs[j])
+            if jc >= 0.5:
+                want[(i, j)] = round(jc, 4)
+    assert len(want) >= 2  # the planted pairs exist
+
+    pdf = pd.DataFrame({"doc_id": ids, "text": texts})
+    orig = Q._read
+    try:
+        Q._read = lambda sf, table, columns=None: rd.from_pandas(pdf)
+        got = Q.q_ngram_jaccard("unused")
+        got_mh = Q.q_minhash_dedup("unused")
+    finally:
+        Q._read = orig
+    got_pairs = {(a, b): j for a, b, j in
+                 zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    assert got_pairs == want
+    # the two lossless-at-0.5 generators agree end to end
+    assert got_pairs == {(a, b): j for a, b, j in
+                         zip(got_mh["doc_a"], got_mh["doc_b"],
+                             got_mh["jaccard"])}
