@@ -1654,18 +1654,29 @@ def q_ngram_jaccard(sf_dir: str):
     no probabilistic miss (ADVICE r2 flagged the minhash/LSH gates as
     probabilistic; this operator is the exact gate).
 
-    Scale shape: postings carry only (shingle, doc_id) ints — ~half the
-    rows of the full inverted index at t=0.5 — through one 256-way hash
-    partition; pair emission is a per-partition segment scan; the exact
+    The global shingle order is ASCENDING CORPUS DOCUMENT FREQUENCY with
+    the hash as tie-break (AllPairs §4 "increasing frequency" ordering) —
+    any fixed total order keeps the no-miss guarantee, and rare-first
+    prefixes keep posting lists short: with plain hash order a stopword
+    3-gram shared by millions of pages lands in millions of prefixes and
+    its posting list pairs O(f²); under df order hot shingles sort LAST
+    and rarely enter any prefix, so pair work concentrates on rare
+    shingles. Costs one extra groupby + per-doc regroup, both over
+    (int64, int64) posting rows only — never document bytes.
+
+    Scale shape: postings carry only ints through 256-way hash
+    partitions; pair emission is a per-partition segment scan; the exact
     verify joins each doc's shingle blob through the candidate set once
     (shared tail with minhash). Reference analog: the 5-dp cache-line
     collapse (gps.py:94-95) generalized to content near-dedup.
     """
+    from ray.data.aggregate import Count
+
     from .functions.dedup import shingle_hashes
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def explode_prefix(t: pa.Table) -> pa.Table:
+    def explode_all(t: pa.Table) -> pa.Table:
         txt = t["text"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy().astype(np.int64)
         out_sh, out_id = [], []
@@ -1673,24 +1684,56 @@ def q_ngram_jaccard(sf_dir: str):
             toks = x.split()
             if not toks:
                 continue
-            sh = shingle_hashes(toks)  # np.unique -> ascending = global order
-            n = sh.shape[0]
-            p = n - (n + 1) // 2 + 1  # n - ceil(0.5*n) + 1
-            out_sh.append(sh[:p])
-            out_id.append(np.full(p, did, dtype=np.int64))
+            sh = shingle_hashes(toks)  # distinct per doc
+            out_sh.append(sh)
+            out_id.append(np.full(sh.shape[0], did, dtype=np.int64))
         if not out_sh:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int64()),
-                             "part": pa.array([], pa.int32())})
-        bucket = np.concatenate(out_sh).view(np.int64)
+                             "sh": pa.array([], pa.int64())})
         return pa.table({
             "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
-            "bucket": pa.array(bucket, pa.int64()),
-            "part": pa.array((bucket % 256).astype(np.int32), pa.int32()),
+            "sh": pa.array(np.concatenate(out_sh).view(np.int64), pa.int64()),
         })
 
-    cand = _postings_candidates(
-        docs.map_batches(explode_prefix, batch_format="pyarrow"))
+    postings = docs.map_batches(explode_all,
+                                batch_format="pyarrow").materialize()
+    df_tbl = postings.groupby("sh").aggregate(Count(alias_name="df"))
+
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    jp = max(2, min(8, ncpu // 2))
+    with_df = postings.join(df_tbl, "inner", jp, on=("sh",))
+
+    def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
+        """All postings of one doc-hash partition -> each doc's prefix
+        under the (df, sh) global order, one lexsort + segment arithmetic
+        (no Python loop per doc)."""
+        did = g["doc_id"].values
+        sh = g["sh"].values
+        dfreq = g["df"].values
+        order = np.lexsort((sh, dfreq, did))
+        did, sh = did[order], sh[order]
+        bounds = np.flatnonzero(np.diff(did))
+        starts = np.concatenate([[0], bounds + 1])
+        ends = np.concatenate([bounds + 1, [len(did)]])
+        n = ends - starts
+        p = n - (n + 1) // 2 + 1  # n - ceil(0.5*n) + 1
+        # rank of each row within its doc segment
+        rank = np.arange(len(did)) - np.repeat(starts, n)
+        keep = rank < np.repeat(p, n)
+        sh_k = sh[keep]
+        return pd.DataFrame({
+            "doc_id": did[keep], "bucket": sh_k,
+            "part": (sh_k % 256).astype(np.int32)})
+
+    def doc_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dpart", pa.array((t["doc_id"].to_numpy() % 256).astype(np.int32)))
+
+    prefix = (with_df.map_batches(doc_part, batch_format="pyarrow")
+              .groupby("dpart").map_groups(prefix_part, batch_format="pandas"))
+    cand = _postings_candidates(prefix)
     out = _exact_jaccard_verify(docs, cand).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
