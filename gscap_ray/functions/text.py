@@ -42,6 +42,24 @@ def token_counts(texts: np.ndarray) -> np.ndarray:
     return n
 
 
+# GPT-2-style BPE pretokenizer, restricted to lookahead-free RE2-compatible
+# syntax so Python re and DuckDB regexp_extract_all count identically:
+# contractions, space-prefixed letter runs, digit runs, punctuation runs,
+# residual whitespace. (The published GPT-2 pattern's \s+(?!\S) lookahead
+# is dropped — RE2 has no lookahead; trailing-space tokens merge into the
+# \s+ branch on both sides, keeping the count deterministic.)
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+_BPE_PRETOKEN = re.compile(BPE_PRETOKEN_PATTERN)
+
+
+def bpe_token_counts(texts: np.ndarray) -> np.ndarray:
+    """BPE-ish pretoken count per document (compiled-regex findall pass;
+    the string scan is C, only the per-doc count crosses into Python)."""
+    s = pd.Series(texts, dtype="object").fillna("")
+    return s.str.count(_BPE_PRETOKEN).values.astype(np.int64)
+
+
 def stopword_ratio(texts: np.ndarray, stopwords=STOPWORDS_EN) -> np.ndarray:
     """fraction of lowercase whitespace tokens that are stopwords (0.0 for
     empty docs), rounded to 4 dp."""

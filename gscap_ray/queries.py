@@ -1296,22 +1296,31 @@ b AS (SELECT cell, date,{",".join(agg)},
 # ------------------------------------------------------------------ text ---
 
 def q_text_stats(sf_dir: str):
-    """Token counting + length stats (vectorized pandas str kernels)."""
-    from .functions.text import token_counts
+    """Token counting (whitespace + BPE-ish pretokenizer regex) + length
+    stats (vectorized pandas/pyarrow str kernels)."""
+    from .functions.text import bpe_token_counts, token_counts
 
     def stats(t: pa.Table) -> pa.Table:
         txt = t["text"].to_numpy(zero_copy_only=False)
         return (t.select(["doc_id"])
                 .append_column("n_tokens", pa.array(token_counts(txt), pa.int64()))
+                .append_column("n_bpe_tokens",
+                               pa.array(bpe_token_counts(txt), pa.int64()))
                 .append_column("n_chars2", pc.utf8_length(t["text"]).cast(pa.int64())))
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
 
+# the BPE-ish pattern is lookahead-free so DuckDB's RE2 and Python's re
+# count the same matches (parity tested on adversarial contractions /
+# non-ASCII / pure-punctuation strings in tests/test_text_dedup_ann.py)
 SQL_TEXT_STATS = """
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+           )) AS n_bpe_tokens,
        length(text) AS n_chars2
 FROM documents
 """

@@ -267,3 +267,24 @@ def test_ngram_jaccard_prefix_filter_lossless(ray_session):
     assert got_pairs == {(a, b): j for a, b, j in
                          zip(got_mh["doc_a"], got_mh["doc_b"],
                              got_mh["jaccard"])}
+
+
+def test_bpe_token_counts_matches_duckdb_re2():
+    """The BPE-ish pretokenizer must count identically under Python re and
+    DuckDB's RE2 (the oracle side) — adversarial contractions, non-ASCII,
+    pure punctuation, whitespace runs."""
+    import duckdb
+    import pyarrow as pa
+
+    from gscap_ray.functions.text import BPE_PRETOKEN_PATTERN, bpe_token_counts
+
+    texts = ["", "  ", "it's a test", "abc123!!", "héllo wörld", "a'b'll c",
+             "tab\tnl\n x", "don't can't we'll I'm you're I'd I've",
+             "...---...", "ALLCAPS lower 42 3.14", "'", "''s", "x'sy"]
+    got = bpe_token_counts(np.array(texts, dtype=object))
+    con = duckdb.connect()
+    con.register("d", pa.table({"text": texts}))
+    sql_pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    want = [r[0] for r in con.execute(
+        f"SELECT len(regexp_extract_all(text, '{sql_pat}')) FROM d").fetchall()]
+    assert got.tolist() == want
