@@ -157,6 +157,7 @@ def run_bench() -> dict:
     # LLM-data operators (round 2; timed after the headline sum is fixed,
     # so they report without shifting the cross-round headline series)
     timed("minhash_dedup", lambda: Q.q_minhash_dedup(sf_dir))
+    timed("ngram_jaccard", lambda: Q.q_ngram_jaccard(sf_dir))
     timed("weather_daily", lambda: consume(Q.q_weather_daily(sf_dir)))
     timed("place_normalize", lambda: consume(Q.q_place_normalize(sf_dir)))
 

@@ -1543,17 +1543,37 @@ def _postings_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
                          "doc_b": np.concatenate(out_b)})
 
 
+def _pair_hash_col(t: pa.Table) -> pa.Table:
+    """Append a 256-way hash-partition key over the (doc_a, doc_b) pair."""
+    a = t["doc_a"].to_numpy().astype(np.uint64)
+    b = t["doc_b"].to_numpy().astype(np.uint64)
+    pp = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(256))
+    return t.append_column("ppart", pa.array(pp.astype(np.int32), pa.int32()))
+
+
+def _dedup_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+    """Distinct (doc_a, doc_b) within one pair-hash partition — a single
+    structured np.unique instead of a per-group aggregate (Ray's
+    groupby(pair).aggregate costs ~0.6 ms of Python per distinct group;
+    at 409k candidate pairs that was 270 s of the r3 ngram_jaccard run)."""
+    comb = np.empty(len(g), dtype=[("a", np.int64), ("b", np.int64)])
+    comb["a"] = g["doc_a"].values
+    comb["b"] = g["doc_b"].values
+    u = np.unique(comb)
+    return pd.DataFrame({"doc_a": u["a"], "doc_b": u["b"]})
+
+
 def _postings_candidates(postings: rd.Dataset) -> rd.Dataset:
     """(doc_id, bucket, part) posting rows -> deduped (doc_a, doc_b)
     candidate pairs. Shuffles only the postings (ids + bucket keys, never
-    document bytes); pair generation is a per-partition segment scan."""
-    from ray.data.aggregate import Count
-
+    document bytes); pair generation is a per-partition segment scan and
+    pair dedup is a per-partition vectorized unique."""
     return (postings
             .groupby("part").map_groups(_postings_pairs_part,
                                         batch_format="pandas")
-            .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c"))
-            .select_columns(["doc_a", "doc_b"]))
+            .map_batches(_pair_hash_col, batch_format="pyarrow")
+            .groupby("ppart").map_groups(_dedup_pairs_part,
+                                         batch_format="pandas"))
 
 
 def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
