@@ -122,6 +122,49 @@ def detect_language(texts: np.ndarray) -> np.ndarray:
     return out
 
 
+# one C-regex pass per feature: tokens containing an ASCII letter, and
+# tokens equal to a stopword (lookahead keeps alternation order irrelevant)
+_ALPHA_TOKEN = re.compile(r"(?:^|\s)\S*[A-Za-z]")
+_STOP_TOKEN = re.compile(
+    r"(?:^|\s)(?:" + "|".join(sorted(STOPWORDS_EN)) + r")(?=\s|$)")
+
+# Gopher-style gates (Rae et al. 2021, table A1), integer-only so the
+# decision is bit-stable: word count in [50, 100k]; mean word length in
+# [3, 10] expressed as 3*n_words <= word_chars <= 10*n_words; >=80% of
+# words contain an alphabetic character; >=2 stopword hits.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MIN_ALPHA_FRAC_NUM = 8  # n_alpha_words/n_words >= 8/10
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality(texts: np.ndarray) -> dict[str, np.ndarray]:
+    """Gopher/C4-style quality-filter decision features, all integers.
+
+    Returns n_words (whitespace tokens), word_chars (non-whitespace
+    chars = total token length), n_alpha_words (tokens containing an
+    ASCII letter), n_stop_hits (tokens equal to an English stopword,
+    case-folded), and keep (0/1 int64 gate). Every count has an exact
+    DuckDB twin (regexp_split_to_array + list_filter), so the filter
+    decision is oracle-checkable bit-for-bit — no float thresholds."""
+    s = pd.Series(texts, dtype="object").fillna("")
+    st = s.str.strip()
+    n_words = st.str.split(_WS).str.len().values.astype(np.int64)
+    n_words[st.values == ""] = 0
+    word_chars = s.str.replace(_WS, "", regex=True).str.len().values.astype(np.int64)
+    n_alpha = st.str.count(_ALPHA_TOKEN).values.astype(np.int64)
+    n_stop = st.str.lower().str.count(_STOP_TOKEN).values.astype(np.int64)
+    keep = ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+            & (GOPHER_MIN_MEAN_WORD_LEN * n_words <= word_chars)
+            & (word_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_words)
+            & (10 * n_alpha >= GOPHER_MIN_ALPHA_FRAC_NUM * n_words)
+            & (n_stop >= GOPHER_MIN_STOP_HITS)).astype(np.int64)
+    return dict(n_words=n_words, word_chars=word_chars,
+                n_alpha_words=n_alpha, n_stop_hits=n_stop, keep=keep)
+
+
 def md5_token_hash64(tokens: list[str]) -> np.ndarray:
     """uint64 per-token hash = little-endian bytes 8..16 of md5(token) —
     bit-identical to DuckDB's md5_number_lower(), so token-hash-based

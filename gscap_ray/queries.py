@@ -1349,6 +1349,49 @@ FROM documents
 """
 
 
+def q_quality_filter(sf_dir: str):
+    """Gopher/C4-style quality-filter decision table (Rae et al. 2021):
+    per-doc integer gate features + the keep decision. All-integer so the
+    filter is bit-exact against SQL (no float thresholds)."""
+    from .functions.text import gopher_quality
+
+    def gate(t: pa.Table) -> pa.Table:
+        f = gopher_quality(t["text"].to_numpy(zero_copy_only=False))
+        out = t.select(["doc_id"])
+        for k, v in f.items():
+            out = out.append_column(k, pa.array(v, pa.int64()))
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(gate, batch_format="pyarrow")
+
+
+def _sql_quality_filter() -> str:
+    from .functions.text import (GOPHER_MAX_MEAN_WORD_LEN, GOPHER_MAX_WORDS,
+                                 GOPHER_MIN_ALPHA_FRAC_NUM,
+                                 GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MIN_STOP_HITS,
+                                 GOPHER_MIN_WORDS, STOPWORDS_EN)
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+    return f"""
+WITH t AS (SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+       length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars
+     FROM documents),
+c AS (SELECT doc_id, word_chars, len(toks) AS n_words,
+       len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+       len(list_filter(toks, x -> lower(x) IN ({stops}))) AS n_stop_hits
+     FROM t)
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_hits,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND {GOPHER_MIN_MEAN_WORD_LEN} * n_words <= word_chars
+            AND word_chars <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words
+            AND 10 * n_alpha_words >= {GOPHER_MIN_ALPHA_FRAC_NUM} * n_words
+            AND n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS BIGINT) AS keep
+FROM c
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (vectorized precompiled-regex marker counts;
     'ja' on CJK codepoints, ties en > de > fr > es) — oracle-checked."""
@@ -3546,6 +3589,7 @@ QUERIES = {
     "join_lineitem_orders": q_join_lineitem_orders,
     "daily_entropy": q_daily_entropy,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLE_SQL = {
@@ -3582,6 +3626,7 @@ ORACLE_SQL = {
     "weather_daily": sql_weather_daily(),
     "text_stats": SQL_TEXT_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
+    "quality_filter": _sql_quality_filter(),
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,

@@ -20,6 +20,7 @@ from gscap_ray.functions.dedup import (
 )
 from gscap_ray.functions.text import (
     detect_language,
+    gopher_quality,
     quality_features,
     rolling_fingerprint,
     stopword_ratio,
@@ -44,6 +45,27 @@ def test_quality_features():
     q = quality_features(np.array(["Hello world 42", ""], dtype=object))
     assert q["n_tokens"].tolist() == [3, 0]
     assert q["digit_ratio"][0] > 0 and q["alpha_ratio"][1] == 0.0
+
+
+def test_gopher_quality_gates():
+    good = " ".join(
+        ["the children walked across the meadow and it was pleasant for everyone"] * 5)
+    few_words = "the cat and it was here"                      # < 50 words
+    no_alpha = " ".join(["123 456"] * 30)                      # 0 alpha words
+    no_stops = " ".join(["zebra quartz lion tiger puma"] * 12) # 0 stop hits
+    long_words = " ".join(["antidisestablishmentarianism"] * 60)  # mean len > 10
+    q = gopher_quality(np.array(
+        [good, few_words, no_alpha, no_stops, long_words, "", "   "],
+        dtype=object))
+    assert q["keep"].tolist() == [1, 0, 0, 0, 0, 0, 0]
+    assert q["n_words"].tolist()[5:] == [0, 0]
+    assert q["n_alpha_words"][2] == 0 and q["n_stop_hits"][3] == 0
+    # stopword counting is token-equality: 'The' counts, 'theory' doesn't
+    q2 = gopher_quality(np.array(["The theory of the atom", "a and are"],
+                                 dtype=object))
+    assert q2["n_stop_hits"].tolist() == [3, 3]
+    assert q2["n_alpha_words"].tolist() == [5, 3]
+    assert q2["word_chars"].tolist() == [len("Thetheoryoftheatom"), 7]
 
 
 def test_detect_language():
