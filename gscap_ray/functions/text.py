@@ -165,6 +165,52 @@ def gopher_quality(texts: np.ndarray) -> dict[str, np.ndarray]:
                 n_alpha_words=n_alpha, n_stop_hits=n_stop, keep=keep)
 
 
+# repetition gate (Gopher "repetitious text"): the most frequent word
+# bigram may cover at most 1/5 of a document's bigrams
+REPETITION_MAX_TOP_BIGRAM_FRAC_DEN = 5
+
+
+def bigram_repetition(texts: np.ndarray) -> dict[str, np.ndarray]:
+    """Top-bigram repetition features, all integers.
+
+    For each doc: n_bigrams = max(n_words-1, 0), top_bigram_count = the
+    highest occurrence count of any adjacent-token pair, and keep = 1
+    unless the top bigram covers more than 1/5 of all bigrams. Bigram
+    identity is a 60-bit key h30(a)*2^30 + h30(b) over per-token
+    md5_number_lower hashes — bit-identical to the DuckDB twin, so the
+    counts (not just the decision) are oracle-checkable. Per-doc local:
+    no shuffle; one structured np.unique per batch."""
+    toks = tokenize(texts)
+    n_words = np.array([len(t) for t in toks], dtype=np.int64)
+    n_bigrams = np.maximum(n_words - 1, 0)
+    flat = [w for t in toks for w in t]
+    top = np.zeros(len(texts), dtype=np.int64)
+    if flat:
+        h30 = (md5_token_hash64(flat) % np.uint64(1 << 30)).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(n_words)])
+        doc_idx = np.repeat(np.arange(len(texts)), n_bigrams)
+        # adjacent pairs within each doc: drop each doc's last token slot
+        keep_pos = np.ones(len(flat), dtype=bool)
+        keep_pos[bounds[1:][n_words > 0] - 1] = False
+        a = h30[:-1][keep_pos[:-1]] if len(flat) > 1 else np.empty(0, np.int64)
+        b = h30[1:][keep_pos[:-1]] if len(flat) > 1 else np.empty(0, np.int64)
+        gram = a * np.int64(1 << 30) + b
+        # native-int lexsort + run-length counting (structured np.unique
+        # sorts void dtype via memcmp — far slower than two int64 passes)
+        order = np.lexsort((gram, doc_idx))
+        ds, gs = doc_idx[order], gram[order]
+        if len(ds):
+            new = np.ones(len(ds), dtype=bool)
+            new[1:] = (np.diff(ds) != 0) | (np.diff(gs) != 0)
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.concatenate([starts, [len(ds)]]))
+            np.maximum.at(top, ds[starts], counts.astype(np.int64))
+    keep = ((n_bigrams == 0)
+            | (REPETITION_MAX_TOP_BIGRAM_FRAC_DEN * top <= n_bigrams)
+            ).astype(np.int64)
+    return dict(n_bigrams=n_bigrams, top_bigram_count=top, keep=keep)
+
+
 def md5_token_hash64(tokens: list[str]) -> np.ndarray:
     """uint64 per-token hash = little-endian bytes 8..16 of md5(token) —
     bit-identical to DuckDB's md5_number_lower(), so token-hash-based

@@ -1392,6 +1392,44 @@ FROM c
 """
 
 
+def q_repetition_filter(sf_dir: str):
+    """Gopher 'repetitious text' gate: a doc is dropped when its most
+    frequent word bigram covers more than 1/5 of all bigrams. Per-doc
+    local (zero shuffle); counts on 60-bit md5-derived gram keys so even
+    the counts are bit-exact vs SQL."""
+    from .functions.text import bigram_repetition
+
+    def gate(t: pa.Table) -> pa.Table:
+        f = bigram_repetition(t["text"].to_numpy(zero_copy_only=False))
+        out = t.select(["doc_id"])
+        for k, v in f.items():
+            out = out.append_column(k, pa.array(v, pa.int64()))
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(gate, batch_format="pyarrow")
+
+
+SQL_REPETITION_FILTER = """
+WITH t AS (SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+     FROM documents),
+g AS (SELECT doc_id,
+       unnest(list_transform(range(1, len(toks)), i ->
+         CAST(md5_number_lower(toks[i]) % 1073741824 AS BIGINT) * 1073741824
+         + CAST(md5_number_lower(toks[i + 1]) % 1073741824 AS BIGINT))) AS gram
+     FROM t WHERE len(toks) >= 2),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+m AS (SELECT doc_id, max(cnt) AS topc FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       greatest(len(t.toks) - 1, 0) AS n_bigrams,
+       coalesce(m.topc, 0) AS top_bigram_count,
+       CAST(len(t.toks) <= 1
+            OR 5 * coalesce(m.topc, 0) <= len(t.toks) - 1 AS BIGINT) AS keep
+FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (vectorized precompiled-regex marker counts;
     'ja' on CJK codepoints, ties en > de > fr > es) — oracle-checked."""
@@ -1586,6 +1624,70 @@ def _postings_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
                          "doc_b": np.concatenate(out_b)})
 
 
+def _ppjoin_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash partition of prefix postings (doc_id, bucket, rank, n) ->
+    within-bucket doc pairs carrying both sides' within-doc ranks and set
+    sizes, for the PPJoin positional filter. Same lexsort + segment scan
+    as :func:`_postings_pairs_part`; a doc appears at most once per bucket
+    (shingle sets are distinct), so no within-segment dedup is needed."""
+    bk = g["bucket"].values
+    ids = g["doc_id"].values
+    rk = g["rank"].values
+    nn = g["n"].values
+    order = np.lexsort((ids, bk))
+    bs, di, rv, nv = bk[order], ids[order], rk[order], nn[order]
+    bounds = np.flatnonzero(np.diff(bs))
+    starts = np.concatenate([[0], bounds + 1])
+    ends = np.concatenate([bounds + 1, [len(bs)]])
+    sizes = ends - starts
+    out = {k: [] for k in ("doc_a", "doc_b", "ra", "rb", "na", "nb")}
+    for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
+        ii, jj = np.triu_indices(e - s, k=1)
+        out["doc_a"].append(di[s + ii])
+        out["doc_b"].append(di[s + jj])
+        out["ra"].append(rv[s + ii])
+        out["rb"].append(rv[s + jj])
+        out["na"].append(nv[s + ii])
+        out["nb"].append(nv[s + jj])
+    if not out["doc_a"]:
+        return pd.DataFrame({k: pd.Series([], dtype="int64") for k in out})
+    return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+
+def _ppjoin_filter_part(g: pd.DataFrame) -> pd.DataFrame:
+    """PPJoin positional filter (Xiao et al. WWW'08 §3.2) over one
+    pair-hash partition: aggregate each candidate pair's common-prefix
+    count c and the max within-doc ranks (both attained by the largest
+    common prefix element, since within-doc rank order follows the global
+    (df, sh) order), then keep the pair only if the EXACT overlap upper
+    bound  min(c + min(na-1-ia, nb-1-jb), na, nb)  still allows
+    Jaccard >= 0.5 (i.e. 3*ub >= na+nb). Lossless: every common element
+    ordered <= the largest common prefix element is itself in both
+    prefixes (counted by c), and at most min(na-1-ia, nb-1-jb) common
+    elements can follow it. r3 measurement: 409k prefix candidates -> the
+    blob-verify join runs on only the surviving pairs, removing ~90% of
+    the verify stage's former cost."""
+    a = g["doc_a"].values
+    b = g["doc_b"].values
+    ra = g["ra"].values
+    rb = g["rb"].values
+    na = g["na"].values
+    nb = g["nb"].values
+    order = np.lexsort((b, a))
+    a, b, ra, rb, na, nb = (x[order] for x in (a, b, ra, rb, na, nb))
+    new = np.ones(len(a), dtype=bool)
+    new[1:] = (np.diff(a) != 0) | (np.diff(b) != 0)
+    starts = np.flatnonzero(new)
+    c = np.diff(np.concatenate([starts, [len(a)]]))
+    ia = np.maximum.reduceat(ra, starts) if len(a) else np.empty(0, np.int64)
+    jb = np.maximum.reduceat(rb, starts) if len(a) else np.empty(0, np.int64)
+    na0, nb0 = na[starts], nb[starts]
+    ub = np.minimum(c + np.minimum(na0 - 1 - ia, nb0 - 1 - jb),
+                    np.minimum(na0, nb0))
+    keep = 3 * ub >= na0 + nb0
+    return pd.DataFrame({"doc_a": a[starts][keep], "doc_b": b[starts][keep]})
+
+
 def _pair_hash_col(t: pa.Table) -> pa.Table:
     """Append a 256-way hash-partition key over the (doc_a, doc_b) pair."""
     a = t["doc_a"].to_numpy().astype(np.uint64)
@@ -1595,15 +1697,19 @@ def _pair_hash_col(t: pa.Table) -> pa.Table:
 
 
 def _dedup_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-    """Distinct (doc_a, doc_b) within one pair-hash partition — a single
-    structured np.unique instead of a per-group aggregate (Ray's
-    groupby(pair).aggregate costs ~0.6 ms of Python per distinct group;
-    at 409k candidate pairs that was 270 s of the r3 ngram_jaccard run)."""
-    comb = np.empty(len(g), dtype=[("a", np.int64), ("b", np.int64)])
-    comb["a"] = g["doc_a"].values
-    comb["b"] = g["doc_b"].values
-    u = np.unique(comb)
-    return pd.DataFrame({"doc_a": u["a"], "doc_b": u["b"]})
+    """Distinct (doc_a, doc_b) within one pair-hash partition — one
+    native-int lexsort + adjacent-diff instead of a per-group aggregate
+    (Ray's groupby(pair).aggregate costs ~0.6 ms of Python per distinct
+    group; at 409k candidate pairs that was 270 s of the r3 ngram_jaccard
+    run) and instead of a structured np.unique (void-dtype sorts are
+    memcmp-based and far slower than two int64 sort passes)."""
+    a = g["doc_a"].values
+    b = g["doc_b"].values
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (np.diff(a) != 0) | (np.diff(b) != 0)
+    return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
 
 
 def _postings_candidates(postings: rd.Dataset) -> rd.Dataset:
@@ -1617,6 +1723,21 @@ def _postings_candidates(postings: rd.Dataset) -> rd.Dataset:
             .map_batches(_pair_hash_col, batch_format="pyarrow")
             .groupby("ppart").map_groups(_dedup_pairs_part,
                                          batch_format="pandas"))
+
+
+def _binary_col_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy unpack of a binary column of packed-uint64 blobs:
+    (flat uint64 values, per-row value count). Reads the Arrow offsets and
+    data buffers directly — no per-row Python bytes objects (to_pylist +
+    b''.join cost ~10 s over r3 ngram_jaccard's 409k candidate rows)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    flat = data[off[0]: off[-1]]
+    if flat.ctypes.data % 8:  # sliced array landing off 8-byte alignment
+        flat = flat.copy()
+    return flat.view(np.uint64), np.diff(off) // 8
 
 
 def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
@@ -1648,6 +1769,8 @@ def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
     import ray as _ray
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    # 16 partitions measured 5x slower than 8 on this workload (aggregator
+    # actor thrash); 8 is also the deadlock-safe cap for small clusters
     jp = max(2, min(8, ncpu // 2))
     j1 = cand.join(sh_a, "inner", jp, on=("doc_a",), right_on=("ka",))
     j2 = j1.join(sh_b, "inner", jp, on=("doc_b",), right_on=("kb",))
@@ -1661,19 +1784,20 @@ def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
         da = t["doc_a"].to_numpy()
         db = t["doc_b"].to_numpy()
         npairs = len(da)
-        sa, sb = t["sh_a"].to_pylist(), t["sh_b"].to_pylist()
-        na = np.array([len(b) // 8 for b in sa], np.int64)
-        nb = np.array([len(b) // 8 for b in sb], np.int64)
-        ha = np.frombuffer(b"".join(sa), np.uint64)
-        hb = np.frombuffer(b"".join(sb), np.uint64)
-        comb = np.empty(ha.size + hb.size,
-                        dtype=[("p", np.int64), ("h", np.uint64)])
-        comb["p"] = np.concatenate([np.repeat(np.arange(npairs), na),
-                                    np.repeat(np.arange(npairs), nb)])
-        comb["h"] = np.concatenate([ha, hb])
-        u, counts = np.unique(comb, return_counts=True)
-        dup = u[counts == 2]
-        inter = np.bincount(dup["p"], minlength=npairs).astype(np.float64)
+        ha, na = _binary_col_u64(t["sh_a"])
+        hb, nb = _binary_col_u64(t["sh_b"])
+        # native-int lexsort, NOT a structured np.unique: void-dtype sorts
+        # are memcmp-based and ~2 orders of magnitude slower (the r3
+        # ngram_jaccard verify spent ~27 s of its 38 s there)
+        p = np.concatenate([np.repeat(np.arange(npairs), na),
+                            np.repeat(np.arange(npairs), nb)])
+        h = np.concatenate([ha, hb])
+        order = np.lexsort((h, p))
+        ps, hs = p[order], h[order]
+        # each doc's shingle set is distinct, so a (pair, hash) value
+        # appears at most twice; an adjacent duplicate = in both sets
+        dup = (np.diff(ps) == 0) & (np.diff(hs) == 0)
+        inter = np.bincount(ps[1:][dup], minlength=npairs).astype(np.float64)
         union = na + nb - inter
         js = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = js >= 0.5
@@ -1780,7 +1904,9 @@ def q_ngram_jaccard(sf_dir: str):
     def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
         """All postings of one doc-hash partition -> each doc's prefix
         under the (df, sh) global order, one lexsort + segment arithmetic
-        (no Python loop per doc)."""
+        (no Python loop per doc). Emits each prefix entry's within-doc
+        rank and the doc's distinct-shingle count for the positional
+        filter downstream."""
         did = g["doc_id"].values
         sh = g["sh"].values
         dfreq = g["df"].values
@@ -1797,7 +1923,8 @@ def q_ngram_jaccard(sf_dir: str):
         sh_k = sh[keep]
         return pd.DataFrame({
             "doc_id": did[keep], "bucket": sh_k,
-            "part": (sh_k % 256).astype(np.int32)})
+            "part": (sh_k % 256).astype(np.int32),
+            "rank": rank[keep], "n": np.repeat(n, n)[keep]})
 
     def doc_part(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -1805,7 +1932,12 @@ def q_ngram_jaccard(sf_dir: str):
 
     prefix = (with_df.map_batches(doc_part, batch_format="pyarrow")
               .groupby("dpart").map_groups(prefix_part, batch_format="pandas"))
-    cand = _postings_candidates(prefix)
+    cand = (prefix
+            .groupby("part").map_groups(_ppjoin_pairs_part,
+                                        batch_format="pandas")
+            .map_batches(_pair_hash_col, batch_format="pyarrow")
+            .groupby("ppart").map_groups(_ppjoin_filter_part,
+                                         batch_format="pandas"))
     out = _exact_jaccard_verify(docs, cand).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -3590,6 +3722,7 @@ QUERIES = {
     "daily_entropy": q_daily_entropy,
     "ann_ivf_recall": q_ann_ivf_recall,
     "quality_filter": q_quality_filter,
+    "repetition_filter": q_repetition_filter,
 }
 
 ORACLE_SQL = {
@@ -3627,6 +3760,7 @@ ORACLE_SQL = {
     "text_stats": SQL_TEXT_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "quality_filter": _sql_quality_filter(),
+    "repetition_filter": SQL_REPETITION_FILTER,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,

@@ -19,6 +19,7 @@ from gscap_ray.functions.dedup import (
     simhash64,
 )
 from gscap_ray.functions.text import (
+    bigram_repetition,
     detect_language,
     gopher_quality,
     quality_features,
@@ -66,6 +67,21 @@ def test_gopher_quality_gates():
     assert q2["n_stop_hits"].tolist() == [3, 3]
     assert q2["n_alpha_words"].tolist() == [5, 3]
     assert q2["word_chars"].tolist() == [len("Thetheoryoftheatom"), 7]
+
+
+def test_bigram_repetition():
+    f = bigram_repetition(np.array(
+        ["a b a b a b a b c",      # top bigram 'a b' x4 of 8 -> drop
+         "w w w w w w",            # 'w w' x5 of 5 -> drop
+         "the cat sat on the mat near the cat again ok fine",  # no dominant
+         "", "   ", "solo"],       # degenerate: 0 bigrams -> keep
+        dtype=object))
+    assert f["n_bigrams"].tolist() == [8, 5, 11, 0, 0, 0]
+    assert f["top_bigram_count"].tolist() == [4, 5, 2, 0, 0, 0]
+    assert f["keep"].tolist() == [0, 0, 1, 1, 1, 1]
+    # pairs never cross document boundaries: 'b'|'c' vs 'c'|'b' docs
+    g = bigram_repetition(np.array(["b c b c b", "c b"], dtype=object))
+    assert g["top_bigram_count"].tolist() == [2, 1]
 
 
 def test_detect_language():
