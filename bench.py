@@ -193,7 +193,13 @@ def run_bench() -> dict:
     def flagship_skew():
         daily_features_direct(skew_dir, polygons=polys).count()
 
-    timed("flagship_pages_skew", flagship_skew)
+    # best-of-2 like the uniform flagship — a single-shot skew run against
+    # a best-of-2 uniform run inflates the ratio with box noise (observed
+    # +/-40%: a clean r3 run recorded 17.7 vs runs of 13.8/9.7 uniform)
+    timed("flagship_pages_skew_run1", flagship_skew)
+    timed("flagship_pages_skew_run2", flagship_skew)
+    timings["flagship_pages_skew"] = min(timings["flagship_pages_skew_run1"],
+                                         timings["flagship_pages_skew_run2"])
     timings["skew_ratio"] = round(
         timings["flagship_pages_skew"] / timings["flagship_pages"], 3)
 

@@ -34,6 +34,17 @@ def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     return np.unique(hash64(np.asarray(sh, dtype=object)))
 
 
+def window_hashes(tokens: list[str], k: int = 8) -> np.ndarray:
+    """Distinct uint64 hashes of the k-token windows of one document
+    (md5_number_lower of the space-joined window — bit-identical to the
+    DuckDB twin). Empty when the doc has fewer than k tokens: substring
+    dedup (Lee et al. 2022) only considers spans of at least k tokens."""
+    if len(tokens) < k:
+        return np.empty(0, dtype=np.uint64)
+    w = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    return np.unique(hash64(np.asarray(w, dtype=object)))
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard similarity of two shingle-hash sets."""
     if a.size == 0 and b.size == 0:

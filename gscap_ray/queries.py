@@ -1947,6 +1947,116 @@ def q_ngram_jaccard(sf_dir: str):
 SQL_NGRAM_JACCARD = SQL_MINHASH_DEDUP
 
 
+def q_substring_dedup(sf_dir: str):
+    """Duplicated-substring detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    count its distinct 8-token windows and how many of those windows also
+    appear in ANOTHER document; gate = keep unless >1/5 of windows are
+    shared. Integer-only outputs.
+
+    Distributed shape: window postings (doc_id, win_hash) shuffle as int
+    rows only — never text; shared-window detection is a 256-way hash
+    partition + one vectorized run-length scan per partition (no
+    per-group Python, no joins); the per-doc merge of sizes and shared
+    counts is a union + grouped integer sum instead of an outer join."""
+    from ray.data.aggregate import Sum
+
+    from .functions.dedup import window_hashes
+
+    K = 8
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        out_w, out_id = [], []
+        for did, x in zip(ids, txt):
+            w = window_hashes(x.split(), K)
+            if w.size:
+                out_w.append(w)
+                out_id.append(np.full(w.shape[0], did, dtype=np.int64))
+        if not out_w:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.int64()),
+                             "wpart": pa.array([], pa.int32())})
+        win = np.concatenate(out_w).view(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "win": pa.array(win, pa.int64()),
+            "wpart": pa.array((win.view(np.uint64) % np.uint64(256))
+                              .astype(np.int32), pa.int32())})
+
+    posts = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def sizes(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        nw = np.array([window_hashes(x.split(), K).size for x in txt],
+                      dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_windows": pa.array(nw, pa.int64()),
+                         "n_dup_windows": pa.array(np.zeros_like(nw), pa.int64())})
+
+    def shared_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One window-hash partition: emit a (doc_id, 0, 1) row for every
+        posting whose window occurs in >=2 docs (postings are per-doc
+        distinct, so segment length = number of docs sharing the window)."""
+        win = g["win"].values
+        did = g["doc_id"].values
+        order = np.argsort(win, kind="stable")
+        win, did = win[order], did[order]
+        new = np.ones(len(win), dtype=bool)
+        new[1:] = np.diff(win) != 0
+        starts = np.flatnonzero(new)
+        seglen = np.diff(np.concatenate([starts, [len(win)]]))
+        shared = np.repeat(seglen >= 2, seglen)
+        d = did[shared]
+        # Arrow out: the downstream union's other branch produces Arrow
+        # blocks, and Ray requires one block type per dataset
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "n_windows": pa.array(np.zeros(len(d), np.int64)),
+                         "n_dup_windows": pa.array(np.ones(len(d), np.int64))})
+
+    merged = (docs.map_batches(sizes, batch_format="pyarrow")
+              .union(posts.groupby("wpart").map_groups(
+                  shared_part, batch_format="pandas"))
+              .groupby("doc_id")
+              .aggregate(Sum("n_windows", alias_name="n_windows"),
+                         Sum("n_dup_windows", alias_name="n_dup_windows")))
+
+    def gate(t: pa.Table) -> pa.Table:
+        nw = t["n_windows"].to_numpy().astype(np.int64)
+        nd = t["n_dup_windows"].to_numpy().astype(np.int64)
+        keep = ((nw == 0) | (5 * nd <= nw)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_windows": pa.array(nw, pa.int64()),
+                         "n_dup_windows": pa.array(nd, pa.int64()),
+                         "keep": pa.array(keep, pa.int64())})
+
+    return merged.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_SUBSTRING_DEDUP = """
+WITH t AS (SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+     FROM documents),
+w AS (SELECT doc_id,
+       unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+         i -> md5_number_lower(array_to_string(toks[i : i + 7], ' '))))) AS win
+     FROM t WHERE len(toks) >= 8),
+dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+dc AS (SELECT doc_id, count(*) AS nd FROM w JOIN dup USING (win)
+       GROUP BY doc_id),
+sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(sz.nw, 0) AS n_windows,
+       coalesce(dc.nd, 0) AS n_dup_windows,
+       CAST(coalesce(sz.nw, 0) = 0
+            OR 5 * coalesce(dc.nd, 0) <= coalesce(sz.nw, 0) AS BIGINT) AS keep
+FROM t LEFT JOIN sz USING (doc_id) LEFT JOIN dc USING (doc_id)
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup pairs -> transitive dedup clusters -> canonical keep-list.
 
@@ -3723,6 +3833,7 @@ QUERIES = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "quality_filter": q_quality_filter,
     "repetition_filter": q_repetition_filter,
+    "substring_dedup": q_substring_dedup,
 }
 
 ORACLE_SQL = {
@@ -3761,6 +3872,7 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "quality_filter": _sql_quality_filter(),
     "repetition_filter": SQL_REPETITION_FILTER,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,

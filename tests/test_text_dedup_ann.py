@@ -17,6 +17,7 @@ from gscap_ray.functions.dedup import (
     minhash_signature,
     shingle_hashes,
     simhash64,
+    window_hashes,
 )
 from gscap_ray.functions.text import (
     bigram_repetition,
@@ -107,6 +108,20 @@ def test_exact_key_and_shingles():
     s2 = shingle_hashes("the quick brown fox leaps".split())
     assert 0 < jaccard(s1, s2) < 1
     assert jaccard(s1, s1) == 1.0
+
+
+def test_window_hashes():
+    toks = "a b c d e f g h i".split()          # 9 tokens -> 2 windows of 8
+    w = window_hashes(toks, 8)
+    assert w.size == 2 and w.dtype == np.uint64
+    assert window_hashes("a b c".split(), 8).size == 0   # < k tokens: none
+    # repeated window within one doc counts once (distinct)
+    rep = window_hashes(("x " * 20).split(), 8)
+    assert rep.size == 1
+    # shared 8-token span across docs -> common hash
+    a = window_hashes("p q r s t u v w extra1".split(), 8)
+    b = window_hashes("other p q r s t u v w".split(), 8)
+    assert np.intersect1d(a, b).size == 1
 
 
 def test_minhash_estimates_jaccard():
