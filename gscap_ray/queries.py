@@ -1430,6 +1430,76 @@ FROM t LEFT JOIN m ON t.doc_id = m.doc_id
 """
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary top-20 terms by total occurrence count — the
+    tokenizer-training / corpus-stats staple. Per-batch partial counts
+    (pandas explode + value_counts, C kernels) collapse each batch to its
+    local vocabulary before the shuffle, so the exchange carries one row
+    per (batch, distinct token), never per token occurrence; a grouped
+    integer sum + sort/limit finishes. Ties break on the token string."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("").str.strip()
+        toks = s[s != ""].str.split().explode()
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                         "cnt": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("cnt", alias_name="n")))
+    # sort + limit stay distributed; only the 20 winners reach the driver
+    df = (agg.sort(["n", "token"], descending=[True, False])
+          .limit(20).to_pandas().astype({"n": "int64"}))
+    return df[["token", "n"]]
+
+
+SQL_VOCAB_TOPK = """
+WITH t AS (SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+e AS (SELECT unnest(toks) AS token FROM t)
+SELECT token, count(*) AS n FROM e GROUP BY token
+ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-source stratified sampling (the data-mixing step of corpus
+    curation): each source keeps a deterministic hash-Bernoulli fraction
+    of its documents — src0-4 50%, src5-9 20%, the rest 5%. The gate is
+    md5(doc_id) % 100 < rate, bit-identical in SQL, so the sample (not
+    just its size) is oracle-checked. Purely per-row: zero shuffle."""
+    rates = {f"src{i}": (50 if i < 5 else 20 if i < 10 else 5)
+             for i in range(100)}
+
+    def pick(t: pa.Table) -> pa.Table:
+        from .functions.text import md5_token_hash64
+
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        h = md5_token_hash64([str(i) for i in ids]) % np.uint64(100)
+        r = np.array([rates.get(s, 5) for s in src], dtype=np.uint64)
+        keep = h < r
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "source": pa.array(src[keep], pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        pick, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
+      CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5 THEN 50
+           WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 20
+           ELSE 5 END
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (vectorized precompiled-regex marker counts;
     'ja' on CJK codepoints, ties en > de > fr > es) — oracle-checked."""
@@ -3772,7 +3842,6 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_dupes_lsh": q_embedding_dupes_lsh,
-    "embedding_dupes": q_embedding_dupes,
     "ann_topk": q_ann_topk,
     "ann_lsh_recall": q_ann_lsh_recall,
     "simhash": q_simhash,
@@ -3780,10 +3849,8 @@ QUERIES = {
     "sampled_stats": q_sampled_stats,
     # streaming / temporal
     "sessionize": q_sessionize,
-    "gap_sessions": q_gap_sessions,
     "session_metrics": q_session_metrics,
     "daily_user_metrics": q_daily_user_metrics,
-    "dedup_representatives": q_dedup_representatives,
     "daily_value_quantiles": q_daily_value_quantiles,
     "sliding_window": q_sliding_window,
     "minute_resample": q_minute_resample,
@@ -3792,7 +3859,6 @@ QUERIES = {
     "hourly_weather": q_hourly_weather,
     # geospatial
     "geocode_points": q_geocode_points,
-    "grid_cells": q_grid_cells,
     "velocity_bins": q_velocity_bins,
     "pip_rect_join": q_pip_rect_join,
     "knn_centers": q_knn_centers,
@@ -3808,12 +3874,25 @@ QUERIES = {
     # round-3 operators promoted into the window (their ops' other
     # witnesses — hot_cells for SRT2, pairwise_distances for M1/C7,
     # daily_* for plain grouped aggregation — stay in-window too)
-    "hex_parents": q_hex_parents,
     "url_dedup": q_url_dedup,
     "dedup_clusters": q_dedup_clusters,
-    # ---- past the driver's 50-entry window: demos + rows-only ----
-    # (daily_value_stats' op — plain grouped agg — is witnessed in-window
-    # by daily_user_metrics / session_metrics)
+    # LLM-corpus curation gates (Gopher / Lee et al. / corpus stats) —
+    # first-class operators, must carry a driver verdict
+    "quality_filter": q_quality_filter,
+    "repetition_filter": q_repetition_filter,
+    "substring_dedup": q_substring_dedup,
+    "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
+    # ---- past the driver's 50-entry window: demos + rows-only + ops whose
+    # coverage is witnessed in-window by a sibling query (embedding_dupes
+    # by embedding_dupes_lsh, gap_sessions by sessionize/sliding_window,
+    # dedup_representatives by dedup_clusters, grid_cells/hex_parents by
+    # cell_dedup + s2_tiles/hex_tiles, daily_value_stats by daily_user_metrics)
+    "embedding_dupes": q_embedding_dupes,
+    "gap_sessions": q_gap_sessions,
+    "dedup_representatives": q_dedup_representatives,
+    "grid_cells": q_grid_cells,
+    "hex_parents": q_hex_parents,
     "daily_value_stats": q_daily_value_stats,
     "groupby_agg": q_groupby_agg,
     "topk_users": q_topk_users,
@@ -3831,9 +3910,6 @@ QUERIES = {
     "join_lineitem_orders": q_join_lineitem_orders,
     "daily_entropy": q_daily_entropy,
     "ann_ivf_recall": q_ann_ivf_recall,
-    "quality_filter": q_quality_filter,
-    "repetition_filter": q_repetition_filter,
-    "substring_dedup": q_substring_dedup,
 }
 
 ORACLE_SQL = {
@@ -3873,6 +3949,8 @@ ORACLE_SQL = {
     "quality_filter": _sql_quality_filter(),
     "repetition_filter": SQL_REPETITION_FILTER,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,

@@ -22,6 +22,8 @@ SUBSET = [
     "pages_label_stats", "pages_daily_features", "pages_entries",
     "hourly_weather", "weather_daily", "daily_value_quantiles",
     "s2_tiles", "hex_tiles", "minhash_dedup", "pages_clusters",
+    "quality_filter", "repetition_filter", "substring_dedup",
+    "vocab_topk", "stratified_sample", "ngram_jaccard",
 ]
 
 
