@@ -1500,6 +1500,152 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing: each document's global token offset in
+    doc_id order, and the 2048-token training sequence it lands in
+    (seq_id = exclusive-prefix-sum // 2048) — the sample-assembly step
+    between curation and the trainer. Integer-only outputs.
+
+    Distributed shape — the classic two-pass scan, no global sort: the
+    token-count pass prunes the read to (doc_id, text) and materializes a
+    3-ints/doc projection; deterministic range parts (doc_id // 8192)
+    align partitions with the scan order; per-part token totals collapse
+    to ONE row per part (the only thing the driver sees); the exclusive
+    scan over part totals broadcasts via ray.put; each part then sorts its
+    own rows and adds its base inside ``groupby(part).map_groups``. At
+    100 TB the driver holds n_parts ints, never documents."""
+    import ray
+
+    from .functions.text import token_counts
+
+    CAP, SPAN = 2048, 8192
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        n = np.asarray(token_counts(t["text"].to_numpy(zero_copy_only=False)),
+                       dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "part": pa.array((ids // SPAN).astype(np.int32),
+                                          pa.int32())})
+
+    tok = docs.map_batches(count, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    totals = (tok.groupby("part").aggregate(Sum("n_tokens", alias_name="tot"))
+              .to_pandas().sort_values("part"))  # one row per 8192-doc part
+    tot = totals["tot"].to_numpy(dtype=np.int64)
+    base = dict(zip(totals["part"].to_numpy(dtype=np.int64),
+                    np.concatenate([[0], np.cumsum(tot)[:-1]])))
+    base_ref = ray.put(base)
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        b = ray.get(base_ref)[int(g["part"].iloc[0])]
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        ids = g["doc_id"].to_numpy()[order].astype(np.int64)
+        n = g["n_tokens"].to_numpy()[order].astype(np.int64)
+        off = b + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "tok_offset": pa.array(off, pa.int64()),
+                         "seq_id": pa.array(off // CAP, pa.int64())})
+
+    return tok.groupby("part").map_groups(scan, batch_format="pandas")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+     FROM documents),
+s AS (SELECT doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_offset
+      FROM t)
+SELECT doc_id, n_tokens, tok_offset, tok_offset // 2048 AS seq_id FROM s
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the GPT-3-style 13-gram overlap check):
+    flag every corpus document sharing any 13-token window with the
+    benchmark set (here: docs with doc_id % 17 == 0, standing in for an
+    eval suite). Integer-only outputs over the non-benchmark docs.
+
+    Distributed shape — the BROADCAST path (vs substring_dedup's all-to-all
+    posting shuffle): benchmark window hashes are collected (the benchmark
+    side is externally small — eval suites are MBs, the corpus is TBs),
+    deduped, ``ray.put`` once as one sorted uint64 array, and every corpus
+    batch probes it with a vectorized searchsorted — zero shuffle of corpus
+    text. Window hashes are md5-based on BOTH sides (same convention as
+    substring_dedup), so any hash collision affects Ray and SQL
+    identically — the comparison stays deterministic."""
+    import ray
+
+    from .functions.dedup import window_hashes
+
+    K = 13
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_wins(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        txt = t["text"].to_numpy(zero_copy_only=False)[ids % 17 == 0]
+        ws = [window_hashes(x.split(), K) for x in txt]
+        w = (np.unique(np.concatenate(ws)) if ws
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({"win": pa.array(w.view(np.int64), pa.int64())})
+
+    bw = np.unique(
+        docs.map_batches(bench_wins, batch_format="pyarrow")
+        .to_pandas()["win"].to_numpy(dtype=np.int64).view(np.uint64))
+    bw_ref = ray.put(bw)
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = ray.get(bw_ref)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        keep = ids % 17 != 0
+        ids = ids[keep]
+        txt = t["text"].to_numpy(zero_copy_only=False)[keep]
+        nw = np.zeros(len(ids), dtype=np.int64)
+        hit = np.zeros(len(ids), dtype=np.int64)
+        for i, x in enumerate(txt):
+            w = window_hashes(x.split(), K)
+            nw[i] = w.size
+            if w.size and b.size:
+                idx = np.searchsorted(b, w)
+                idx[idx == b.size] = 0
+                hit[i] = np.int64(np.any(b[idx] == w))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_windows": pa.array(nw, pa.int64()),
+                         "contaminated": pa.array(hit, pa.int64())})
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = """
+WITH t AS (SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+     FROM documents),
+w AS (SELECT doc_id,
+       unnest(list_distinct(list_transform(range(1, len(toks) - 11),
+         i -> md5_number_lower(array_to_string(toks[i : i + 12], ' '))))) AS win
+     FROM t WHERE len(toks) >= 13),
+b AS (SELECT DISTINCT win FROM w WHERE doc_id % 17 = 0),
+c AS (SELECT DISTINCT doc_id FROM w
+      WHERE doc_id % 17 <> 0 AND win IN (SELECT win FROM b)),
+sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(sz.nw, 0) AS n_windows,
+       CAST(t.doc_id IN (SELECT doc_id FROM c) AS BIGINT) AS contaminated
+FROM t LEFT JOIN sz USING (doc_id)
+WHERE t.doc_id % 17 <> 0
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (vectorized precompiled-regex marker counts;
     'ja' on CJK codepoints, ties en > de > fr > es) — oracle-checked."""
@@ -3846,7 +3992,6 @@ QUERIES = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "simhash": q_simhash,
     "exact_dedup": q_exact_dedup,
-    "sampled_stats": q_sampled_stats,
     # streaming / temporal
     "sessionize": q_sessionize,
     "session_metrics": q_session_metrics,
@@ -3856,7 +4001,6 @@ QUERIES = {
     "minute_resample": q_minute_resample,
     "impute_points": q_impute_points,
     "asof_join": q_asof_join,
-    "hourly_weather": q_hourly_weather,
     # geospatial
     "geocode_points": q_geocode_points,
     "velocity_bins": q_velocity_bins,
@@ -3883,11 +4027,17 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
     # ---- past the driver's 50-entry window: demos + rows-only + ops whose
     # coverage is witnessed in-window by a sibling query (embedding_dupes
     # by embedding_dupes_lsh, gap_sessions by sessionize/sliding_window,
     # dedup_representatives by dedup_clusters, grid_cells/hex_parents by
-    # cell_dedup + s2_tiles/hex_tiles, daily_value_stats by daily_user_metrics)
+    # cell_dedup + s2_tiles/hex_tiles, daily_value_stats by daily_user_metrics,
+    # sampled_stats by stratified_sample, hourly_weather by weather_daily
+    # which consumes the same hourly expansion end-to-end)
+    "sampled_stats": q_sampled_stats,
+    "hourly_weather": q_hourly_weather,
     "embedding_dupes": q_embedding_dupes,
     "gap_sessions": q_gap_sessions,
     "dedup_representatives": q_dedup_representatives,
@@ -3951,6 +4101,8 @@ ORACLE_SQL = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "vocab_topk": SQL_VOCAB_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "decontaminate": SQL_DECONTAMINATE,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
