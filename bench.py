@@ -160,6 +160,10 @@ def run_bench() -> dict:
     timed("ngram_jaccard", lambda: Q.q_ngram_jaccard(sf_dir))
     timed("weather_daily", lambda: consume(Q.q_weather_daily(sf_dir)))
     timed("place_normalize", lambda: consume(Q.q_place_normalize(sf_dir)))
+    # round-3 curation gates
+    timed("substring_dedup", lambda: consume(Q.q_substring_dedup(sf_dir)))
+    timed("pack_sequences", lambda: consume(Q.q_pack_sequences(sf_dir)))
+    timed("decontaminate", lambda: consume(Q.q_decontaminate(sf_dir)))
 
     if os.environ.get("GRAFT_SKIP_SKEW") == "1":
         out = {

@@ -2202,7 +2202,7 @@ def q_substring_dedup(sf_dir: str):
             "wpart": pa.array((win.view(np.uint64) % np.uint64(256))
                               .astype(np.int32), pa.int32())})
 
-    posts = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    posts = docs.map_batches(explode, batch_format="pyarrow")
 
     def sizes(t: pa.Table) -> pa.Table:
         txt = t["text"].to_numpy(zero_copy_only=False)
