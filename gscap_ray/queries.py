@@ -2082,8 +2082,6 @@ def q_ngram_jaccard(sf_dir: str):
     (shared tail with minhash). Reference analog: the 5-dp cache-line
     collapse (gps.py:94-95) generalized to content near-dedup.
     """
-    from ray.data.aggregate import Count
-
     from .functions.dedup import shingle_hashes
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2107,15 +2105,31 @@ def q_ngram_jaccard(sf_dir: str):
             "sh": pa.array(np.concatenate(out_sh).view(np.int64), pa.int64()),
         })
 
-    postings = docs.map_batches(explode_all,
-                                batch_format="pyarrow").materialize()
-    df_tbl = postings.groupby("sh").aggregate(Count(alias_name="df"))
+    def spart_col(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy()
+        return t.append_column("spart", pa.array(
+            (sh.view(np.uint64) % np.uint64(256)).astype(np.int32),
+            pa.int32()))
 
-    import ray as _ray
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        """One shingle-hash partition: df per shingle via one sort + run
+        lengths — one shuffle where a Count aggregate + posting join would
+        cost three exchanges plus the join's aggregator actors (postings
+        are per-doc distinct, so segment length IS document frequency)."""
+        sh = g["sh"].values
+        did = g["doc_id"].values
+        order = np.argsort(sh, kind="stable")
+        sh, did = sh[order], did[order]
+        new = np.ones(len(sh), dtype=bool)
+        new[1:] = np.diff(sh) != 0
+        seglen = np.diff(np.concatenate([np.flatnonzero(new), [len(sh)]]))
+        return pd.DataFrame({"doc_id": did, "sh": sh,
+                             "df": np.repeat(seglen, seglen)})
 
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    jp = max(2, min(8, ncpu // 2))
-    with_df = postings.join(df_tbl, "inner", jp, on=("sh",))
+    with_df = (docs.map_batches(explode_all, batch_format="pyarrow")
+               .map_batches(spart_col, batch_format="pyarrow")
+               .groupby("spart").map_groups(annotate_df,
+                                            batch_format="pandas"))
 
     def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
         """All postings of one doc-hash partition -> each doc's prefix
