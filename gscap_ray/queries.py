@@ -1965,15 +1965,43 @@ def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
     once, never the corpus."""
     from .functions.dedup import shingle_hashes
 
+    import ray as _ray
+
+    # candidate-doc prefilter: only docs that appear in some candidate
+    # pair need shingle blobs, and post-filter candidates are sparse, so
+    # the distinct candidate id set (per-block distinct folds; the driver
+    # never sees pairs, only ids) broadcasts once and gates the expensive
+    # shingling pass + both join inputs. Pure optimization — correctness
+    # never depends on it; if candidate volume ever outgrew broadcast,
+    # dropping the gate reverts to full-corpus joins with the same output.
+    cand = cand.materialize()
+    idb = cand.map_batches(
+        lambda t: pa.table({"d": pa.array(np.unique(np.concatenate(
+            [t["doc_a"].to_numpy().astype(np.int64),
+             t["doc_b"].to_numpy().astype(np.int64)])), pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    ids = np.unique(idb["d"].to_numpy(dtype=np.int64))
+    if ids.size == 0:
+        return rd.from_arrow(pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+    ids_ref = _ray.put(ids)
+
     # shingle sets travel as packed little-endian uint64 blobs (Arrow's
     # hash join carries binary payloads but not list columns). Shingling is
     # the dominant CPU cost (a Python pass per doc), so the table is built
     # ONCE and materialized; the second join side is a rename projection
     # over the cached blocks instead of a full recompute.
     def mk(t: pa.Table) -> pa.Table:
-        txt = t["text"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        s = _ray.get(ids_ref)
+        idx = np.searchsorted(s, d)
+        idx[idx == s.size] = 0
+        keep = s[idx] == d
+        txt = t["text"].to_numpy(zero_copy_only=False)[keep]
         sh = [shingle_hashes(x.split()).tobytes() for x in txt]
-        return pa.table({"ka": t["doc_id"].cast(pa.int64()),
+        return pa.table({"ka": pa.array(d[keep], pa.int64()),
                          "sh_a": pa.array(sh, pa.binary())})
 
     sh_a = docs.map_batches(mk, batch_format="pyarrow").materialize()
