@@ -1980,7 +1980,10 @@ def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
             [t["doc_a"].to_numpy().astype(np.int64),
              t["doc_b"].to_numpy().astype(np.int64)])), pa.int64())}),
         batch_format="pyarrow").to_pandas()
-    ids = np.unique(idb["d"].to_numpy(dtype=np.int64))
+    # len-guard before the column access: an all-empty candidate set loses
+    # its schema through map_batches (Ray empty-block pitfall)
+    ids = (np.unique(idb["d"].to_numpy(dtype=np.int64)) if len(idb)
+           else np.empty(0, dtype=np.int64))
     if ids.size == 0:
         return rd.from_arrow(pa.table(
             {"doc_a": pa.array([], pa.int64()),

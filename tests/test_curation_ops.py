@@ -86,3 +86,21 @@ def test_decontaminate_planted_hits(ray_session, world):
     assert got.loc[7, "contaminated"] == 0
     assert got.loc[7, "n_windows"] == 0          # <13 tokens -> no windows
     assert got.loc[6, "n_windows"] == 30 - 12
+
+
+def test_jaccard_verify_empty_candidates(ray_session, world):
+    """The shared verify tail must return a typed empty result when the
+    candidate generator found nothing (Ray empty blocks lose schema)."""
+    import ray.data as rd
+
+    from gscap_ray.queries import _exact_jaccard_verify, _read
+
+    sf = world([1, 2], ["alpha beta gamma delta", "zeta eta theta iota"])
+    cand = rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                   "doc_b": pa.array([], pa.int64())}))
+    out = _exact_jaccard_verify(_read(sf, "documents", ["doc_id", "text"]),
+                                cand)
+    assert out.count() == 0
+    # Dataset-level schema survives (to_pandas() drops columns for 0-row
+    # datasets — a Ray quirk, not this operator's contract)
+    assert out.schema().names == ["doc_a", "doc_b", "jaccard"]
