@@ -195,7 +195,13 @@ def q_join_lineitem_orders(sf_dir: str):
 
     li = li.map_batches(revenue, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    j = li.join(orders, "inner", 16, on=("l_orderkey",), right_on=("o_orderkey",))
+    # join parallelism sized to the cluster (aggregator actors deadlock
+    # when they outnumber CPUs; 16 partitions also measured ~5x slower
+    # than 8 at 32 CPUs — same sizing as _exact_jaccard_verify)
+    import ray as _ray
+
+    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    j = li.join(orders, "inner", jp, on=("l_orderkey",), right_on=("o_orderkey",))
     out = (j.groupby("o_orderpriority")
            .aggregate(Sum("rev", alias_name="revenue"),
                       Count(alias_name="n_items"))).to_pandas()
