@@ -59,10 +59,22 @@ def partial_count(ds: rd.Dataset, key_col: str, salt: int = 0,
 
 def topk_by_count(ds: rd.Dataset, key_col: str, k: int,
                   salt: int = 0, combine_blocks: int = 0) -> pd.DataFrame:
-    """Top-k keys by row count (two-phase aggregate -> sort -> limit),
-    deterministic tiebreak on the key."""
+    """Top-k keys by row count (two-phase aggregate -> per-block top-k
+    fold -> sort -> limit), deterministic tiebreak on the key.
+
+    The aggregate emits each key exactly once, so folding every block to
+    its local top-k under the SAME (n desc, key asc) total order is an
+    exact superset of the global top-k — the final all-to-all sorts
+    <= k x n_blocks rows instead of the whole distinct-key set."""
     agg = partial_count(ds, key_col, salt=salt, combine_blocks=combine_blocks)
-    return (agg.sort(["n", key_col], descending=[True, False])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["n", key_col], ascending=[False, True]).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (agg.map_batches(local_top, batch_format="pyarrow")
+            .sort(["n", key_col], descending=[True, False])
             .limit(k).to_pandas())
 
 

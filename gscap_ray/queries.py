@@ -1456,8 +1456,18 @@ def q_vocab_topk(sf_dir: str):
 
     agg = (docs.map_batches(partial, batch_format="pyarrow")
            .groupby("token").aggregate(Sum("cnt", alias_name="n")))
-    # sort + limit stay distributed; only the 20 winners reach the driver
-    df = (agg.sort(["n", "token"], descending=[True, False])
+
+    # each token appears once post-aggregate, so a per-block top-20 fold
+    # under the same (n desc, token asc) order is an exact superset of the
+    # global top-20 — the final sort moves <= 20 x n_blocks rows, not the
+    # whole vocabulary; only the 20 winners reach the driver
+    def local_top(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["n", "token"], ascending=[False, True]).head(20))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    df = (agg.map_batches(local_top, batch_format="pyarrow")
+          .sort(["n", "token"], descending=[True, False])
           .limit(20).to_pandas().astype({"n": "int64"}))
     return df[["token", "n"]]
 
