@@ -2029,8 +2029,6 @@ def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
     # join parallelism sized to the cluster: each hash-shuffle join spawns
     # num_partitions aggregator actors, and two 8-partition joins deadlock
     # a 4-CPU cluster (observed: bench --scaling 4-CPU level hung >50 min)
-    import ray as _ray
-
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
     # 16 partitions measured 5x slower than 8 on this workload (aggregator
     # actor thrash); 8 is also the deadlock-safe cap for small clusters
