@@ -1662,6 +1662,75 @@ WHERE t.doc_id % 17 <> 0
 """
 
 
+def q_tfidf_topterms(sf_dir: str):
+    """Per-document top-3 salient terms under a rational tf-idf score
+    (score = tf/df — monotone in idf without transcendentals, so both
+    sides rank identical float64 quotients; ties break on the token).
+    Output is integers + the term: (doc_id, token, tf, df, rank).
+
+    Distributed shape: per-doc term frequencies collapse inside each
+    batch (one row per (doc, distinct token) — the corpus never explodes
+    past that); corpus document frequency comes from the same
+    hash-partition run-length scan ngram_jaccard uses (df = rows per
+    token, since rows are per-doc distinct); the per-doc top-3 is a
+    second hash partition + one vectorized sort per partition. Two
+    int/string-row shuffles, no joins, no driver materialization."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_rows(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        toks = s.str.strip().str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        d = pd.DataFrame({"doc_id": np.repeat(ids, n),
+                          "token": np.concatenate(
+                              [x for x in toks if x] or [[]])})
+        g = (d.groupby(["doc_id", "token"], sort=False).size()
+             .reset_index(name="tf"))
+        g["spart"] = (pd.util.hash_array(g["token"].to_numpy(dtype=object))
+                      % 256).astype(np.int32)
+        return g
+
+    def df_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One token-hash partition: rows are per-doc distinct, so df is
+        the per-token row count (C-speed transform, no Python loop)."""
+        out = g[["doc_id", "token", "tf"]].copy()
+        out["df"] = g.groupby("token")["token"].transform("size").to_numpy()
+        out["dpart"] = (out["doc_id"].to_numpy() % 256).astype(np.int32)
+        return out
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(score=g["tf"].to_numpy(np.float64)
+                     / g["df"].to_numpy(np.float64))
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="stable")
+        g["rank"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rank"] <= 3]
+        return g[["doc_id", "token", "tf", "df", "rank"]].astype(
+            {"tf": "int64", "df": "int64", "rank": "int64"})
+
+    return (docs.map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("spart").map_groups(df_part, batch_format="pandas")
+            .groupby("dpart").map_groups(top3, batch_format="pandas"))
+
+
+SQL_TFIDF_TOPTERMS = """
+WITH t AS (SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+     FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+j AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS rank
+      FROM tf JOIN df USING (token))
+SELECT doc_id, token, tf, df, CAST(rank AS BIGINT) AS rank
+FROM j WHERE rank <= 3
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (vectorized precompiled-regex marker counts;
     'ja' on CJK codepoints, ties en > de > fr > es) — oracle-checked."""
@@ -4119,6 +4188,7 @@ QUERIES = {
     "join_lineitem_orders": q_join_lineitem_orders,
     "daily_entropy": q_daily_entropy,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "tfidf_topterms": q_tfidf_topterms,
 }
 
 ORACLE_SQL = {
@@ -4162,6 +4232,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
+    "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,

@@ -24,7 +24,7 @@ SUBSET = [
     "s2_tiles", "hex_tiles", "minhash_dedup", "pages_clusters",
     "quality_filter", "repetition_filter", "substring_dedup",
     "vocab_topk", "stratified_sample", "ngram_jaccard",
-    "pack_sequences", "decontaminate",
+    "pack_sequences", "decontaminate", "tfidf_topterms",
 ]
 
 
