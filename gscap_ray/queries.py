@@ -3606,6 +3606,42 @@ SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """S1: JSONL source connector — write supplier as newline-delimited
+    JSON once, read it back with ray.data.read_json, aggregate.
+    Oracle-checked against the parquet view (same rows either way)."""
+    import os
+
+    jdir = f"/tmp/gscap_jsonl_{sf_dir.strip('/').split('/')[-1]}"
+    if not os.path.exists(jdir + "/done"):
+        os.makedirs(jdir, exist_ok=True)
+        (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+         .to_pandas().to_json(jdir + "/supplier.jsonl", orient="records",
+                              lines=True))
+        open(jdir + "/done", "w").write("1")
+    from ray.data.aggregate import Count, Sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        # integer cents keep the grouped sum order-independent
+        c = np.rint(t["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"s_nationkey": t["s_nationkey"].cast(pa.int64()),
+                         "acctbal_cents": pa.array(c, pa.int64())})
+
+    return (rd.read_json(jdir + "/supplier.jsonl")
+            .map_batches(cents, batch_format="pyarrow")
+            .groupby("s_nationkey")
+            .aggregate(Count(alias_name="n_suppliers"),
+                       Sum("acctbal_cents", alias_name="acctbal_cents")))
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 def q_embedding_dupes(sf_dir: str):
     """Embedding-cosine near-dup pairs (> 0.95) — distributed block-pair
     map (VERDICT r1 fix #3): blocks live in the object store, every (i, j)
@@ -4189,6 +4225,7 @@ QUERIES = {
     "daily_entropy": q_daily_entropy,
     "ann_ivf_recall": q_ann_ivf_recall,
     "tfidf_topterms": q_tfidf_topterms,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -4233,6 +4270,7 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
