@@ -205,8 +205,11 @@ def _star_round(edges: rd.Dataset, large: bool, parts: int) -> rd.Dataset:
             .groupby("part").map_groups(fold, batch_format="pandas"))
 
 
-def _edge_signature(edges: rd.Dataset) -> tuple[int, int]:
-    """(row count, order-independent checksum) of an edge Dataset."""
+def _edge_signature(edges: rd.Dataset) -> tuple[int, int, int]:
+    """(row count, two independent order-independent checksums) of an edge
+    Dataset.  Two checksums with unrelated multipliers make a coincidental
+    fixpoint collision (~2^-128 per round) practically impossible (ADVICE
+    r3: a single-checksum collision would silently stop iteration early)."""
 
     def h(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy()
@@ -214,8 +217,12 @@ def _edge_signature(edges: rd.Dataset) -> tuple[int, int]:
         with np.errstate(over="ignore"):
             s = int((u * np.int64(1315423911)
                      ^ v * np.int64(-0x61C8864680B583EB)).sum())
+            m = np.int64(0x100000001B3)
+            s2 = int(((u ^ np.int64(0xCBF29CE484222325 - (1 << 64))) * m
+                      + (v + np.int64(0x9E3779B9)) * (m * m)).sum())
         return pa.table({"n": pa.array([t.num_rows], pa.int64()),
-                         "s": pa.array([s], pa.int64())})
+                         "s": pa.array([s], pa.int64()),
+                         "s2": pa.array([s2], pa.int64())})
 
     # fold the one-row-per-block partials on the driver with explicit
     # int64 wraparound: Ray's Sum reduce accumulates unbounded Python
@@ -225,7 +232,8 @@ def _edge_signature(edges: rd.Dataset) -> tuple[int, int]:
     n = int(sum(r["n"] for r in rows))
     with np.errstate(over="ignore"):
         s = int(np.array([r["s"] for r in rows], dtype=np.int64).sum())
-    return (n, s)
+        s2 = int(np.array([r["s2"] for r in rows], dtype=np.int64).sum())
+    return (n, s, s2)
 
 
 def connected_components(edges: rd.Dataset, parts: int = 64,
@@ -243,13 +251,20 @@ def connected_components(edges: rd.Dataset, parts: int = 64,
     """
     edges = edges.materialize()
     prev = None
+    converged = False
     for _ in range(max_rounds):
         edges = _star_round(edges, large=True, parts=parts).materialize()
         edges = _star_round(edges, large=False, parts=parts).materialize()
         sig = _edge_signature(edges)
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            f"(last signature {prev}); raise max_rounds — star contraction "
+            "needs O(log n) rounds, so this indicates a bug or bad input")
     # Converged: edges are (node, root) stars.  Emit them as (id, rep) and
     # add one (root, root) row per distinct root (distributed dedup).
     members = edges.map_batches(

@@ -80,3 +80,33 @@ def test_deterministic_ids(cluster_points):
     b = distributed_dbscan(rd.from_pandas(df).repartition(9), eps, 20).to_pandas()
     m = a.merge(b, on="point_id", suffixes=("_a", "_b"))
     assert (m["cluster_a"] == m["cluster_b"]).all()
+
+
+def test_many_local_clusters_no_driver_blowup(ray_session):
+    """VERDICT r3 #1 'done' criterion: a world with >= 1e5 local clusters.
+
+    612,500 points in 122,500 well-separated 5-point blobs (every blob one
+    exact cluster, no noise); blob columns/rows that land on cell borders
+    straddle them, so thousands of cross-cell union edges flow through the
+    distributed connected-components merge. Driver-side merge state is
+    O(cross-cell merges) by construction — the per-local-cluster key list
+    never leaves the cluster."""
+    import ray.data as rd
+
+    from gscap_ray.pipelines.spatial import distributed_dbscan
+
+    rng = np.random.default_rng(11)
+    side = 350
+    gx, gy = np.meshgrid(np.arange(side) * 0.01, np.arange(side) * 0.01)
+    centers = np.stack([gx.ravel(), gy.ravel()], axis=1)  # 122,500 blobs
+    pts = np.repeat(centers, 5, axis=0) + rng.normal(0, 1e-4,
+                                                     (centers.shape[0] * 5, 2))
+    df = pd.DataFrame({"point_id": np.arange(pts.shape[0]),
+                       "lon": pts[:, 0], "lat": pts[:, 1]})
+    out = distributed_dbscan(rd.from_pandas(df).repartition(16),
+                             eps=0.001, min_samples=5, x_col="lon",
+                             y_col="lat", id_col="point_id",
+                             cell_factor=64.0).to_pandas()
+    assert len(out) == len(df)
+    assert (out["cluster"].values >= 0).all()          # no noise
+    assert out["cluster"].nunique() == centers.shape[0]  # one cluster per blob
