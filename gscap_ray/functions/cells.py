@@ -296,6 +296,18 @@ def hex_cell_center(cell_id) -> tuple[np.ndarray, np.ndarray]:
     return y, x  # lat, lon
 
 
+def _uniform_res(res) -> int:
+    """The hierarchy ops are defined per resolution level; a mixed-res
+    array would silently re-encode every row at row 0's resolution
+    (ADVICE r3) — reject it loudly instead."""
+    ra = np.atleast_1d(res)
+    if ra.size and (ra != ra[0]).any():
+        raise ValueError("mixed-resolution cell_id array: hex_parent/"
+                         "hex_children/hex_neighbors need a uniform res "
+                         f"(saw {sorted(set(ra.tolist()))})")
+    return int(ra[0])
+
+
 def hex_parent(cell_id) -> np.ndarray:
     """Aperture-7 parent: the coarser lattice is the index-7 sublattice of
     the child lattice (basis (2,1)/(-1,3) in child axial coords), so the
@@ -304,7 +316,7 @@ def hex_parent(cell_id) -> np.ndarray:
     nearest-parent-center assignment (verified 1.0 agreement in the
     property suite)."""
     res, q, r = _hex_decode(cell_id)
-    res0 = int(np.atleast_1d(res)[0])
+    res0 = _uniform_res(res)
     if res0 < 1:
         raise ValueError("res-0 cells have no parent")
     af = (3.0 * q + r) / 7.0
@@ -322,7 +334,7 @@ def hex_children(cell_id) -> np.ndarray:
     """The exactly-7 aperture-7 children of each cell: T (a, b) =
     (2a - b, a + 3b) in child axial coords, plus the 6 unit offsets."""
     res, a, b = _hex_decode(cell_id)
-    res0 = int(np.atleast_1d(res)[0])
+    res0 = _uniform_res(res)
     cq = 2 * a - b
     cr = a + 3 * b
     q = (np.atleast_1d(cq)[:, None] + _HEX_COSETS[None, :, 0]).ravel()
@@ -333,7 +345,7 @@ def hex_children(cell_id) -> np.ndarray:
 def hex_neighbors(cell_id) -> np.ndarray:
     """The 6 edge neighbors of each cell (axial unit directions)."""
     res, q, r = _hex_decode(cell_id)
-    res0 = int(np.atleast_1d(res)[0])
+    res0 = _uniform_res(res)
     d = _HEX_COSETS[1:]  # the 6 unit hex directions
     qn = (np.atleast_1d(q)[:, None] + d[None, :, 0]).ravel()
     rn = (np.atleast_1d(r)[:, None] + d[None, :, 1]).ravel()

@@ -199,21 +199,49 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
     return records, clusters
 
 
+CID_XNOT, CID_HOME, CID_WORK, CID_XBASE = 0, 1, 2, 3
+
+
+def cid_strings(codes: np.ndarray) -> np.ndarray:
+    """int cid codes (0=xNot, 1=home, 2=work, k+3='x{k}') -> object array of
+    SHARED string objects (one allocation per distinct cid, not per row)."""
+    mx = int(codes.max(initial=2))
+    lut = np.array(["xNot", "home", "work"] + [f"x{i}" for i in range(mx - 2)],
+                   dtype=object)
+    return lut[codes]
+
+
+def cid_codes_from_strings(cidv: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`cid_strings` (O(distinct cids) Python work)."""
+    f, keys = pd.factorize(np.asarray(cidv, dtype=object))
+    lut = np.empty(len(keys), np.int32)
+    named = {"xNot": CID_XNOT, "home": CID_HOME, "work": CID_WORK}
+    for i, k in enumerate(keys):
+        k = str(k)
+        lut[i] = named.get(k, -1)
+        if lut[i] < 0:
+            lut[i] = int(k[1:]) + CID_XBASE
+    return lut[f]
+
+
 def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
                stat_mask: np.ndarray, eps: float = DEFAULT_EPS,
                min_samples: int = DEFAULT_MIN_SAMPLES, fence: float = FENCE_M,
                working_off: bool = False, validation_metrics: bool = False,
-               build_clusters: bool = True):
+               build_clusters: bool = True, return_codes: bool = False):
     """Array core of get_clusters_with_context: returns
-    (cid object array, home dict|None, work dict|None, clusters_df).
-    ``stat_mask``: bool mask of stationary rows."""
+    (cid array, home dict|None, work dict|None, clusters_df).
+    ``stat_mask``: bool mask of stationary rows.  ``return_codes=True``
+    returns int32 cid codes (see :func:`cid_strings`) instead of an object
+    string array — the hot-path form: the string column, when needed at the
+    Arrow boundary, is built with one dictionary take (VERDICT r3 #3)."""
     a = lat.shape[0]
     hour_all = ((ts_us // np.int64(3_600_000_000)) % 24).astype(np.int64)
     weekday_all = (((ts_us // np.int64(86_400_000_000)) + 3) % 7).astype(np.int64)  # 1970-01-01 = Thursday = 3 (Monday-0)
 
     # labels assigned in place; the reference's split/concat is equivalent to
     # positional assignment since output row order is not semantic
-    cid = np.full(a, "xNot", dtype=object)
+    cid = np.zeros(a, dtype=np.int32)  # CID_XNOT
     stat_idx = np.where(stat_mask)[0]
     slat, slon = lat[stat_idx], lon[stat_idx]
     shour = hour_all[stat_idx]
@@ -230,7 +258,7 @@ def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
         hdist = haversine_m(hlat, hlon, slat, slon)
         hsel = hdist <= fence
         home["cid"] = "home"
-        cid[stat_idx[hsel]] = "home"
+        cid[stat_idx[hsel]] = CID_HOME
         remaining = remaining[~hsel]
     else:
         home = None
@@ -257,7 +285,7 @@ def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
                 # original members are all 9-17 h so membership reduces to this
                 wsel = (rhour > 7) & (rhour < 20) & (wdist <= fence)
                 work["cid"] = "work"
-                cid[stat_idx[remaining[wsel]]] = "work"
+                cid[stat_idx[remaining[wsel]]] = CID_WORK
                 remaining = remaining[~wsel]
             else:
                 work = None
@@ -269,11 +297,11 @@ def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
     labels = np.asarray(labels)
     lab_pos = labels != -1
     if lab_pos.any():
-        cid[stat_idx[remaining[lab_pos]]] = np.char.add(
-            "x", labels[lab_pos].astype(str)).astype(object)
+        cid[stat_idx[remaining[lab_pos]]] = (labels[lab_pos].astype(np.int32)
+                                             + CID_XBASE)
 
     if not build_clusters:  # fused daily path never reads the table
-        return cid, home, work, None
+        return (cid if return_codes else cid_strings(cid)), home, work, None
 
     clusters = pd.DataFrame(centers)
     if len(clusters) > 0:
@@ -299,7 +327,7 @@ def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
             "max_distance_from_center",
         ], errors="ignore")
 
-    return cid, home, work, clusters
+    return (cid if return_codes else cid_strings(cid)), home, work, clusters
 
 
 def next_phase_clusters(records: pd.DataFrame, clusters: pd.DataFrame,
@@ -452,7 +480,7 @@ def daily_metrics(records: pd.DataFrame) -> pd.DataFrame:
 
 def daily_core(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates) -> pd.DataFrame:
     dates_a, out = daily_core_arrays(ts_us, lat, lon, td, disp, bin_codes,
-                                     cidv, codes, dates)
+                                     cid_codes_from_strings(cidv), codes, dates)
     df_out = pd.DataFrame(out, copy=False)
     df_out.insert(0, "date", dates_a)
     return df_out
@@ -460,10 +488,13 @@ def daily_core(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates) -> pd.D
 
 def daily_core_arrays(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates):
     """Numpy core of daily_metrics; ``codes`` are the sorted-factorized date
-    group ids, ``bin_codes`` index functions.velocity.BINS. Returns
-    (dates_array, {column: ndarray}) — no pandas objects, so the fused
-    flagship stage can accumulate plain arrays per host and build ONE Arrow
-    table per partition (the 8->32-core bandwidth fix, VERDICT r1 #7)."""
+    group ids, ``bin_codes`` index functions.velocity.BINS, ``cidv`` is the
+    int32 cid-code array (see :func:`cid_strings` — 0=xNot, 1=home, 2=work,
+    k+3='x{k}'; integer compares/isin replace the per-row PyObject string
+    compares, VERDICT r3 #3). Returns (dates_array, {column: ndarray}) — no
+    pandas objects, so the fused flagship stage can accumulate plain arrays
+    per host and build ONE Arrow table per partition (the 8->32-core
+    bandwidth fix, VERDICT r1 #7)."""
     G = len(dates)
     out = {}  # column dict; one DataFrame construction at the end
     n_per = np.bincount(codes, minlength=G).astype(np.float64)
@@ -487,8 +518,8 @@ def daily_core_arrays(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates):
     out["hours_accounted_for"] = np.bincount(np.unique(pair) // 24, minlength=G)
 
     is_stat = bin_codes == 1  # BINS[1] == 'stationary'
-    is_home = cidv == "home"
-    is_work = cidv == "work"
+    is_home = cidv == CID_HOME
+    is_work = cidv == CID_WORK
     out["hours_stationary_nhw"] = _msum(is_stat & ~is_home & ~is_work, td, 3600)
     out["came_to_work"] = np.bincount(codes, weights=is_work, minlength=G) > 0
     ccodes = pd.factorize(cidv)[0]
@@ -503,21 +534,20 @@ def daily_core_arrays(ts_us, lat, lon, td, disp, bin_codes, cidv, codes, dates):
     out["hours_in_work"] = _msum(is_work, td, 3600)
 
     # top-3 non-home/work/xNot clusters by total time (gps.py:1441-1456)
-    pool_mask = ~(is_home | is_work | (cidv == "xNot"))
-    cvals = pd.unique(cidv[pool_mask])
-    if len(cvals):
+    pool_mask = cidv >= CID_XBASE
+    if pool_mask.any():
         sub_codes, sub_keys = pd.factorize(cidv[pool_mask])
         tot = np.bincount(sub_codes,
                           weights=np.nan_to_num(td[pool_mask]), minlength=len(sub_keys))
-        # deterministic tie-break: equal totals order by cid string ascending
-        # (the reference inherits frame order — not reproducible after a
-        # shuffle; the engine pins ties so the oracle can replicate them)
+        # deterministic tie-break: equal totals order by cid STRING ascending
+        # ('x10' < 'x2' — the pre-codes string order, kept so the oracle SQL
+        # and prior-round outputs replicate ties byte-exactly)
         order = sorted(range(len(sub_keys)),
-                       key=lambda i: (-tot[i], str(sub_keys[i])))[:3]
-        top3 = set(sub_keys[list(order)].tolist())
+                       key=lambda i: (-tot[i], f"x{int(sub_keys[i]) - CID_XBASE}"))[:3]
+        top3 = sub_keys[list(order)]
     else:
-        top3 = set()
-    out["hours_in_top3"] = _msum(np.isin(cidv, list(top3)), td, 3600)
+        top3 = np.empty(0, np.int32)
+    out["hours_in_top3"] = _msum(np.isin(cidv, top3), td, 3600)
 
     # hours_of_sleep: sequential cross-day scan (gps.py:1462-1501).
     # Per-day first/last rows are the min/max-ts rows (order-independent —

@@ -3870,6 +3870,12 @@ def _pages_dir_for(sf_dir: str) -> str:
                         n_hosts=max(8, n_pages // 2000), days=6, seed=42)
 
 
+# Bump on ANY change to label_partition / labeled_pages semantics or layout
+# (v2: int-code cid/binning kernels, r4). The old "v1 <pages_dir>" stamp
+# silently reused dumps across code changes (ADVICE r3).
+LABELED_PIPELINE_VERSION = 2
+
+
 def _labeled_dump_for(sf_dir: str) -> str:
     """Run the flagship labeling pipeline once per sf and persist the
     labeled intermediate (host, cid, binning, ts, velocity features) to
@@ -3884,7 +3890,10 @@ def _labeled_dump_for(sf_dir: str) -> str:
     tag = sf_dir.strip("/").split("/")[-1]
     out = f"/tmp/gscap_labeled_{tag}"
     marker = out + "._DONE"
-    stamp = "v1 " + pages_dir
+    # LABELED_PIPELINE_VERSION guards stale-dump reuse across code changes
+    # (ADVICE r3): bump it whenever labeled_pages/label_partition semantics
+    # or output layout change so dump-based oracles rebuild.
+    stamp = f"v{LABELED_PIPELINE_VERSION} " + pages_dir
     if os.path.exists(marker) and os.path.isdir(out):
         with open(marker) as f:
             if f.read() == stamp:
