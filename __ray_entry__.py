@@ -45,9 +45,10 @@ def oracle_sql() -> dict[str, str]:
         import os
 
         if os.path.isdir("/root/testdata/sf0.01"):
-            from gscap_ray.queries import _labeled_dump_for
+            from gscap_ray.queries import _emb_aug_for, _labeled_dump_for
 
             _labeled_dump_for("/root/testdata/sf0.01")
+            _emb_aug_for("/root/testdata/sf0.01")
     except Exception:
         pass  # no Ray session / no testdata: the strings are still returned
 

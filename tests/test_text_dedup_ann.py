@@ -214,12 +214,12 @@ def test_embedding_lsh_finds_planted_dupes(ray_session):
     import gscap_ray.queries as Q
 
     pdf = pd.DataFrame({"vec_id": ids, "embedding": list(emb)})
-    orig = Q._read
+    orig = Q._emb_read
     try:
-        Q._read = lambda sf, table, columns=None: rd.from_pandas(pdf)
+        Q._emb_read = lambda sf: rd.from_pandas(pdf)
         got = Q.q_embedding_dupes_lsh("unused")
     finally:
-        Q._read = orig
+        Q._emb_read = orig
     assert set(zip(got["id_a"], got["id_b"])) == want
 
 
@@ -250,14 +250,14 @@ def test_embedding_lsh_planted_skew(ray_session):
     import gscap_ray.queries as Q
 
     pdf = pd.DataFrame({"vec_id": ids, "embedding": list(emb)})
-    orig, orig_chunk = Q._read, Q._LSH_CHUNK
+    orig, orig_chunk = Q._emb_read, Q._LSH_CHUNK
     try:
-        Q._read = lambda sf, table, columns=None: rd.from_pandas(pdf)
+        Q._emb_read = lambda sf: rd.from_pandas(pdf)
         # shrink the chunk size so the hot bucket actually decomposes
         Q._LSH_CHUNK = 32
         got = Q.q_embedding_dupes_lsh("unused")
     finally:
-        Q._read, Q._LSH_CHUNK = orig, orig_chunk
+        Q._emb_read, Q._LSH_CHUNK = orig, orig_chunk
     assert set(zip(got["id_a"], got["id_b"])) == want
 
 
