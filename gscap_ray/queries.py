@@ -3446,11 +3446,13 @@ def _ann_recall_report(emb: rd.Dataset, cand: rd.Dataset, qids, qmat):
     brute = parts.groupby("query_id").head(10).groupby("query_id")["neighbor_id"] \
         .apply(set).to_dict()
 
-    rows = []
-    for _, r in top.sort_values("query_id").iterrows():
-        rec = len(brute[int(r["query_id"])] & set(r["top_ids"])) / 10.0
-        rows.append((int(r["query_id"]), int(r["n_candidates"]), round(rec, 2)))
-    return pd.DataFrame(rows, columns=["query_id", "n_candidates", "recall_at_10"])
+    top = top.sort_values("query_id").reset_index(drop=True)
+    # O(n_queries) set intersections (5 query rows) — not a data path
+    rec = [round(len(brute[int(q)] & set(t)) / 10.0, 2)
+           for q, t in zip(top["query_id"], top["top_ids"])]
+    return pd.DataFrame({"query_id": top["query_id"].astype(np.int64),
+                         "n_candidates": top["n_candidates"].astype(np.int64),
+                         "recall_at_10": rec})
 
 
 def q_ann_ivf_recall(sf_dir: str):
