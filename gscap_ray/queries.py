@@ -4190,6 +4190,238 @@ FROM near WHERE rk = 1
 """
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-user sketch per event type (m = 256 registers)
+    — the 100-TB-scale distinct path the reference's exact pandas nunique
+    (gps.py:1441-1456 daily uniques) cannot take. Per-batch partials
+    collapse rows to <= groups x 256 register rows BEFORE the shuffle, so
+    the exchange is O(groups x m) regardless of input size; the grouped
+    Max is the register merge (HLL's combine is exactly max-per-register,
+    which is what makes it distributable). Output is the INTEGER register
+    sum S = sum_j 2^(32 - M_j) (see functions/sketch.py) — the float
+    estimate alpha_m * m^2 * 2^32 / S is derivable offline; integer-only
+    output carries zero float-parity risk vs the DuckDB twin."""
+    from ray.data.aggregate import Max
+
+    from .functions.sketch import hll_partials, hll_register_sum
+    from .functions.text import md5_token_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy()
+        codes, keys = pd.factorize(et)
+        h = md5_token_hash64([str(int(u)) for u in uid])
+        g, reg, rho = hll_partials(codes, len(keys), h)
+        return pa.table({
+            "event_type": pa.array(np.asarray(keys, dtype=object)[g],
+                                   pa.string()),
+            "reg": pa.array(reg, pa.int64()),
+            "rho": pa.array(rho, pa.int64()),
+        })
+
+    ds = (_read(sf_dir, "events", ["event_type", "user_id"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["event_type", "reg"]).aggregate(Max("rho",
+                                                        alias_name="m")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n_regs, s = hll_register_sum(g["m"].to_numpy())
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_regs": [n_regs], "hll_sum": [s]})
+
+    return ds.groupby("event_type").map_groups(fold, batch_format="pandas")
+
+
+SQL_HLL_DISTINCT = """
+WITH h AS (SELECT event_type,
+                  md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+           FROM events),
+r AS (SELECT event_type,
+             CAST(hv % 256 AS BIGINT) AS reg,
+             CAST(hv // 256 AS BIGINT) AS w
+      FROM h),
+m AS (SELECT event_type, reg,
+             max(least(bit_count((~w) & (w - 1)) + 1, 32)) AS mreg
+      FROM r GROUP BY event_type, reg)
+SELECT event_type, count(*) AS n_regs,
+       CAST(sum(1::BIGINT << (32 - mreg))
+            + (256 - count(*)) * (1::BIGINT << 32) AS BIGINT) AS hll_sum
+FROM m GROUP BY event_type
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Interval/range join, bucketed (ray_guide as-of/range-join pattern):
+    for each 'purchase' event, the number of same-user events in the
+    following hour (0 < dt < 3600 s). Ray Data has no range join; the
+    engine composes it as the standard bucket expansion — both sides key
+    by (user, hour bucket), each anchor probes its 2 covering buckets, the
+    equality join runs on the composite key, and the exact interval
+    predicate filters after the join. Shuffle carries (user, bucket, ts,
+    id) rows only; a hot (user, hour) cell is bounded by one user's events
+    in one hour, never an all-pairs blowup. Partitioning assumption: the
+    window (1 h) is <= the bucket width, so 2 buckets always cover it."""
+    HOUR = 3_600_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def right_side(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "hb": pa.array(ts // HOUR, pa.int64()),
+            "ts_e": pa.array(ts, pa.int64()),
+        })
+
+    def anchors(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        a = t.filter(m)
+        ts = a["ts"].cast(pa.int64()).to_numpy()
+        uid = a["user_id"].cast(pa.int64()).to_numpy()
+        eid = a["event_id"].cast(pa.int64()).to_numpy()
+        hb = ts // HOUR
+        # each anchor probes its own bucket and the next (window <= 1 bucket)
+        return pa.table({
+            "a_id": pa.array(np.repeat(eid, 2), pa.int64()),
+            "user_id": pa.array(np.repeat(uid, 2), pa.int64()),
+            "hb": pa.array(np.stack([hb, hb + 1], axis=1).ravel(), pa.int64()),
+            "ts_a": pa.array(np.repeat(ts, 2), pa.int64()),
+        })
+
+    left = ev.map_batches(anchors, batch_format="pyarrow")
+    right = ev.map_batches(right_side, batch_format="pyarrow")
+    # join parallelism sized to the cluster (same sizing + rationale as
+    # join_lineitem_orders / _exact_jaccard_verify)
+    import ray as _ray
+
+    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = left.join(right, "inner", jp, on=("user_id", "hb"))
+
+    def precise(t: pa.Table) -> pa.Table:
+        dt = pc.subtract(t["ts_e"], t["ts_a"])
+        keep = pc.and_(pc.greater(dt, 0), pc.less(dt, HOUR))
+        return t.filter(keep).select(["a_id"])
+
+    from ray.data.aggregate import Count
+
+    out = (joined.map_batches(precise, batch_format="pyarrow")
+           .groupby("a_id").aggregate(Count(alias_name="n_follow")))
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "n_follow"]),
+        batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = """
+WITH a AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+SELECT a.event_id, count(*) AS n_follow
+FROM a JOIN events e ON e.user_id = a.user_id
+ AND e.ts > a.ts AND epoch_us(e.ts) - epoch_us(a.ts) < 3600000000
+GROUP BY a.event_id
+"""
+
+
+def q_pagerank(sf_dir: str):
+    """Iterative fixed-point PageRank, 3 rounds, damping 0.85, over a
+    deterministic synthetic follow graph derived from events (edge
+    src = user_id -> dst = md5(event_id) % n_users; self-loops dropped,
+    edges deduped) — the iterative-algorithm operator class. INTEGER
+    fixed-point: ranks in micro-units, per-edge contribution
+    (rank * 85) // (100 * outdeg), dangling mass dropped — every round is
+    byte-exact replicable in SQL, no float accumulation order anywhere.
+
+    Scale design: the edge set stays distributed end-to-end (per-batch
+    dedup, one grouped dedup, then materialized ONCE and reused across
+    rounds); each round is map_batches(per-batch per-dst partial sums) +
+    one int shuffle (groupby dst). Only the O(nodes) rank/outdeg arrays
+    are broadcast per round via ray.put — stated partitioning assumption:
+    the node table fits worker memory (10^8 hosts x 16 B = 1.6 GB); past
+    that the broadcast becomes a keyed join against a ranks dataset."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.text import md5_token_hash64
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    U = int(ev.max("user_id")) + 1
+
+    def edge_batch(t: pa.Table) -> pa.Table:
+        src = t["user_id"].to_numpy().astype(np.int64)
+        h = md5_token_hash64([str(int(e)) for e in t["event_id"].to_numpy()])
+        dst = (h % np.uint64(U)).astype(np.int64)
+        keep = src != dst
+        key = np.unique(src[keep] * U + dst[keep])  # per-batch dedup
+        return pa.table({"src": pa.array(key // U, pa.int64()),
+                         "dst": pa.array(key % U, pa.int64())})
+
+    edges = (ev.map_batches(edge_batch, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["src", "dst"])
+             .materialize())  # reused every round; edge set, not the input
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
+    outdeg = np.zeros(U, np.int64)
+    outdeg[deg["src"].to_numpy()] = deg["d"].to_numpy()
+    rank = np.full(U, 1_000_000, dtype=np.int64)
+
+    for _ in range(3):
+        ref = _ray.put((rank, outdeg))
+
+        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+            r, d = _ray.get(_ref)
+            s = t["src"].to_numpy()
+            c = (r[s] * 85) // (100 * d[s])  # outdeg>0 by construction
+            dst = t["dst"].to_numpy()
+            u, inv = np.unique(dst, return_inverse=True)
+            acc = np.zeros(u.shape[0], np.int64)
+            np.add.at(acc, inv, c)  # per-batch partial, int64 exact
+            return pa.table({"dst": pa.array(u, pa.int64()),
+                             "c": pa.array(acc, pa.int64())})
+
+        agg = (edges.map_batches(contrib, batch_format="pyarrow")
+               .groupby("dst").aggregate(Sum("c", alias_name="s"))
+               .to_pandas())
+        rank = np.full(U, 150_000, dtype=np.int64)
+        rank[agg["dst"].to_numpy()] += agg["s"].to_numpy().astype(np.int64)
+
+    return pd.DataFrame({"user_id": np.arange(U, dtype=np.int64),
+                         "pr_micro": rank})
+
+
+SQL_PAGERANK = """
+WITH e AS (SELECT DISTINCT user_id AS src,
+        CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+             % (SELECT max(user_id) + 1 FROM events) AS BIGINT) AS dst
+      FROM events),
+g AS (SELECT src, dst FROM e WHERE src != dst),
+n AS (SELECT unnest(generate_series(0, (SELECT max(user_id) FROM events)))
+        AS uid),
+d AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+r0 AS (SELECT uid, 1000000::BIGINT AS pr FROM n),
+r1 AS (SELECT n.uid,
+              CAST(150000 + COALESCE(sum((r0.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r0 ON r0.uid = g.src
+       GROUP BY n.uid),
+r2 AS (SELECT n.uid,
+              CAST(150000 + COALESCE(sum((r1.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r1 ON r1.uid = g.src
+       GROUP BY n.uid),
+r3 AS (SELECT n.uid,
+              CAST(150000 + COALESCE(sum((r2.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r2 ON r2.uid = g.src
+       GROUP BY n.uid)
+SELECT uid AS user_id, pr AS pr_micro FROM r3
+"""
+
+
 # ------------------------------------------------------------- registry ----
 
 # Ordering matters: the driver's correctness harness records only the FIRST
@@ -4293,6 +4525,10 @@ QUERIES = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "tfidf_topterms": q_tfidf_topterms,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    # r4 additions: sketch aggregate, bucketed range join, iterative graph
+    "hll_distinct": q_hll_distinct,
+    "range_join": q_range_join,
+    "pagerank": q_pagerank,
 }
 
 ORACLE_SQL = {
@@ -4338,6 +4574,9 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "hll_distinct": SQL_HLL_DISTINCT,
+    "range_join": SQL_RANGE_JOIN,
+    "pagerank": SQL_PAGERANK,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,

@@ -25,6 +25,7 @@ SUBSET = [
     "quality_filter", "repetition_filter", "substring_dedup",
     "vocab_topk", "stratified_sample", "ngram_jaccard",
     "pack_sequences", "decontaminate", "tfidf_topterms",
+    "hll_distinct", "range_join", "pagerank",
 ]
 
 
