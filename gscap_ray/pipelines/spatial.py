@@ -118,15 +118,13 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
         })
 
     def local_cluster(t: pa.Table) -> pa.Table:
-        from ..functions.dbscan import core_mask
-
         x = t["x"].to_numpy()
         y = t["y"].to_numpy()
         own = t["own"].to_numpy(zero_copy_only=False)
         near = t["near"].to_numpy(zero_copy_only=False)
         pid = t["pid"].to_numpy()
-        labels = dbscan_labels(x, y, eps, min_samples)
-        core = core_mask(x, y, eps, min_samples)
+        # one grid pass: the labels' pass 1 IS the exact core mask
+        labels, core = dbscan_labels(x, y, eps, min_samples, return_core=True)
         # node id = min pid among the local cluster's locally-core members
         # (see module docstring: a valid global-cluster identifier)
         node = np.full(pid.shape[0], np.int64(-1))
@@ -203,12 +201,11 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
 
         return t.filter(pc.equal(t["kind"], 1)).select(["pid", "u"])
 
-    edges = meta.map_batches(only_edges, batch_format="pyarrow")
-    n_edges = edges.count()
-    if n_edges:
-        from ..ops import connected_components
+    from ..ops import connected_components
 
-        cc = connected_components(edges).to_pandas()
+    edges = meta.map_batches(only_edges, batch_format="pyarrow")
+    cc = connected_components(edges).to_pandas()
+    if len(cc):
         # O(cross-cell merged clusters) rows — the provably small side
         ids = cc["id"].to_numpy().astype(np.int64)
         reps = cc["rep"].to_numpy().astype(np.int64)
@@ -216,7 +213,7 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
         ids, reps = ids[order], reps[order]
         first = np.concatenate([[True], np.diff(ids) != 0])
         cc_ids, cc_reps = ids[first], reps[first]
-    else:
+    else:  # no cross-cell merges (to_pandas drops the schema at 0 rows)
         cc_ids = np.empty(0, np.int64)
         cc_reps = np.empty(0, np.int64)
 

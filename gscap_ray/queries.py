@@ -2984,7 +2984,7 @@ def q_next_phase_cores(sf_dir: str):
     histogram (scan-order-free; same strategy as spatial_clusters)."""
     from ray.data.aggregate import Count
 
-    from .functions.dbscan import core_mask, dbscan_labels
+    from .functions.dbscan import dbscan_labels
     from .functions.geo import haversine_m
 
     clat = np.array([c["lat"] for c in _CENTERS])
@@ -3000,8 +3000,7 @@ def q_next_phase_cores(sf_dir: str):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         lon = g["lon"].values
         lat = g["lat"].values
-        labels = dbscan_labels(lon, lat, 0.02, 20)
-        core = core_mask(lon, lat, 0.02, 20)
+        labels, core = dbscan_labels(lon, lat, 0.02, 20, return_core=True)
         lab = labels[core]
         _u, c = np.unique(lab[lab >= 0], return_counts=True)
         return pd.DataFrame({"csize": pd.Series(c, dtype="int64")})

@@ -52,8 +52,10 @@ def test_cc_matches_union_find_shapes():
     ]
     for edges in cases:
         want = union_find_components(edges)
-        got = run_cc(edges)
-        assert got == want, edges
+        # both paths: single-task fast path (default) and the distributed
+        # star contraction (small_edges=0 forces it)
+        assert run_cc(edges) == want, edges
+        assert run_cc(edges, small_edges=0) == want, edges
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -71,8 +73,8 @@ def test_cc_random_graphs():
         if not edges:
             continue
         want = union_find_components(edges)
-        got = run_cc(edges)
-        assert got == want, trial
+        assert run_cc(edges) == want, trial
+        assert run_cc(edges, small_edges=0) == want, trial
 
 
 @pytest.mark.usefixtures("ray_session")
