@@ -4456,7 +4456,12 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     # streaming / temporal
     "sessionize": q_sessionize,
-    "session_metrics": q_session_metrics,
+    # r4: hll_distinct takes session_metrics' window slot (A3/C8 cluster
+    # metrics stay driver-witnessed via pages_cluster_metrics, the same
+    # aggregate family over the flagship's clusters — the established
+    # sibling-witness demotion rule); the HLL sketch is a new operator
+    # CLASS and deserves the driver verdict
+    "hll_distinct": q_hll_distinct,
     "daily_user_metrics": q_daily_user_metrics,
     "daily_value_quantiles": q_daily_value_quantiles,
     "sliding_window": q_sliding_window,
@@ -4498,6 +4503,7 @@ QUERIES = {
     # cell_dedup + s2_tiles/hex_tiles, daily_value_stats by daily_user_metrics,
     # sampled_stats by stratified_sample, hourly_weather by weather_daily
     # which consumes the same hourly expansion end-to-end)
+    "session_metrics": q_session_metrics,
     "sampled_stats": q_sampled_stats,
     "hourly_weather": q_hourly_weather,
     "embedding_dupes": q_embedding_dupes,
@@ -4524,8 +4530,7 @@ QUERIES = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "tfidf_topterms": q_tfidf_topterms,
     "jsonl_roundtrip": q_jsonl_roundtrip,
-    # r4 additions: sketch aggregate, bucketed range join, iterative graph
-    "hll_distinct": q_hll_distinct,
+    # r4 additions (hll_distinct holds an in-window slot above)
     "range_join": q_range_join,
     "pagerank": q_pagerank,
 }
