@@ -4338,25 +4338,7 @@ def q_pagerank(sf_dir: str):
     import ray as _ray
     from ray.data.aggregate import Count, Sum
 
-    from .functions.text import md5_token_hash64
-
-    ev = _read(sf_dir, "events", ["event_id", "user_id"])
-    U = int(ev.max("user_id")) + 1
-
-    def edge_batch(t: pa.Table) -> pa.Table:
-        src = t["user_id"].to_numpy().astype(np.int64)
-        h = md5_token_hash64([str(int(e)) for e in t["event_id"].to_numpy()])
-        dst = (h % np.uint64(U)).astype(np.int64)
-        keep = src != dst
-        key = np.unique(src[keep] * U + dst[keep])  # per-batch dedup
-        return pa.table({"src": pa.array(key // U, pa.int64()),
-                         "dst": pa.array(key % U, pa.int64())})
-
-    edges = (ev.map_batches(edge_batch, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-             .select_columns(["src", "dst"])
-             .materialize())  # reused every round; edge set, not the input
-
+    edges, U = _event_graph(sf_dir)  # materialized once, reused per round
     deg = edges.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
     outdeg = np.zeros(U, np.int64)
     outdeg[deg["src"].to_numpy()] = deg["d"].to_numpy()
@@ -4418,6 +4400,237 @@ r3 AS (SELECT n.uid,
               LEFT JOIN r2 ON r2.uid = g.src
        GROUP BY n.uid)
 SELECT uid AS user_id, pr AS pr_micro FROM r3
+"""
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-min-sketch heavy hitters over the document token stream —
+    the bounded-memory frequency sibling of the HLL sketch. d = 4 rows x
+    w = 1024 columns; all 4 column indices derive from ONE md5 per token
+    (10-bit slices), so hashing cost is one digest/token on both engines.
+    CMS merge is elementwise SUM: per-batch partials emit at most d x w
+    nonzero cells regardless of batch rows, the grouped Sum is the merge,
+    and the final 4096-cell table is pulled to the driver (16 KB — the
+    documented small side). Output: exact top-20 tokens with their exact
+    and CMS-estimated counts, all integers (est >= exact always; equality
+    at this scale since w >> distinct tokens per row)."""
+    from ray.data.aggregate import Sum
+
+    from .functions.text import md5_token_hash64
+
+    D, W = 4, 1024
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def tok_arrays(t: pa.Table) -> list[str]:
+        out = []
+        for s in t["text"].to_numpy(zero_copy_only=False):
+            out.extend(s.split())
+        return out
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        toks = tok_arrays(t)
+        if not toks:
+            return pa.table({"r": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        h = md5_token_hash64(toks)
+        acc = np.zeros(D * W, np.int64)
+        for r in range(D):
+            col = ((h // np.uint64(W ** r)) % np.uint64(W)).astype(np.int64)
+            np.add.at(acc, r * W + col, 1)
+        nz = np.flatnonzero(acc)
+        return pa.table({"r": pa.array(nz // W, pa.int64()),
+                         "col": pa.array(nz % W, pa.int64()),
+                         "cnt": pa.array(acc[nz], pa.int64())})
+
+    cells = (docs.map_batches(cms_partial, batch_format="pyarrow")
+             .groupby(["r", "col"]).aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())  # d x w = 4096 rows max
+    cms = np.zeros(D * W, np.int64)
+    cms[cells["r"].to_numpy() * W + cells["col"].to_numpy()] = \
+        cells["cnt"].to_numpy().astype(np.int64)
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = tok_arrays(t)
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    top = (docs.map_batches(tok_counts, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("cnt", alias_name="exact_cnt"))
+           .to_pandas())
+    top["exact_cnt"] = top["exact_cnt"].astype(np.int64)
+    top = top.sort_values(["exact_cnt", "token"],
+                          ascending=[False, True]).head(20)
+    h = md5_token_hash64(top["token"].tolist())
+    est = np.full(len(top), np.iinfo(np.int64).max)
+    for r in range(D):
+        col = ((h // np.uint64(W ** r)) % np.uint64(W)).astype(np.int64)
+        est = np.minimum(est, cms[r * W + col])
+    out = pd.DataFrame({"token": top["token"].to_numpy(),
+                        "exact_cnt": top["exact_cnt"].to_numpy(),
+                        "cms_est": est})
+    return out.reset_index(drop=True)
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH t AS (SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+')
+                  END AS toks
+           FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM t),
+hv AS (SELECT token, md5_number_lower(token) AS h FROM tok),
+rr(r, shift) AS (VALUES (0, 1), (1, 1024), (2, 1048576), (3, 1073741824)),
+cells AS (SELECT r, CAST((h // shift) % 1024 AS BIGINT) AS col,
+                 count(*) AS cnt
+          FROM hv, rr GROUP BY r, col),
+tc AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+top AS (SELECT token, exact_cnt FROM tc
+        ORDER BY exact_cnt DESC, token LIMIT 20),
+probe AS (SELECT p.token, p.exact_cnt, min(c.cnt) AS cms_est
+          FROM (SELECT token, exact_cnt, md5_number_lower(token) AS h
+                FROM top) p
+          JOIN rr ON TRUE
+          JOIN cells c ON c.r = rr.r
+           AND c.col = CAST((p.h // rr.shift) % 1024 AS BIGINT)
+          GROUP BY p.token, p.exact_cnt)
+SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est FROM probe
+"""
+
+
+def _event_graph(sf_dir: str):
+    """The deterministic synthetic follow graph shared by the graph
+    operators (see q_pagerank): src = user_id, dst = md5(event_id) % U,
+    self-loops dropped, globally deduped, materialized once. Returns
+    (edges Dataset with int64 src/dst, U)."""
+    from ray.data.aggregate import Count
+
+    from .functions.text import md5_token_hash64
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    U = int(ev.max("user_id")) + 1
+
+    def edge_batch(t: pa.Table) -> pa.Table:
+        src = t["user_id"].to_numpy().astype(np.int64)
+        h = md5_token_hash64([str(int(e)) for e in t["event_id"].to_numpy()])
+        dst = (h % np.uint64(U)).astype(np.int64)
+        keep = src != dst
+        key = np.unique(src[keep] * U + dst[keep])  # per-batch dedup
+        return pa.table({"src": pa.array(key // U, pa.int64()),
+                         "dst": pa.array(key % U, pa.int64())})
+
+    edges = (ev.map_batches(edge_batch, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["src", "dst"])
+             .materialize())
+    return edges, U
+
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting over the event-derived graph —
+    degree-oriented wedge join, the standard skew-hardened construction:
+    every UNDIRECTED edge is oriented from its lower-(degree, id)
+    endpoint to the higher, which bounds each node's out-degree by
+    O(sqrt(m)) and therefore the total wedge count by O(m^1.5) even on
+    power-law graphs. Wedges (a->b, b->c) come from ONE Dataset.join on
+    the middle node; a second composite-key join probes the (a, c)
+    closing edge. The undirected degree table is O(nodes), broadcast
+    once (same memory assumption as q_pagerank). Output: one row of
+    integer graph invariants (n_nodes, n_edges, n_wedges, n_triangles)."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    edges, U = _event_graph(sf_dir)
+
+    # undirected degree: count each endpoint over the deduped DIRECTED
+    # edge list, then fold (u,v)+(v,u) pairs — the synthetic graph may
+    # contain both directions of the same undirected edge; canonicalize
+    # to (lo, hi) first and dedup again so each undirected edge counts once
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        key = np.unique(lo * U + hi)
+        return pa.table({"lo": pa.array(key // U, pa.int64()),
+                         "hi": pa.array(key % U, pa.int64())})
+
+    und = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c"))
+           .select_columns(["lo", "hi"]).materialize())
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t["lo"].to_numpy(), t["hi"].to_numpy()])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "d": pa.array(c.astype(np.int64), pa.int64())})
+
+    degs = (und.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+    deg = np.zeros(U, np.int64)
+    deg[degs["node"].to_numpy()] = degs["d"].to_numpy().astype(np.int64)
+    deg_ref = _ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        dg = _ray.get(deg_ref)
+        lo = t["lo"].to_numpy()
+        hi = t["hi"].to_numpy()
+        # lower (degree, id) endpoint points at the higher
+        fwd = (dg[lo] < dg[hi]) | ((dg[lo] == dg[hi]) & (lo < hi))
+        a = np.where(fwd, lo, hi)
+        b = np.where(fwd, hi, lo)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    ori = und.map_batches(orient, batch_format="pyarrow").materialize()
+    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    # wedges: (a->b) x (b->c); both legs out-edges of the oriented DAG
+    left = ori.map_batches(
+        lambda t: pa.table({"a": t["a"], "mid": t["b"]}),
+        batch_format="pyarrow")
+    right = ori.map_batches(
+        lambda t: pa.table({"mid": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    wedges = left.join(right, "inner", jp, on=("mid",)).materialize()
+    n_wedges = wedges.count()
+    # close the wedge: (a, c) must itself be an oriented edge — an exact
+    # composite-key join, so the probe carries no per-node fan-out
+    probe = wedges.map_batches(
+        lambda t: pa.table({"a": t["a"], "c": t["c"]}),
+        batch_format="pyarrow")
+    closing = ori.map_batches(
+        lambda t: pa.table({"a": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    n_tri = probe.join(closing, "inner", jp, on=("a", "c")).count()
+    return pd.DataFrame({"n_nodes": [int((deg > 0).sum())],
+                         "n_edges": [und.count()],
+                         "n_wedges": [int(n_wedges)],
+                         "n_triangles": [int(n_tri)]})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH e0 AS (SELECT DISTINCT user_id AS src,
+        CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+             % (SELECT max(user_id) + 1 FROM events) AS BIGINT) AS dst
+      FROM events),
+g AS (SELECT src, dst FROM e0 WHERE src != dst),
+und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM g),
+d AS (SELECT node, count(*) AS deg FROM (
+        SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+      GROUP BY node),
+ori AS (SELECT CASE WHEN (dl.deg, u.lo) < (dh.deg, u.hi)
+                    THEN u.lo ELSE u.hi END AS a,
+               CASE WHEN (dl.deg, u.lo) < (dh.deg, u.hi)
+                    THEN u.hi ELSE u.lo END AS b
+        FROM und u JOIN d dl ON dl.node = u.lo JOIN d dh ON dh.node = u.hi),
+w AS (SELECT e1.a AS a, e1.b AS mid, e2.b AS c
+      FROM ori e1 JOIN ori e2 ON e2.a = e1.b)
+SELECT (SELECT count(*) FROM d) AS n_nodes,
+       (SELECT count(*) FROM und) AS n_edges,
+       (SELECT count(*) FROM w) AS n_wedges,
+       (SELECT count(*) FROM w JOIN ori e3
+          ON e3.a = w.a AND e3.b = w.c) AS n_triangles
 """
 
 
@@ -4533,6 +4746,8 @@ QUERIES = {
     # r4 additions (hll_distinct holds an in-window slot above)
     "range_join": q_range_join,
     "pagerank": q_pagerank,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLE_SQL = {
@@ -4581,6 +4796,8 @@ ORACLE_SQL = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "range_join": SQL_RANGE_JOIN,
     "pagerank": SQL_PAGERANK,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
