@@ -332,6 +332,12 @@ def run_bench() -> dict:
     timed("substring_dedup", lambda: consume(Q.q_substring_dedup(sf_dir)))
     timed("pack_sequences", lambda: consume(Q.q_pack_sequences(sf_dir)))
     timed("decontaminate", lambda: consume(Q.q_decontaminate(sf_dir)))
+    # round-4 scale operators (sketches, range join, graph)
+    timed("hll_distinct", lambda: consume(Q.q_hll_distinct(sf_dir)))
+    timed("cms_heavy_hitters", lambda: Q.q_cms_heavy_hitters(sf_dir))
+    timed("range_join", lambda: consume(Q.q_range_join(sf_dir)))
+    timed("pagerank", lambda: Q.q_pagerank(sf_dir))
+    timed("triangle_count", lambda: Q.q_triangle_count(sf_dir))
 
     def finish() -> dict:
         out = {

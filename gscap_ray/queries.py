@@ -4209,7 +4209,9 @@ def q_hll_distinct(sf_dir: str):
         et = t["event_type"].to_numpy(zero_copy_only=False)
         uid = t["user_id"].to_numpy()
         codes, keys = pd.factorize(et)
-        h = md5_token_hash64([str(int(u)) for u in uid])
+        # hash distinct users only (O(distinct) Python md5 calls per batch)
+        u_vals, inv = np.unique(uid, return_inverse=True)
+        h = md5_token_hash64([str(int(x)) for x in u_vals])[inv]
         g, reg, rho = hll_partials(codes, len(keys), h)
         return pa.table({
             "event_type": pa.array(np.asarray(keys, dtype=object)[g],
@@ -4433,11 +4435,14 @@ def q_cms_heavy_hitters(sf_dir: str):
             return pa.table({"r": pa.array([], pa.int64()),
                              "col": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
-        h = md5_token_hash64(toks)
+        # hash distinct tokens only; scatter occurrence counts per cell
+        u, cnts = np.unique(np.asarray(toks, dtype=object),
+                            return_counts=True)
+        h = md5_token_hash64(list(u))
         acc = np.zeros(D * W, np.int64)
         for r in range(D):
             col = ((h // np.uint64(W ** r)) % np.uint64(W)).astype(np.int64)
-            np.add.at(acc, r * W + col, 1)
+            np.add.at(acc, r * W + col, cnts)
         nz = np.flatnonzero(acc)
         return pa.table({"r": pa.array(nz // W, pa.int64()),
                          "col": pa.array(nz % W, pa.int64()),

@@ -64,8 +64,10 @@ def _fused_worker(reps: int) -> int:
         for s, e in zip(starts, ends):
             tu, ll, lo = ts[s:e], lat[s:e], lon[s:e]
             disp, td, _v, codes = stream_velocity_features(ll, lo, tu)
+            # int cid codes, matching the shipped fused kernel (r4)
             cid, _h, _w, _c = label_core(ll, lo, tu, codes == 1,
-                                         build_clusters=False)
+                                         build_clusters=False,
+                                         return_codes=True)
             dcodes, dates = pd.factorize(tu // np.int64(86_400_000_000), sort=True)
             dd = np.asarray(dates * 86_400_000_000).astype("datetime64[us]") \
                 .astype("datetime64[D]")
