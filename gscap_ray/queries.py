@@ -4110,6 +4110,50 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal with a REAL audio decode: one deterministic PCM16 WAV
+    clip per document (encoded to RIFF bytes inside the pipeline), decoded
+    by the AudioFeaturizer actor pool (pure-struct RIFF chunk walk,
+    functions/audio.py) into integer clip features — oracle-checked
+    (samples are integer arithmetic on (doc_id, i), so SQL recomputes
+    every feature exactly). Closes the 'audio decode is stubbed' gap the
+    same way image_features/PPM closed it for images; only compressed
+    codecs stay environment-gated."""
+    from .functions.audio import encode_wav, synth_samples
+    from .stages.multimodal import AudioFeaturizer
+
+    def attach_clip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        clips = [encode_wav(synth_samples(int(i))) for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "audio": pa.array(clips, pa.binary())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(attach_clip, batch_format="pyarrow")
+            .map_batches(AudioFeaturizer, batch_format="pyarrow",
+                         batch_size=256, concurrency=2))
+
+
+SQL_AUDIO_FEATURES = """
+WITH s AS (SELECT d.doc_id, t.i,
+                  ((d.doc_id * 7919 + t.i * t.i * 31 + t.i * 57) % 65536)
+                  - 32768 AS v
+           FROM documents d, range(2048) t(i)),
+z AS (SELECT doc_id, v,
+             CASE WHEN lag(v) OVER w IS NULL THEN 0
+                  WHEN (v < 0) != (lag(v) OVER w < 0) THEN 1
+                  ELSE 0 END AS zc
+      FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+SELECT doc_id,
+       count(*) AS n_samples,
+       CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       max(abs(v)) AS peak,
+       CAST(sum(zc) AS BIGINT) AS zero_crossings
+FROM z GROUP BY doc_id
+"""
+
+
 def q_pages_entries(sf_dir: str):
     """Flagship sessionization (C6) over the pages world — entries table
     with midnight merge, per-day pos counters, median centroids and
@@ -4753,6 +4797,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "triangle_count": q_triangle_count,
+    "audio_features": q_audio_features,
 }
 
 ORACLE_SQL = {
@@ -4803,6 +4848,7 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "audio_features": SQL_AUDIO_FEATURES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,

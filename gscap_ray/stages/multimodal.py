@@ -111,6 +111,38 @@ class ImageFeaturizer:
                 .append_column("px_max", pa.array(cols["px_max"], pa.int64())))
 
 
+class AudioFeaturizer:
+    """Actor-pool stage with a REAL decode path: binary WAV payloads ->
+    RIFF chunk walk (pure numpy/struct, functions/audio.py) -> integer
+    clip features. No stub: PCM16 WAV needs no codec. Compressed audio
+    (MP3/OGG/FLAC) would slot into the same signature behind the existing
+    NotImplementedError gate."""
+
+    def __init__(self, payload_col: str = "audio", drop_payload: bool = True):
+        from ..functions import audio
+
+        self.payload_col = payload_col
+        self.drop_payload = drop_payload
+        self._audio = audio  # module bound once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        cols: dict[str, list] = {"n_samples": [], "duration_ms": [],
+                                 "energy": [], "peak": [],
+                                 "zero_crossings": []}
+        for p in payloads:
+            samples, sr = self._audio.decode_wav(p)
+            st = self._audio.clip_features(samples, sr)
+            for k in cols:
+                cols[k].append(st[k])
+        out = batch.drop_columns([self.payload_col]) if self.drop_payload \
+            else batch
+        for k in ("n_samples", "duration_ms", "energy", "peak",
+                  "zero_crossings"):
+            out = out.append_column(k, pa.array(cols[k], pa.int64()))
+        return out
+
+
 class FrameSampler:
     """Actor-pool stage: 'video' payload -> k deterministic frame offsets +
     per-frame feature rows (flat_map-style row expansion inside

@@ -26,7 +26,7 @@ SUBSET = [
     "vocab_topk", "stratified_sample", "ngram_jaccard",
     "pack_sequences", "decontaminate", "tfidf_topterms",
     "hll_distinct", "range_join", "pagerank",
-    "cms_heavy_hitters", "triangle_count",
+    "cms_heavy_hitters", "triangle_count", "audio_features",
 ]
 
 
