@@ -4154,6 +4154,58 @@ FROM z GROUP BY doc_id
 """
 
 
+def q_video_frames(sf_dir: str):
+    """Multimodal with a REAL video decode + frame sampling: one
+    deterministic Y4M (YUV4MPEG2, Cmono) clip per document — encoded to
+    container bytes inside the pipeline — decoded by the VideoFeaturizer
+    actor pool (pure-numpy stream-header + plane walk, functions/video.py),
+    sampled every 3rd frame, and expanded to one integer feature ROW per
+    sampled frame (luma sum/min/max + motion vs the previous sampled
+    frame). Luma is integer arithmetic on (doc_id, frame, pixel), so SQL
+    recomputes every feature exactly. Completes the multimodal triad of
+    real uncompressed codecs (PPM images / PCM16 WAV audio / Y4M video);
+    only compressed codecs stay environment-gated."""
+    from .functions.video import encode_y4m, synth_frames
+    from .stages.multimodal import VideoFeaturizer
+
+    def attach_clip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        clips = [encode_y4m(synth_frames(int(i))) for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "video": pa.array(clips, pa.binary())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(attach_clip, batch_format="pyarrow")
+            .map_batches(VideoFeaturizer, batch_format="pyarrow",
+                         batch_size=128, concurrency=2))
+
+
+SQL_VIDEO_FRAMES = """
+WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS nf FROM documents),
+f AS (SELECT doc_id, nf, t.i AS frame FROM d, range(12) t(i)
+      WHERE t.i < nf AND t.i % 3 = 0),
+px AS (SELECT doc_id, frame, p.j AS p,
+              (doc_id * 131 + frame * 101 + p.j * 7 + 23) % 256 AS y
+       FROM f, range(192) p(j)),
+pf AS (SELECT doc_id, frame,
+              CAST(sum(y) AS BIGINT) AS luma_sum,
+              CAST(min(y) AS BIGINT) AS luma_min,
+              CAST(max(y) AS BIGINT) AS luma_max
+       FROM px GROUP BY doc_id, frame),
+mo AS (SELECT a.doc_id, a.frame,
+              CAST(sum(abs(a.y - b.y)) AS BIGINT) AS motion
+       FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.p = b.p
+                          AND b.frame = a.frame - 3
+       GROUP BY a.doc_id, a.frame)
+SELECT pf.doc_id, pf.frame, CAST(d.nf AS BIGINT) AS n_frames,
+       pf.luma_sum, pf.luma_min, pf.luma_max,
+       CAST(coalesce(mo.motion, 0) AS BIGINT) AS motion
+FROM pf
+JOIN d USING (doc_id)
+LEFT JOIN mo ON pf.doc_id = mo.doc_id AND pf.frame = mo.frame
+"""
+
+
 def q_pages_entries(sf_dir: str):
     """Flagship sessionization (C6) over the pages world — entries table
     with midnight merge, per-day pos counters, median centroids and
@@ -4798,6 +4850,7 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "triangle_count": q_triangle_count,
     "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
 }
 
 ORACLE_SQL = {
@@ -4849,6 +4902,7 @@ ORACLE_SQL = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "audio_features": SQL_AUDIO_FEATURES,
+    "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
