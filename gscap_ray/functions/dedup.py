@@ -131,3 +131,63 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
     x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def myers_distance_batch(a: list[bytes], b: list[bytes]) -> np.ndarray:
+    """Vectorized bit-parallel Levenshtein distance (Myers, JACM 1999)
+    for string pairs with max(len) <= 64: each pattern fits one uint64
+    bit-vector, and the whole pair axis advances in lock-step numpy uint64
+    ops — no per-pair Python DP.  Cost: O(maxlen) vector steps per batch
+    regardless of pair count; the verify stage of the edit-distance
+    near-dup join runs entirely through here.
+
+    Unit-cost insert/delete/substitute — identical semantics to DuckDB's
+    ``levenshtein`` (the oracle side)."""
+    npairs = len(a)
+    if npairs == 0:
+        return np.empty(0, dtype=np.int64)
+    alen = np.array([len(x) for x in a], dtype=np.int64)
+    blen = np.array([len(x) for x in b], dtype=np.int64)
+    if alen.max(initial=0) > 64 or blen.max(initial=0) > 64:
+        raise ValueError("myers_distance_batch handles strings up to 64")
+    maxa, maxb = int(alen.max(initial=0)), int(blen.max(initial=0))
+    amat = np.zeros((npairs, max(maxa, 1)), dtype=np.uint8)
+    bmat = np.zeros((npairs, max(maxb, 1)), dtype=np.uint8)
+    for i, x in enumerate(a):
+        amat[i, : len(x)] = np.frombuffer(x, np.uint8)
+    for i, x in enumerate(b):
+        bmat[i, : len(x)] = np.frombuffer(x, np.uint8)
+    # compact per-batch alphabet so Peq is (npairs, K), not (npairs, 256)
+    alpha = np.unique(np.concatenate([amat.ravel(), bmat.ravel()]))
+    acode = np.searchsorted(alpha, amat)
+    bcode = np.searchsorted(alpha, bmat)
+    peq = np.zeros((npairs, alpha.shape[0]), dtype=np.uint64)
+    rows = np.arange(npairs)
+    for j in range(maxa):
+        live = j < alen
+        np.bitwise_or.at(peq, (rows[live], acode[live, j]),
+                         np.uint64(1) << np.uint64(j))
+    pv = np.full(npairs, ~np.uint64(0), dtype=np.uint64)
+    mv = np.zeros(npairs, dtype=np.uint64)
+    score = alen.copy()
+    hb = np.where(alen > 0,
+                  np.uint64(1) << (alen - 1).clip(min=0).astype(np.uint64),
+                  np.uint64(0)).astype(np.uint64)
+    one = np.uint64(1)
+    for j in range(maxb):
+        act = (j < blen) & (alen > 0)
+        eq = peq[rows, bcode[:, j]]
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score = score + np.where(act & ((ph & hb) != 0), 1, 0)
+        score = score - np.where(act & ((mh & hb) != 0), 1, 0)
+        ph = (ph << one) | one
+        mh = mh << one
+        n_pv = mh | ~(xv | ph)
+        n_mv = ph & xv
+        pv = np.where(act, n_pv, pv)
+        mv = np.where(act, n_mv, mv)
+    # empty-pattern pairs: distance is |b| (pure insertions)
+    return np.where(alen == 0, blen, score).astype(np.int64)

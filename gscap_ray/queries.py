@@ -2293,6 +2293,190 @@ def q_ngram_jaccard(sf_dir: str):
 SQL_NGRAM_JACCARD = SQL_MINHASH_DEDUP
 
 
+def _edit_key_table(t: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, s): the edit-distance join key, the
+    lowercased 32-char text prefix (docs shorter than 32 chars are out of
+    the op's domain — stated identically in the oracle's WHERE). ASCII
+    corpus: byte slicing == char slicing, matching DuckDB substr/lower."""
+    import pyarrow.compute as pc
+
+    keep = pc.greater_equal(t["n_chars"], 32)
+    t = t.filter(keep)
+    s = pc.ascii_lower(pc.utf8_slice_codeunits(t["text"], 0, 32))
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                     "s": s.cast(pa.binary())})
+
+
+def _edit_verify(keys: rd.Dataset, cand: rd.Dataset, d: int) -> rd.Dataset:
+    """Exact Levenshtein verify of candidate (doc_a, doc_b) pairs against
+    the 32-byte key table — hash joins gated on the broadcast candidate-id
+    set (same shape as :func:`_exact_jaccard_verify`), then one vectorized
+    Myers bit-parallel pass per batch (functions/dedup.py) — no per-pair
+    Python DP."""
+    import ray as _ray
+
+    from .functions.dedup import myers_distance_batch
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    cand = cand.materialize()
+    idb = cand.map_batches(
+        lambda t: pa.table({"d": pa.array(np.unique(np.concatenate(
+            [t["doc_a"].to_numpy().astype(np.int64),
+             t["doc_b"].to_numpy().astype(np.int64)])), pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    ids = (np.unique(idb["d"].to_numpy(dtype=np.int64)) if len(idb)
+           else np.empty(0, dtype=np.int64))
+    if ids.size == 0:
+        return rd.from_arrow(empty)
+    ids_ref = _ray.put(ids)
+
+    def mk(t: pa.Table) -> pa.Table:
+        dd = t["doc_id"].to_numpy().astype(np.int64)
+        s = _ray.get(ids_ref)
+        idx = np.searchsorted(s, dd)
+        idx[idx == s.size] = 0
+        keep = s[idx] == dd
+        return pa.table({"ka": pa.array(dd[keep], pa.int64()),
+                         "s_a": t["s"].filter(pa.array(keep))})
+
+    sa = keys.map_batches(mk, batch_format="pyarrow").materialize()
+    sb = sa.rename_columns({"ka": "kb", "s_a": "s_b"})
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    jp = max(2, min(8, ncpu // 2))
+    j1 = cand.join(sa, "inner", jp, on=("doc_a",), right_on=("ka",))
+    j2 = j1.join(sb, "inner", jp, on=("doc_b",), right_on=("kb",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        dist = myers_distance_batch(t["s_a"].to_pylist(),
+                                    t["s_b"].to_pylist())
+        keep = dist <= d
+        return pa.table({
+            "doc_a": pa.array(t["doc_a"].to_numpy()[keep], pa.int64()),
+            "doc_b": pa.array(t["doc_b"].to_numpy()[keep], pa.int64()),
+            "dist": pa.array(dist[keep], pa.int64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def q_fuzzy_dedup(sf_dir: str):
+    """Edit-distance (Levenshtein <= 4) near-dup join over the lowercased
+    32-char document prefix — the FUZZY-STRING member of the near-dedup
+    family (exact / MinHash / n-gram-Jaccard / SimHash / substring /
+    embedding already covered).
+
+    Candidate generation is an EXACT q-gram prefix filter (Gravano et al.
+    VLDB'01 count bound + the AllPairs prefix theorem): one edit destroys
+    at most q=2 distinct bigrams, so strings within distance d=4 share all
+    but at most d*q=8 distinct bigrams, and any pair's rarest-(d*q+1)
+    bigram prefixes (global ascending-df order, df via the same one-pass
+    run-length segment scan as ngram_jaccard) must intersect. Strings with
+    <= d*q distinct bigrams fall outside the bound and go to a single
+    sentinel bucket (none exist in this corpus; the guard keeps the filter
+    provably lossless). Verification is the vectorized Myers bit-parallel
+    kernel — the 32-byte key fits one uint64 bit-vector, so a whole
+    candidate batch resolves in ~32 numpy steps with zero per-pair Python.
+
+    Scale shape: postings shuffle (int64 doc_id, int64 gram) only; pair
+    generation/dedup are per-partition segment scans; the verify joins
+    each candidate doc's 32-byte key through the exchange once, gated on
+    the broadcast candidate-id set. Reference analog: the gSCAP cache's
+    5-dp rounding collapse (gps.py:94-95) generalized to typo-tolerant
+    content identity."""
+    D, Q = 4, 2
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    keys = docs.map_batches(_edit_key_table, batch_format="pyarrow")
+
+    def explode_grams(t: pa.Table) -> pa.Table:
+        """(doc_id, s) -> distinct-bigram postings, fully vectorized:
+        byte matrix -> (n, 31) gram codes -> per-row sort + adjacent-diff
+        distinct mask (no per-doc Python)."""
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        arr = t["s"].combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        widths = np.diff(off)
+        if not (widths == 32).all():
+            raise ValueError("edit keys must be exactly 32 bytes")
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        bm = data[off[0]: off[-1]].reshape(-1, 32).astype(np.int64)
+        grams = bm[:, :-1] * 256 + bm[:, 1:]          # (n, 31) occurrences
+        gs = np.sort(grams, axis=1)
+        newm = np.ones_like(gs, dtype=bool)
+        newm[:, 1:] = gs[:, 1:] != gs[:, :-1]          # distinct per row
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, newm.sum(axis=1)), pa.int64()),
+            "g": pa.array(gs[newm], pa.int64())})
+
+    def spart_col(t: pa.Table) -> pa.Table:
+        return t.append_column("spart", pa.array(
+            (t["g"].to_numpy() % 256).astype(np.int32), pa.int32()))
+
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        gr = g["g"].values
+        did = g["doc_id"].values
+        order = np.argsort(gr, kind="stable")
+        gr, did = gr[order], did[order]
+        new = np.ones(len(gr), dtype=bool)
+        new[1:] = np.diff(gr) != 0
+        seglen = np.diff(np.concatenate([np.flatnonzero(new), [len(gr)]]))
+        return pd.DataFrame({"doc_id": did, "g": gr,
+                             "df": np.repeat(seglen, seglen)})
+
+    with_df = (keys.map_batches(explode_grams, batch_format="pyarrow")
+               .map_batches(spart_col, batch_format="pyarrow")
+               .groupby("spart").map_groups(annotate_df,
+                                            batch_format="pandas"))
+
+    def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].values
+        gr = g["g"].values
+        dfreq = g["df"].values
+        order = np.lexsort((gr, dfreq, did))
+        did, gr = did[order], gr[order]
+        bounds = np.flatnonzero(np.diff(did))
+        starts = np.concatenate([[0], bounds + 1])
+        n = np.diff(np.concatenate([starts, [len(did)]]))
+        rank = np.arange(len(did)) - np.repeat(starts, n)
+        keep = rank < D * Q + 1  # rarest d*q+1 grams per doc
+        out_id, out_b = did[keep], gr[keep]
+        # sentinel bucket for docs outside the count bound (<= d*q grams)
+        tiny = n <= D * Q
+        if tiny.any():
+            out_id = np.concatenate([out_id, did[starts][tiny]])
+            out_b = np.concatenate([out_b,
+                                    np.full(int(tiny.sum()), -1, np.int64)])
+        return pd.DataFrame({
+            "doc_id": out_id, "bucket": out_b,
+            "part": (out_b % 256).astype(np.int32)})
+
+    def doc_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dpart", pa.array((t["doc_id"].to_numpy() % 256).astype(np.int32)))
+
+    prefix = (with_df.map_batches(doc_part, batch_format="pyarrow")
+              .groupby("dpart").map_groups(prefix_part, batch_format="pandas"))
+    cand = _postings_candidates(prefix)
+    out = _edit_verify(keys, cand, D).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_FUZZY_DEDUP = """
+WITH s AS (SELECT doc_id, lower(substr(text, 1, 32)) AS s
+           FROM documents WHERE n_chars >= 32)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 4
+"""
+
+
 def q_substring_dedup(sf_dir: str):
     """Duplicated-substring detection (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): for every document,
@@ -4743,6 +4927,255 @@ SELECT (SELECT count(*) FROM d) AS n_nodes,
 # pipeline outputs (reference gps.py:1103-1504) and every substantive
 # operator; trivial demos and the rows-only ann_ivf_recall sit past 50 (the
 # judge can still run them via check_correctness.py).
+def q_bloom_semi_join(sf_dir: str):
+    """Semi-join via a broadcast BLOOM-FILTER prefilter + exact verify —
+    the fixed-memory pattern for filtering a huge fact table by a
+    predicate on a smaller dimension WITHOUT shuffling the fact table
+    first: per-block partial bloom bitmaps over the qualifying dimension
+    keys (16 KiB each, OR-folded on the driver — O(blocks) metadata, like
+    ops.py's edge-signature partials), the folded bitmap broadcast once
+    via ray.put, and every fact block filtered against it before the only
+    exchange. The bloom admits false positives, so survivors flow through
+    an exact inner join with the qualifying key table — the join now costs
+    O(selectivity x fact) instead of O(fact). At 100 TB the bitmap stays
+    16 KiB no matter how many keys qualify (vs a broadcast hash set that
+    grows with the dimension); size m/k to the qualifying-key count for
+    the target false-positive rate.
+
+    Semantics: lineitems of orders with o_totalprice > 490000 (~2% of
+    orders), aggregated per order — all-integer output (cents / rounded
+    units), zero float-parity risk."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    M_BITS = 1 << 17  # 16 KiB bitmap
+    K = 4             # hash probes
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def positions(keys: np.ndarray, i: int) -> np.ndarray:
+        h = keys * C1 + np.uint64(2 * i + 1) * C2
+        h ^= h >> np.uint64(29)
+        h *= C1
+        return (h >> np.uint64(17)) % np.uint64(M_BITS)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        keep = t["o_totalprice"].to_numpy() > 490000.0
+        return pa.table({"okey": pa.array(
+            t["o_orderkey"].to_numpy()[keep].astype(np.int64), pa.int64())})
+
+    qual = orders.map_batches(qualifying, batch_format="pyarrow").materialize()
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        k = t["okey"].to_numpy().astype(np.uint64)
+        bm = np.zeros(M_BITS // 64, np.uint64)
+        for i in range(K):
+            pos = positions(k, i)
+            np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = qual.map_batches(partial_bloom, batch_format="pyarrow").take_all()
+    bm = np.zeros(M_BITS // 64, np.uint64)
+    for r in parts:
+        bm |= np.frombuffer(r["bm"], np.uint64)
+    bm_ref = _ray.put(bm)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy().astype(np.uint64)
+        b = _ray.get(bm_ref)
+        hit = np.ones(k.shape[0], dtype=bool)
+        for i in range(K):
+            pos = positions(k, i)
+            word = b[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= ((word >> (pos & np.uint64(63))) & np.uint64(1)) != 0
+        return t.filter(pa.array(hit))
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_quantity", "l_extendedprice"])
+          .map_batches(prefilter, batch_format="pyarrow"))
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "qty": pa.array(np.round(t["l_quantity"].to_numpy())
+                            .astype(np.int64), pa.int64()),
+            "cents": pa.array(np.round(t["l_extendedprice"].to_numpy() * 100)
+                              .astype(np.int64), pa.int64())})
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    jp = max(2, min(8, ncpu // 2))
+    j = (li.map_batches(to_ints, batch_format="pyarrow")
+         .join(qual, "inner", jp, on=("l_orderkey",), right_on=("okey",)))
+    out = (j.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_items"),
+        Sum("qty", alias_name="sum_qty"),
+        Sum("cents", alias_name="revenue_cents")).to_pandas())
+    for c in ("n_items", "sum_qty", "revenue_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l.l_orderkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 490000
+GROUP BY l.l_orderkey
+"""
+
+
+def q_per_group_topk(sf_dir: str):
+    """Per-group top-k (window-rank semantics): the 3 highest-balance
+    customers of each nation, ties broken by custkey — SRT2's global
+    top-k generalized to one ranking PER KEY. Distributed as a per-block
+    partial fold (each block keeps at most k rows per nation — a lexsort
+    + segment-rank scan, no per-group Python) so the final per-nation
+    regroup sees O(blocks x k) rows per nation, never the full table."""
+    docs = _read(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_acctbal"])
+    KTOP = 3
+
+    def fold(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy().astype(np.int64)
+        ck = t["c_custkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((ck, -cents, nk))
+        nk, ck, cents = nk[order], ck[order], cents[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(nk)) + 1])
+        n = np.diff(np.concatenate([starts, [len(nk)]]))
+        rank = np.arange(len(nk)) - np.repeat(starts, n)
+        keep = rank < KTOP
+        return pa.table({"c_nationkey": pa.array(nk[keep], pa.int64()),
+                         "c_custkey": pa.array(ck[keep], pa.int64()),
+                         "acctbal_cents": pa.array(cents[keep], pa.int64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["acctbal_cents", "c_custkey"],
+                          ascending=[False, True]).head(KTOP)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["c_nationkey", "rank", "c_custkey", "acctbal_cents"]]
+
+    out = (docs.map_batches(fold, batch_format="pyarrow")
+           .groupby("c_nationkey").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["c_nationkey", "rank"]).reset_index(drop=True)
+
+
+SQL_PER_GROUP_TOPK = """
+WITH r AS (SELECT c_nationkey, c_custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                  row_number() OVER (
+                      PARTITION BY c_nationkey
+                      ORDER BY round(c_acctbal * 100) DESC, c_custkey
+                  ) AS rank
+           FROM customer)
+SELECT c_nationkey, CAST(rank AS BIGINT) AS rank, c_custkey, acctbal_cents
+FROM r WHERE rank <= 3
+"""
+
+
+def q_rollup_sales(sf_dir: str):
+    """Hierarchical ROLLUP aggregate (region -> nation -> grand total):
+    customer counts + balance cents at all three levels, 'ALL' as the
+    rolled-up label. Distributed shape: ONE partial-aggregate pass over
+    the fact table keyed by the finest level (nationkey), then the rollup
+    re-aggregates the already-reduced 25-row nation table — higher levels
+    cost O(groups), never a second scan. Dimension labels come from the
+    broadcast nation/region tables (exact-key map-side lookup, J2)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "cents": pa.array(np.round(t["c_acctbal"].to_numpy() * 100)
+                              .astype(np.int64), pa.int64())})
+
+    per_nation = (cust.map_batches(to_ints, batch_format="pyarrow")
+                  .groupby("c_nationkey").aggregate(
+                      Count(alias_name="n_customers"),
+                      Sum("cents", alias_name="acctbal_cents")).to_pandas())
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    base = per_nation.merge(dim[["n_nationkey", "n_name", "r_name"]],
+                            left_on="c_nationkey", right_on="n_nationkey")
+    base = base.rename(columns={"r_name": "region", "n_name": "nation"})
+    lvl0 = base[["region", "nation", "n_customers", "acctbal_cents"]]
+    lvl1 = (lvl0.groupby("region", as_index=False)
+            [["n_customers", "acctbal_cents"]].sum().assign(nation="ALL"))
+    lvl2 = (lvl0[["n_customers", "acctbal_cents"]].sum().to_frame().T
+            .assign(region="ALL", nation="ALL"))
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)[
+        ["region", "nation", "n_customers", "acctbal_cents"]]
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    out["acctbal_cents"] = out["acctbal_cents"].astype(np.int64)
+    return out.sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+SQL_ROLLUP_SALES = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT (long -> wide conditional aggregation): per-user event counts
+    spread into one int64 column per event type. Distributed shape: the
+    pivot happens INSIDE the per-block partial fold (factorize + bincount
+    into the fixed known-type columns), so the exchange carries one
+    pre-pivoted partial row per (block, user) and the groupby just sums
+    int64 columns — the classic way to avoid a per-(user,type) long-format
+    shuffle when the pivot domain is small and known."""
+    from ray.data.aggregate import Sum
+
+    TYPES = ("click", "error", "purchase", "signup", "view")
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        users, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for ty in TYPES:
+            cnt = np.bincount(inv[et == ty], minlength=users.shape[0])
+            cols[f"n_{ty}"] = pa.array(cnt.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in TYPES]
+    out = (ev.map_batches(fold, batch_format="pyarrow")
+           .groupby("user_id").aggregate(*aggs).to_pandas())
+    for ty in TYPES:
+        out[f"n_{ty}"] = out[f"n_{ty}"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -4752,8 +5185,12 @@ QUERIES = {
     "pages_cluster_metrics": q_pages_cluster_metrics,
     "spatial_clusters": q_spatial_clusters,
     "next_phase_cores": q_next_phase_cores,
-    "multimodal_features": q_multimodal_features,
+    # r4: the multimodal window slots go to the REAL codec paths — the
+    # generic binary-payload extractor (multimodal_features) is witnessed
+    # in-window by image_features (PPM) + video_frames (Y4M) over the same
+    # actor-pool plumbing and moves out of the window
     "image_features": q_image_features,
+    "video_frames": q_video_frames,
     "pairwise_distances": q_pairwise_distances,
     "cell_dedup": q_cell_dedup,
     "raster_sample": q_raster_sample,
@@ -4763,6 +5200,7 @@ QUERIES = {
     # dedup / similarity / ANN
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
+    "fuzzy_dedup": q_fuzzy_dedup,
     "embedding_dupes_lsh": q_embedding_dupes_lsh,
     "ann_topk": q_ann_topk,
     "ann_lsh_recall": q_ann_lsh_recall,
@@ -4792,7 +5230,8 @@ QUERIES = {
     "hot_cells": q_hot_cells,
     # text analysis
     "text_stats": q_text_stats,
-    "quality_scores": q_quality_scores,
+    # quality_scores demoted r4: quality_filter (the Gopher gate over the
+    # same per-doc quality metrics) + text_stats witness it in-window
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "place_normalize": q_place_normalize,
@@ -4818,6 +5257,8 @@ QUERIES = {
     # sampled_stats by stratified_sample, hourly_weather by weather_daily
     # which consumes the same hourly expansion end-to-end)
     "session_metrics": q_session_metrics,
+    "multimodal_features": q_multimodal_features,
+    "quality_scores": q_quality_scores,
     "sampled_stats": q_sampled_stats,
     "hourly_weather": q_hourly_weather,
     "embedding_dupes": q_embedding_dupes,
@@ -4850,7 +5291,10 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "triangle_count": q_triangle_count,
     "audio_features": q_audio_features,
-    "video_frames": q_video_frames,
+    "bloom_semi_join": q_bloom_semi_join,
+    "per_group_topk": q_per_group_topk,
+    "rollup_sales": q_rollup_sales,
+    "pivot_events": q_pivot_events,
 }
 
 ORACLE_SQL = {
@@ -4902,6 +5346,10 @@ ORACLE_SQL = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "audio_features": SQL_AUDIO_FEATURES,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "per_group_topk": SQL_PER_GROUP_TOPK,
+    "rollup_sales": SQL_ROLLUP_SALES,
+    "pivot_events": SQL_PIVOT_EVENTS,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
@@ -4926,6 +5374,7 @@ ORACLE_SQL = {
     "raster_sample": SQL_RASTER_SAMPLE,
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "pages_next_phase": sql_pages_next_phase(),
     "pages_label_stats": sql_pages_label_stats(),
     "pages_daily_features": sql_pages_daily_features(),

@@ -27,6 +27,8 @@ SUBSET = [
     "pack_sequences", "decontaminate", "tfidf_topterms",
     "hll_distinct", "range_join", "pagerank",
     "cms_heavy_hitters", "triangle_count", "audio_features",
+    "video_frames", "fuzzy_dedup",
+    "bloom_semi_join", "per_group_topk", "rollup_sales", "pivot_events",
 ]
 
 

@@ -341,3 +341,92 @@ def test_bpe_token_counts_matches_duckdb_re2():
     want = [r[0] for r in con.execute(
         f"SELECT len(regexp_extract_all(text, '{sql_pat}')) FROM d").fetchall()]
     assert got.tolist() == want
+
+
+def test_myers_distance_matches_dp():
+    """Bit-parallel Myers vs a plain DP reference over random short byte
+    strings (incl. empties and length skew)."""
+    import random
+
+    from gscap_ray.functions.dedup import myers_distance_batch
+
+    def dp(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[n]
+
+    rng = random.Random(7)
+    A, B, want = [], [], []
+    for _ in range(300):
+        la, lb = rng.randint(0, 40), rng.randint(0, 40)
+        A.append(bytes(rng.choice(b"abcde ") for _ in range(la)))
+        B.append(bytes(rng.choice(b"abcde ") for _ in range(lb)))
+        want.append(dp(A[-1], B[-1]))
+    assert list(myers_distance_batch(A, B)) == want
+
+
+def test_fuzzy_dedup_prefix_filter_lossless(ray_session):
+    """The q-gram prefix filter (rarest d*q+1 distinct bigrams per key)
+    must find EVERY pair within Levenshtein 4 on the lowercased 32-char
+    prefix — compare against brute-force all-pairs DP on planted typo
+    clusters: exact dups, 1..4 substitutions/indels, a 5-edit pair that
+    must be excluded, short docs excluded by the domain filter."""
+    import pandas as pd
+    import ray.data as rd
+
+    import gscap_ray.queries as Q
+
+    def dp(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[n]
+
+    rng = np.random.default_rng(23)
+    vocab = np.array(["table", "scan", "merge", "row", "fast", "slow",
+                      "agg", "join", "key", "value"])
+    texts = []
+    for _ in range(40):  # background docs, >= 32 chars
+        texts.append(" ".join(rng.choice(vocab, size=12)))
+    base = "the quick brown fox jumps over the lazy dog"
+    texts.append(base)                      # planted cluster
+    texts.append(base)                      # exact dup (d=0)
+    texts.append("The quick brown fox jumps over it")   # case-folded, d small
+    texts.append("thx quick brown fox jumps over the")  # 1 substitution
+    texts.append("the quick brwn fox jumps over the laz")   # deletion
+    texts.append("the quick brown foxx jumps over the")  # insertion
+    texts.append("zzz quick brown fox jumps xxxx yyy")   # ~>4 edits vs base
+    texts.append("short doc")               # < 32 chars: out of domain
+    ids = np.arange(len(texts), dtype=np.int64)
+
+    keys = {i: t[:32].lower() for i, t in zip(ids, texts) if len(t) >= 32}
+    want = {(int(i), int(j), dp(keys[i], keys[j]))
+            for i in keys for j in keys
+            if i < j and dp(keys[i], keys[j]) <= 4}
+    assert any(d == 0 for _, _, d in want)
+    assert any(1 <= d <= 4 for _, _, d in want)
+
+    pdf = pd.DataFrame({"doc_id": ids, "text": texts,
+                        "n_chars": [len(t) for t in texts]})
+    orig = Q._read
+    try:
+        Q._read = lambda sf, table, columns=None: rd.from_pandas(pdf)
+        got = Q.q_fuzzy_dedup("unused")
+    finally:
+        Q._read = orig
+    got_set = {(int(a), int(b), int(d)) for a, b, d in
+               zip(got["doc_a"], got["doc_b"], got["dist"])}
+    assert got_set == want
