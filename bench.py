@@ -338,6 +338,14 @@ def run_bench() -> dict:
     timed("range_join", lambda: consume(Q.q_range_join(sf_dir)))
     timed("pagerank", lambda: Q.q_pagerank(sf_dir))
     timed("triangle_count", lambda: Q.q_triangle_count(sf_dir))
+    # round-4 late operators (fuzzy string dedup, real video codec path,
+    # bloom semi-join, window-rank/rollup/pivot family)
+    timed("fuzzy_dedup", lambda: Q.q_fuzzy_dedup(sf_dir))
+    timed("video_frames", lambda: consume(Q.q_video_frames(sf_dir)))
+    timed("bloom_semi_join", lambda: Q.q_bloom_semi_join(sf_dir))
+    timed("per_group_topk", lambda: Q.q_per_group_topk(sf_dir))
+    timed("rollup_sales", lambda: Q.q_rollup_sales(sf_dir))
+    timed("pivot_events", lambda: Q.q_pivot_events(sf_dir))
 
     def finish() -> dict:
         out = {

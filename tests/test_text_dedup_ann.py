@@ -373,9 +373,9 @@ def test_myers_distance_matches_dp():
 
 
 def test_fuzzy_dedup_prefix_filter_lossless(ray_session):
-    """The q-gram prefix filter (rarest d*q+1 distinct bigrams per key)
-    must find EVERY pair within Levenshtein 4 on the lowercased 32-char
-    prefix — compare against brute-force all-pairs DP on planted typo
+    """The PassJoin pigeonhole segment filter (5 fixed segments, +/-d
+    probe window) must find EVERY pair within Levenshtein 4 on the
+    lowercased 32-char prefix — compare against brute-force all-pairs DP on planted typo
     clusters: exact dups, 1..4 substitutions/indels, a 5-edit pair that
     must be excluded, short docs excluded by the domain filter."""
     import pandas as pd
