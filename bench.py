@@ -346,6 +346,11 @@ def run_bench() -> dict:
     timed("per_group_topk", lambda: Q.q_per_group_topk(sf_dir))
     timed("rollup_sales", lambda: Q.q_rollup_sales(sf_dir))
     timed("pivot_events", lambda: Q.q_pivot_events(sf_dir))
+    timed("local_revenue", lambda: Q.q_local_revenue(sf_dir))
+    timed("running_total", lambda: consume(Q.q_running_total(sf_dir)))
+    timed("funnel_counts", lambda: Q.q_funnel_counts(sf_dir))
+    timed("histogram_quantiles",
+          lambda: consume(Q.q_histogram_quantiles(sf_dir)))
 
     def finish() -> dict:
         out = {

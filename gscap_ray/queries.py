@@ -3868,6 +3868,8 @@ def _emb_aug_for(sf_dir: str) -> str:
     out = f"/tmp/gscap_emb_aug_{tag}.parquet"
     marker = out + ".done"
     src = f"{sf_dir}/embeddings.parquet"
+    # bump the version token whenever the planting formula changes (same
+    # stale-dump hazard ADVICE r3 #2 flagged for the labeled dump)
     stamp = "v1 " + src
     if os.path.exists(marker) and os.path.exists(out):
         with open(marker) as f:
@@ -5199,6 +5201,246 @@ FROM events GROUP BY user_id
 """
 
 
+def q_local_revenue(sf_dir: str):
+    """TPC-H Q5-shaped multi-join aggregate: revenue by nation where the
+    ordering customer and the line's supplier sit in the SAME nation —
+    one big-big hash join (lineitem x orders on orderkey, the only
+    exchange that moves fact rows) plus three broadcast dimension lookups
+    (customer->nation, supplier->nation, nation->name) applied inside
+    map_batches via sorted-key searchsorted probes. Revenue is integer
+    micro-units (cents x (100 - discount%)), so the sum is exact and
+    order-independent. At TPC-H scale customer is the largest broadcast
+    (~0.15M keys/SF = ~2.4 MB as two int64 arrays per 1 SF) — broadcast
+    once via ray.put, NOT re-shipped per batch; if customer outgrew the
+    heap the o_custkey probe becomes a third hash join with the same
+    downstream."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ck = np.argsort(cust["c_custkey"].values)
+    c_keys = _ray.put(cust["c_custkey"].values[ck].astype(np.int64))
+    c_nat = _ray.put(cust["c_nationkey"].values[ck].astype(np.int64))
+    sk = np.argsort(supp["s_suppkey"].values)
+    s_keys = _ray.put(supp["s_suppkey"].values[sk].astype(np.int64))
+    s_nat = _ray.put(supp["s_nationkey"].values[sk].astype(np.int64))
+
+    def li_ints(t: pa.Table) -> pa.Table:
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        pct = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        snat = _ray.get(s_nat)[np.searchsorted(
+            _ray.get(s_keys), t["l_suppkey"].to_numpy().astype(np.int64))]
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "rev_micros": pa.array(cents * (100 - pct), pa.int64()),
+            "supp_nat": pa.array(snat, pa.int64())})
+
+    def ord_ints(t: pa.Table) -> pa.Table:
+        cnat = _ray.get(c_nat)[np.searchsorted(
+            _ray.get(c_keys), t["o_custkey"].to_numpy().astype(np.int64))]
+        return pa.table({"okey": t["o_orderkey"].cast(pa.int64()),
+                         "cust_nat": pa.array(cnat, pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+          .map_batches(li_ints, batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+              .map_batches(ord_ints, batch_format="pyarrow"))
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    jp = max(2, min(8, ncpu // 2))
+    j = li.join(orders, "inner", jp, on=("l_orderkey",), right_on=("okey",))
+
+    def local_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["supp_nat"], t["cust_nat"])
+        return t.filter(keep).select(["cust_nat", "rev_micros"])
+
+    agg = (j.map_batches(local_only, batch_format="pyarrow")
+           .groupby("cust_nat").aggregate(
+               Sum("rev_micros", alias_name="revenue_micros"),
+               Count(alias_name="n_items")).to_pandas())
+    out = agg.merge(nat, left_on="cust_nat", right_on="n_nationkey")
+    out["revenue_micros"] = out["revenue_micros"].astype(np.int64)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return (out[["n_name", "revenue_micros", "n_items"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+SQL_LOCAL_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_micros,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_running_total(sf_dir: str):
+    """Per-key ordered window prefix sum (running total): each user's
+    cumulative value-cents over their event stream in (ts, event_id)
+    order. Distributed as the flagship's per-key pattern: hash-partition
+    by user, ONE in-partition lexsort + np.cumsum per group — the window
+    function never needs a global sort, only per-key locality (SRT1).
+    Integer cents keep the running sum exact under any partitioning."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].values,
+                            g["ts"].values.astype("datetime64[us]")))
+        eid = g["event_id"].values[order]
+        cents = np.round(g["value"].values[order] * 100).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": g["user_id"].values[order],
+            "event_id": eid,
+            "running_cents": np.cumsum(cents)})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_RUNNING_TOTAL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS running_cents
+FROM events
+"""
+
+
+def q_funnel_counts(sf_dir: str):
+    """Sequence-pattern (funnel) analytics: how many users have a
+    view -> click -> purchase SUBSEQUENCE in event order. Greedy
+    earliest-match per user (provably equivalent to subsequence
+    existence), computed as a per-key vectorized scan after the same
+    user-hash regroup every per-key op shares; the three stage counts
+    fold to one row. The oracle replays the same greedy chain with
+    windowed min-ranks."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].values,
+                            g["ts"].values.astype("datetime64[us]")))
+        et = g["event_type"].values[order]
+        iv = np.flatnonzero(et == "view")
+        stage = 0
+        if iv.size:
+            stage = 1
+            ic = np.flatnonzero(et == "click")
+            ic = ic[ic > iv[0]]
+            if ic.size:
+                stage = 2
+                ip = np.flatnonzero(et == "purchase")
+                if (ip > ic[0]).any():
+                    stage = 3
+        return pd.DataFrame({"stage": [stage]})
+
+    stages = (_read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                       "event_type"])
+              .groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+              .to_pandas())["stage"].values
+    return pd.DataFrame({
+        "n_view": [int((stages >= 1).sum())],
+        "n_view_click": [int((stages >= 2).sum())],
+        "n_full_funnel": [int((stages >= 3).sum())]})
+
+
+SQL_FUNNEL_COUNTS = """
+WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+v AS (SELECT user_id, min(rn) AS rv FROM r
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT r.user_id, min(rn) AS rc FROM r
+      JOIN v ON r.user_id = v.user_id AND r.rn > v.rv
+      WHERE event_type = 'click' GROUP BY r.user_id),
+p AS (SELECT r.user_id, min(rn) AS rp FROM r
+      JOIN c ON r.user_id = c.user_id AND r.rn > c.rc
+      WHERE event_type = 'purchase' GROUP BY r.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel
+"""
+
+
+def q_histogram_quantiles(sf_dir: str):
+    """Quantiles from a MERGEABLE fixed-width histogram sketch — the
+    O(buckets)-memory alternative to the per-group full sort that
+    daily_value_quantiles uses: per-block bincount partials over
+    50-cent buckets (value domain is bounded), one tiny
+    (type, bucket, count) exchange, then a cumulative scan picks the
+    bucket holding the k-th smallest element (k = ceil(q*n)). The
+    reported quantile is the bucket LOWER BOUND in cents — a
+    deterministic sketch answer with error <= bucket width, replicated
+    exactly by the oracle's identical bucketing. This is the histogram
+    analog of the HLL/CMS sketch family (partials are trivially
+    mergeable across blocks AND across runs)."""
+    from ray.data.aggregate import Sum
+
+    BW = 50  # bucket width in cents
+
+    def fold(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        b = np.round(t["value"].to_numpy() * 100).astype(np.int64) // BW
+        types, inv = np.unique(et, return_inverse=True)
+        out_t, out_b, out_c = [], [], []
+        for i, ty in enumerate(types):
+            bb = b[inv == i]
+            ub, cnt = np.unique(bb, return_counts=True)
+            out_t.append(np.full(ub.shape[0], ty, dtype=object))
+            out_b.append(ub)
+            out_c.append(cnt.astype(np.int64))
+        return pa.table({
+            "event_type": pa.array(np.concatenate(out_t), pa.string()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cnt": pa.array(np.concatenate(out_c), pa.int64())})
+
+    hist = (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(fold, batch_format="pyarrow")
+            .groupby(["event_type", "b"]).aggregate(
+                Sum("cnt", alias_name="cnt")))
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("b")
+        cnt = g["cnt"].values.astype(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        out = {"event_type": [g["event_type"].iloc[0]], "n": [n]}
+        for q, name in ((0.50, "p50"), (0.95, "p95"), (0.99, "p99")):
+            k = int(np.ceil(q * n))
+            idx = int(np.searchsorted(cum, k))
+            out[f"{name}_cents_lb"] = [int(g["b"].values[idx]) * BW]
+        return pd.DataFrame(out)
+
+    return (hist.groupby("event_type")
+            .map_groups(quantiles, batch_format="pandas"))
+
+
+SQL_HISTOGRAM_QUANTILES = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) // 50 AS b
+           FROM events),
+h AS (SELECT event_type, b, count(*) AS cnt FROM c GROUP BY event_type, b),
+cum AS (SELECT event_type, b, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY b)
+                    AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM h)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= ceil(0.50 * n) THEN b END) * 50 AS BIGINT)
+         AS p50_cents_lb,
+       CAST(min(CASE WHEN cum >= ceil(0.95 * n) THEN b END) * 50 AS BIGINT)
+         AS p95_cents_lb,
+       CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN b END) * 50 AS BIGINT)
+         AS p99_cents_lb
+FROM cum GROUP BY event_type
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -5318,6 +5560,10 @@ QUERIES = {
     "per_group_topk": q_per_group_topk,
     "rollup_sales": q_rollup_sales,
     "pivot_events": q_pivot_events,
+    "local_revenue": q_local_revenue,
+    "running_total": q_running_total,
+    "funnel_counts": q_funnel_counts,
+    "histogram_quantiles": q_histogram_quantiles,
 }
 
 ORACLE_SQL = {
@@ -5373,6 +5619,10 @@ ORACLE_SQL = {
     "per_group_topk": SQL_PER_GROUP_TOPK,
     "rollup_sales": SQL_ROLLUP_SALES,
     "pivot_events": SQL_PIVOT_EVENTS,
+    "local_revenue": SQL_LOCAL_REVENUE,
+    "running_total": SQL_RUNNING_TOTAL,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
+    "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

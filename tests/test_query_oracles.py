@@ -29,6 +29,8 @@ SUBSET = [
     "cms_heavy_hitters", "triangle_count", "audio_features",
     "video_frames", "fuzzy_dedup",
     "bloom_semi_join", "per_group_topk", "rollup_sales", "pivot_events",
+    "local_revenue", "running_total", "funnel_counts",
+    "histogram_quantiles",
 ]
 
 
