@@ -351,6 +351,7 @@ def run_bench() -> dict:
     timed("funnel_counts", lambda: Q.q_funnel_counts(sf_dir))
     timed("histogram_quantiles",
           lambda: consume(Q.q_histogram_quantiles(sf_dir)))
+    timed("outlier_filter", lambda: Q.q_outlier_filter(sf_dir))
 
     def finish() -> dict:
         out = {

@@ -5441,6 +5441,84 @@ FROM cum GROUP BY event_type
 """
 
 
+def q_outlier_filter(sf_dir: str):
+    """Two-pass distributed standardization gate: flag events more than
+    3 standard deviations from their event-type mean — the classic
+    ML-pipeline outlier-removal step, in EXACT integer arithmetic. The
+    z-test |x - mu| > 3*sigma is evaluated as
+    (x*n - s)^2 > 9*(n*ss - s^2) over dollar-granularity integers
+    (multiply through by n^2 — no division, no sqrt, no float), so Ray
+    and the oracle agree bit-for-bit. int64-safe while a group's
+    n * max|x| < 2^31.5 (~4.4e6 rows/group at the 490-dollar domain);
+    beyond that the moments need 128-bit cells.
+
+    Scale shape: pass 1 folds (n, sum, sum-of-squares) per event_type
+    inside each block, shuffles O(types) partial rows, and the tiny
+    moment table broadcasts via ray.put; pass 2 streams the fact table
+    once more through a vectorized filter. Two passes over the input is
+    the price of a GLOBAL statistic — same structure as pack_sequences'
+    two-pass prefix scan."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        x = np.round(t["value"].to_numpy()).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        # int64 accumulation (np.bincount's weights= path sums in float64,
+        # which stops being exact past 2^53)
+        s = np.zeros(types.shape[0], np.int64)
+        ss = np.zeros(types.shape[0], np.int64)
+        np.add.at(s, inv, x)
+        np.add.at(ss, inv, x * x)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "ss": pa.array(ss, pa.int64())})
+
+    st = (ev.map_batches(moments, batch_format="pyarrow")
+          .groupby("event_type").aggregate(
+              Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+              Sum("ss", alias_name="ss")).to_pandas())
+    st = st.sort_values("event_type")
+    stats_ref = _ray.put((st["event_type"].values.astype(object),
+                          st["n"].values.astype(np.int64),
+                          st["s"].values.astype(np.int64),
+                          st["ss"].values.astype(np.int64)))
+
+    def gate(t: pa.Table) -> pa.Table:
+        types, n, s, ss = _ray.get(stats_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        x = np.round(t["value"].to_numpy()).astype(np.int64)
+        i = np.searchsorted(types, et)
+        lhs = (x * n[i] - s[i]) ** 2
+        rhs = 9 * (n[i] * ss[i] - s[i] * s[i])
+        keep = lhs > rhs
+        return pa.table({
+            "event_id": pa.array(t["event_id"].to_numpy()[keep], pa.int64()),
+            "event_type": pa.array(et[keep], pa.string()),
+            "dollars": pa.array(x[keep], pa.int64())})
+
+    out = ev.map_batches(gate, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_OUTLIER_FILTER = """
+WITH d AS (SELECT event_id, event_type,
+                  CAST(round_even(value, 0) AS BIGINT) AS x FROM events),
+st AS (SELECT event_type, count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS s,
+              CAST(sum(x * x) AS BIGINT) AS ss
+       FROM d GROUP BY event_type)
+SELECT event_id, event_type, x AS dollars
+FROM d JOIN st USING (event_type)
+WHERE (x * n - s) * (x * n - s) > 9 * (n * ss - s * s)
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -5564,6 +5642,7 @@ QUERIES = {
     "running_total": q_running_total,
     "funnel_counts": q_funnel_counts,
     "histogram_quantiles": q_histogram_quantiles,
+    "outlier_filter": q_outlier_filter,
 }
 
 ORACLE_SQL = {
@@ -5623,6 +5702,7 @@ ORACLE_SQL = {
     "running_total": SQL_RUNNING_TOTAL,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
+    "outlier_filter": SQL_OUTLIER_FILTER,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
