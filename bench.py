@@ -352,6 +352,7 @@ def run_bench() -> dict:
     timed("histogram_quantiles",
           lambda: consume(Q.q_histogram_quantiles(sf_dir)))
     timed("outlier_filter", lambda: Q.q_outlier_filter(sf_dir))
+    timed("png_features", lambda: consume(Q.q_png_features(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -1,10 +1,10 @@
 """Pure-numpy image kernels for multimodal binary columns.
 
 The container ships no image codecs, but PPM (P6) is a trivial
-self-describing format — so the decode / resize / feature-extract path is
-REAL here (bytes -> pixel array -> features), not a stub; only compressed
-codecs (JPEG/PNG) remain behind the NotImplementedError gate in
-stages/multimodal.py.
+self-describing format and PNG is exactly decodable with stdlib zlib
+(functions/png.py) — so both decode / resize / feature-extract paths are
+REAL here (bytes -> pixel array -> features), not stubs; only JPEG (lossy
+DCT, unverifiable offline) remains behind the NotImplementedError gate.
 
 Deterministic synthetic images: pixel(x, y, ch) is integer arithmetic on
 (img_id, x, y, ch), so per-channel statistics are replicable in oracle SQL
@@ -58,6 +58,23 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError("only 8-bit PPM supported")
     raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
     return raster.reshape(h, w, 3)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-sniffing decode: P6 PPM and 8-bit PNG are REAL decode paths
+    (PNG via functions/png.py — stdlib zlib + numpy unfiltering); JPEG
+    stays environment-gated (lossy DCT codec, not byte-verifiable
+    offline). Returns uint8 (h, w, c)."""
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        return decode_png(data)
+    if data[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "JPEG needs a DCT codec, not present in this environment")
+    raise ValueError("unrecognized image format")
 
 
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

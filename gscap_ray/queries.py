@@ -5519,6 +5519,56 @@ WHERE (x * n - s) * (x * n - s) > 9 * (n * ss - s * s)
 """
 
 
+def q_png_features(sf_dir: str):
+    """Multimodal with a REAL COMPRESSED-image decode: one deterministic
+    16x16 image per document, DEFLATE-compressed into a PNG inside the
+    pipeline with a MIXED scanline-filter schedule (filter = row % 5, so
+    all five PNG filters — None/Sub/Up/Average/Paeth — are exercised on
+    real data), then decoded by the same ImageFeaturizer actor pool via
+    the pure-numpy + stdlib-zlib PNG decoder (functions/png.py). Unlike
+    JPEG, PNG is lossless and exactly specified, so the oracle recomputes
+    the per-channel statistics from the pixel formula directly — the
+    byte-exact match proves chunk walk, CRC validation, inflate and all
+    five unfilter branches end to end."""
+    from .functions.png import encode_png
+    from .stages.multimodal import ImageFeaturizer
+
+    def synth(img_id: int) -> np.ndarray:
+        x = np.arange(16, dtype=np.int64)[None, :, None]
+        y = np.arange(16, dtype=np.int64)[:, None, None]
+        ch = np.arange(3, dtype=np.int64)[None, None, :]
+        return ((int(img_id) * 37 + x * 11 + y * 17 + ch * 71 + 5)
+                % 256).astype(np.uint8)
+
+    def attach_image(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        imgs = [encode_png(synth(int(i)), filter_mode="mixed") for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "image": pa.array(imgs, pa.binary())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(attach_image, batch_format="pyarrow")
+            .map_batches(ImageFeaturizer, batch_format="pyarrow",
+                         batch_size=256, concurrency=2))
+
+
+SQL_PNG_FEATURES = """
+WITH g AS (SELECT x, y FROM range(16) t1(x), range(16) t2(y)),
+px AS (SELECT d.doc_id,
+              (d.doc_id*37 + g.x*11 + g.y*17 + 5) % 256 AS c0,
+              (d.doc_id*37 + g.x*11 + g.y*17 + 76) % 256 AS c1,
+              (d.doc_id*37 + g.x*11 + g.y*17 + 147) % 256 AS c2
+       FROM documents d, g)
+SELECT doc_id,
+       round_even(avg(c0), 4) AS r_mean,
+       round_even(avg(c1), 4) AS g_mean,
+       round_even(avg(c2), 4) AS b_mean,
+       least(min(c0), min(c1), min(c2)) AS px_min,
+       greatest(max(c0), max(c1), max(c2)) AS px_max
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -5643,6 +5693,7 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "histogram_quantiles": q_histogram_quantiles,
     "outlier_filter": q_outlier_filter,
+    "png_features": q_png_features,
 }
 
 ORACLE_SQL = {
@@ -5703,6 +5754,7 @@ ORACLE_SQL = {
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
     "outlier_filter": SQL_OUTLIER_FILTER,
+    "png_features": SQL_PNG_FEATURES,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -1,12 +1,15 @@
 """Multimodal column stages: opaque binary payloads (image/audio/video)
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The container ships no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake features derived from the payload hash, or
-NotImplementedError for the real-codec path) — but everything Ray-side is
-real and tested: schema handling for binary columns, actor-pool signature,
-batch sizing for large payloads, zero-copy pass-through of the bytes, and
-the output layout (fixed-size list<float> feature columns).
+Decode paths that need no external codec are REAL: PPM and PNG images
+(ImageFeaturizer — PNG via stdlib zlib + numpy unfiltering), PCM16 WAV
+audio (AudioFeaturizer), Y4M video with frame sampling (VideoFeaturizer).
+Only codecs that cannot be verified offline stay environment-gated behind
+NotImplementedError (JPEG, MP3/OGG/FLAC, H.264/VP9/AV1), and the generic
+BinaryFeatureExtractor keeps a deterministic payload-hash stub for the
+plug-a-model path. Everything Ray-side is real and tested: schema handling
+for binary columns, actor-pool signature, batch sizing for large payloads,
+zero-copy pass-through of the bytes, and the output layouts.
 
 Pattern notes for 100 TB:
 - binary payloads make blocks heavy -> these stages run with a small
@@ -77,10 +80,12 @@ class BinaryFeatureExtractor:
 
 
 class ImageFeaturizer:
-    """Actor-pool stage with a REAL decode path: binary PPM payloads ->
-    decode (pure-numpy P6 parser) -> optional bilinear resize -> per-channel
-    statistics columns. No stub: PPM needs no codec. Compressed formats
-    (JPEG/PNG) would slot into ``_decode`` behind the same signature."""
+    """Actor-pool stage with REAL decode paths: binary PPM or PNG
+    payloads -> decode (pure-numpy P6 parser; stdlib-zlib + numpy
+    unfiltering PNG decoder, functions/png.py) -> optional bilinear
+    resize -> per-channel statistics columns. No stub: neither format
+    needs an external codec. JPEG stays behind a NotImplementedError
+    gate (lossy DCT, not byte-verifiable offline)."""
 
     def __init__(self, payload_col: str = "image", resize_to: int | None = None,
                  drop_payload: bool = True):
@@ -96,7 +101,7 @@ class ImageFeaturizer:
         cols: dict[str, list] = {"r_mean": [], "g_mean": [], "b_mean": [],
                                  "px_min": [], "px_max": []}
         for p in payloads:
-            img = self._img.decode_ppm(p)
+            img = self._img.decode_image(p)
             if self.resize_to:
                 img = self._img.resize_bilinear(img, self.resize_to, self.resize_to)
             st = self._img.channel_stats(img)

@@ -30,7 +30,7 @@ SUBSET = [
     "video_frames", "fuzzy_dedup",
     "bloom_semi_join", "per_group_topk", "rollup_sales", "pivot_events",
     "local_revenue", "running_total", "funnel_counts",
-    "histogram_quantiles", "outlier_filter",
+    "histogram_quantiles", "outlier_filter", "png_features",
 ]
 
 
