@@ -96,7 +96,7 @@ def run_headline() -> dict:
 
 
 ISOLATED_PIPELINES = ("labeled_pages", "minhash_dedup", "ngram_jaccard",
-                      "weather_daily", "distributed_dbscan")
+                      "weather_daily", "distributed_dbscan", "fuzzy_dedup")
 
 
 def run_isolated(name: str) -> dict:

@@ -5384,6 +5384,11 @@ def q_histogram_quantiles(sf_dir: str):
     BW = 50  # bucket width in cents
 
     def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "b": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:  # empty blocks lose schema through np.concatenate
+            return empty
         et = t["event_type"].to_numpy(zero_copy_only=False)
         b = np.round(t["value"].to_numpy() * 100).astype(np.int64) // BW
         types, inv = np.unique(et, return_inverse=True)
