@@ -5574,6 +5574,78 @@ FROM px GROUP BY doc_id
 """
 
 
+def _events_hive_for(sf_dir: str) -> str:
+    """events re-laid-out as a hive-partitioned dataset
+    (event_type=<v>/...), written once per sf to /tmp — the input for the
+    partition-prune demonstration. Stamped like the other derived inputs
+    (bump the version token if the layout changes)."""
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").split("/")[-1]
+    out = f"/tmp/gscap_events_hive_{tag}"
+    marker = out + ".done"
+    src = f"{sf_dir}/events.parquet"
+    stamp = "v1 " + src
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == stamp:
+                return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    pq.write_to_dataset(pq.read_table(src), out,
+                        partition_cols=["event_type"])
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out
+
+
+def q_partition_prune(sf_dir: str):
+    """Prune-at-the-read, demonstrated end to end: the events table laid
+    out hive-partitioned by event_type, read back with BOTH pruning
+    levers the 100 TB guidance demands — a PathPartitionFilter that
+    drops every non-purchase partition at FILE-LISTING time (4/5 of the
+    data never produces a read task) and ``columns=`` projection so only
+    the two needed columns leave storage — then a per-user aggregate.
+    The oracle scans the original table with a WHERE: byte-equality
+    proves the pruned read sees exactly the predicate's rows."""
+    from ray.data.datasource.partitioning import (Partitioning,
+                                                  PathPartitionFilter)
+    from ray.data.aggregate import Count, Sum
+
+    hive = _events_hive_for(sf_dir)
+    flt = PathPartitionFilter.of(
+        lambda d: d.get("event_type") == "purchase",
+        style="hive")
+    ds = rd.read_parquet(hive, columns=["user_id", "value"],
+                         partition_filter=flt,
+                         partitioning=Partitioning("hive"))
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "cents": pa.array(
+                np.round(t["value"].to_numpy() * 100).astype(np.int64),
+                pa.int64())})
+
+    out = (ds.map_batches(cents, batch_format="pyarrow")
+           .groupby("user_id").aggregate(
+               Count(alias_name="n_purchases"),
+               Sum("cents", alias_name="spend_cents")).to_pandas())
+    out["n_purchases"] = out["n_purchases"].astype(np.int64)
+    out["spend_cents"] = out["spend_cents"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_PARTITION_PRUNE = """
+SELECT user_id, count(*) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS spend_cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -5699,6 +5771,7 @@ QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "outlier_filter": q_outlier_filter,
     "png_features": q_png_features,
+    "partition_prune": q_partition_prune,
 }
 
 ORACLE_SQL = {
@@ -5760,6 +5833,7 @@ ORACLE_SQL = {
     "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
     "outlier_filter": SQL_OUTLIER_FILTER,
     "png_features": SQL_PNG_FEATURES,
+    "partition_prune": SQL_PARTITION_PRUNE,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
