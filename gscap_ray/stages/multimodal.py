@@ -190,10 +190,12 @@ class VideoFeaturizer:
 
 
 class FrameSampler:
-    """Actor-pool stage: 'video' payload -> k deterministic frame offsets +
-    per-frame feature rows (flat_map-style row expansion inside
-    map_batches). Decode is stubbed like above; the row-expansion plumbing
-    (one input row -> k output rows, ids preserved) is real."""
+    """Actor-pool stage: arbitrary binary payload -> k deterministic frame
+    offsets + per-frame feature rows (flat_map-style row expansion inside
+    map_batches). Decode is the payload-hash stub (this stage demos the
+    row-expansion plumbing over payloads with NO parseable container, e.g.
+    raw html); the REAL video decode + frame sampling path is
+    :class:`VideoFeaturizer` above."""
 
     def __init__(self, payload_col: str = "html", k: int = 4, dim: int = 8):
         self.payload_col = payload_col
