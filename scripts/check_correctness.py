@@ -117,6 +117,13 @@ def main():
         if sql is None:
             print(f"[rows] {name}: {len(ray_df)} rows (rows-only, no oracle)")
             continue
+        # dump/derived-input oracles embed sf0.01 /tmp artifact paths (the
+        # driver contract only ever runs sf0.01); when checking another sf
+        # locally, retarget those paths at the same-sf artifacts the Ray
+        # side just built
+        tag = sf_dir.rstrip("/").split("/")[-1]
+        if tag != "sf0.01":
+            sql = sql.replace("sf0.01", tag)
         try:
             sql_df = con.sql(sql).df()
         except Exception as e:  # noqa
