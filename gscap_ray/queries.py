@@ -3377,21 +3377,37 @@ def q_pages_cluster_metrics(sf_dir: str):
     entries = entries_table(rd.read_parquet(dump))
 
     def per_cid(g: pd.DataFrame) -> pd.DataFrame:
-        dur_h = g["duration_s"].values / 3600.0
-        mid_s = g["midpoint"].values.astype("datetime64[us]").astype(np.int64) / 1e6
-        gaps = np.diff(np.sort(mid_s))
+        # exact integer moments -> deterministic float expressions that the
+        # oracle mirrors op-for-op. duration_s is integral (the reference
+        # rounds durations to 1 s, gps.py:1350), so sums/sum-of-squares are
+        # exact; the mean gap of SORTED midpoints telescopes to
+        # (max - min)/(n - 1), killing both summation-order drift and the
+        # np.round(half-even) vs DuckDB round(half-away) .0005-boundary
+        # class this column tripped at sf0.1.
+        n = len(g)
+        dsec = np.round(g["duration_s"].values).astype(np.int64)
+        mid_us = g["midpoint"].values.astype("datetime64[us]").astype(np.int64)
+        s = int(dsec.sum())
+        ss = int((dsec * dsec).sum())
+        span_us = int(mid_us.max()) - int(mid_us.min())
+        if n > 1:
+            var = (float(n) * float(ss) - float(s) * float(s)) \
+                / (n * (n - 1.0))
+            std = np.round(np.sqrt(var) / 3600.0, 3)
+            mti = np.round((float(span_us) / (n - 1)) / 3600000000.0, 3)
+        else:
+            std = np.nan
+            mti = np.nan
         return pd.DataFrame({
             "host": [g["host"].iloc[0]],
             "cid": [g["cid"].iloc[0]],
-            "times_entered": [len(g)],
-            "total_duration": [np.round(dur_h.sum(), 3)],
-            "mean_duration": [np.round(dur_h.mean(), 3)],
-            "std_duration": [np.round(float(pd.Series(dur_h).std()), 3)],
-            "max_duration": [np.round(dur_h.max(), 3)],
-            "min_duration": [np.round(dur_h.min(), 3)],
-            "mean_ti_between_visits":
-                [np.round(float(np.mean(gaps)) / 3600.0, 3)
-                 if gaps.size else np.nan],
+            "times_entered": [n],
+            "total_duration": [np.round(float(s) / 3600.0, 3)],
+            "mean_duration": [np.round(float(s) / n / 3600.0, 3)],
+            "std_duration": [std],
+            "max_duration": [np.round(float(dsec.max()) / 3600.0, 3)],
+            "min_duration": [np.round(float(dsec.min()) / 3600.0, 3)],
+            "mean_ti_between_visits": [mti],
         })
 
     def not_xnot(t: pa.Table) -> pa.Table:
@@ -3408,20 +3424,28 @@ def sql_pages_cluster_metrics(
     entries = sql_pages_entries(path)
     return f"""
 WITH entries AS ({entries}),
-m AS (SELECT host, cid, duration_s / 3600.0 AS dur_h,
-             epoch_us(midpoint) / 1000000.0 AS mid_s
+m AS (SELECT host, cid,
+             CAST(round(duration_s) AS BIGINT) AS dsec,
+             epoch_us(midpoint) AS mid_us
       FROM entries WHERE cid <> 'xNot'),
-l AS (SELECT *, mid_s - lag(mid_s) OVER (PARTITION BY host, cid
-                                         ORDER BY mid_s) AS gap
-      FROM m)
-SELECT host, cid, count(*) AS times_entered,
-       round(sum(dur_h), 3) AS total_duration,
-       round(avg(dur_h), 3) AS mean_duration,
-       round(stddev_samp(dur_h), 3) AS std_duration,
-       round(max(dur_h), 3) AS max_duration,
-       round(min(dur_h), 3) AS min_duration,
-       round(avg(gap) / 3600.0, 3) AS mean_ti_between_visits
-FROM l GROUP BY host, cid
+g AS (SELECT host, cid, count(*) AS n,
+             CAST(sum(dsec) AS BIGINT) AS s,
+             CAST(sum(dsec * dsec) AS BIGINT) AS ss,
+             max(mid_us) - min(mid_us) AS span_us,
+             max(dsec) AS mx, min(dsec) AS mn
+      FROM m GROUP BY host, cid)
+SELECT host, cid, CAST(n AS BIGINT) AS times_entered,
+       round_even(CAST(s AS DOUBLE) / 3600.0, 3) AS total_duration,
+       round_even(CAST(s AS DOUBLE) / n / 3600.0, 3) AS mean_duration,
+       CASE WHEN n > 1 THEN round_even(
+            sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                 / (n * (n - 1.0))) / 3600.0, 3) END AS std_duration,
+       round_even(CAST(mx AS DOUBLE) / 3600.0, 3) AS max_duration,
+       round_even(CAST(mn AS DOUBLE) / 3600.0, 3) AS min_duration,
+       CASE WHEN n > 1 THEN round_even(
+            (CAST(span_us AS DOUBLE) / (n - 1)) / 3600000000.0, 3)
+       END AS mean_ti_between_visits
+FROM g
 """
 
 
