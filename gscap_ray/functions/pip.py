@@ -68,9 +68,53 @@ class PolygonIndex:
             for cy in range(int(np.floor(bbox[0] / cell_deg)), int(np.floor(bbox[1] / cell_deg)) + 1):
                 for cx in range(int(np.floor(bbox[2] / cell_deg)), int(np.floor(bbox[3] / cell_deg)) + 1):
                     self.cell_map.setdefault((cy, cx), []).append(i)
+        # per-cell compacted candidate-edge arrays for the vectorized query:
+        # ascending candidate ids, each candidate's NON-horizontal edges
+        # concatenated (a horizontal edge never crosses the upward ray), and
+        # reduceat offsets delimiting each candidate's edge segment.
+        # Candidates with zero non-horizontal edges (degenerate polygons) are
+        # dropped here: the scalar rule could never report a point inside
+        # them, and np.add.reduceat returns the ELEMENT at a zero-length
+        # segment's offset rather than 0, which would leak a neighbor's edge.
+        self._cells: dict[tuple[int, int], tuple] = {}
+        for key, cands in self.cell_map.items():
+            ids, segs, counts = [], [], []
+            for pi in cands:
+                rx, ry = self.rings[pi]
+                x2 = np.roll(rx, -1)
+                y2 = np.roll(ry, -1)
+                keep = ry != y2
+                k = int(keep.sum())
+                if k == 0:
+                    continue
+                ids.append(pi)
+                segs.append((rx[keep], ry[keep], x2[keep], y2[keep]))
+                counts.append(k)
+            if not ids:
+                continue
+            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+            self._cells[key] = (
+                np.asarray(ids, dtype=np.int64),
+                np.concatenate([s[0] for s in segs]),
+                np.concatenate([s[1] for s in segs]),
+                np.concatenate([s[2] for s in segs]),
+                np.concatenate([s[3] for s in segs]),
+                offsets,
+            )
 
     def query(self, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
-        """Index (into the layer) of the first containing polygon, else -1."""
+        """Index (into the layer) of the first containing polygon, else -1.
+
+        Vectorized per grid cell: ONE (points x candidate-edges) crossing
+        matrix, parity per candidate via np.add.reduceat, first odd
+        candidate (ascending layer id) wins. Bit-identical to the previous
+        per-polygon scalar path: same crossing expression in the same
+        left-associative operation order, and the old bbox pre-filter only
+        skipped work (odd parity implies strictly inside implies
+        bbox-contained — a ray from a point left/right/above/below the
+        whole ring crosses it an even number of times), so dropping it
+        cannot change results. Point chunks cap the matrix at ~4M cells so
+        dense cells don't blow the worker heap."""
         lat = np.asarray(lat, dtype=np.float64)
         lon = np.asarray(lon, dtype=np.float64)
         n = lat.shape[0]
@@ -79,34 +123,32 @@ class PolygonIndex:
             return out
         cy = np.floor(lat / self.cell_deg).astype(np.int64)
         cx = np.floor(lon / self.cell_deg).astype(np.int64)
-        # group points by cell, test candidates per cell (vectorized per poly)
         packed = cy * np.int64(1 << 32) + cx
         order = np.argsort(packed, kind="stable")
         sp = packed[order]
         uniq, starts = np.unique(sp, return_index=True)
         ends = np.append(starts[1:], n)
-        for u, s, e in zip(uniq, starts, ends):
-            cands = self.cell_map.get((int(cy[order[s]]), int(cx[order[s]])))
-            if not cands:
+        for s, e in zip(starts, ends):
+            cell = self._cells.get((int(cy[order[s]]), int(cx[order[s]])))
+            if cell is None:
                 continue
+            cand_ids, ex1, ey1, ex2, ey2, offsets = cell
             idx = order[s:e]
-            la, lo = lat[idx], lon[idx]
-            res = np.full(idx.shape[0], -1, dtype=np.int64)
-            un = np.ones(idx.shape[0], dtype=bool)  # undecided positions
-            for pi in cands:  # ascending id -> first match wins
-                if not un.any():
-                    break
-                b = self.bboxes[pi]
-                m = un & (la >= b[0]) & (la <= b[1]) & (lo >= b[2]) & (lo <= b[3])
-                if not m.any():
-                    continue
-                pos = np.flatnonzero(m)
-                rx, ry = self.rings[pi]
-                hit = points_in_polygon(lo[pos], la[pos], rx, ry)
-                hp = pos[hit]
-                res[hp] = pi
-                un[hp] = False
-            out[idx] = res
+            step = max(1, 4_000_000 // ex1.shape[0])
+            for c0 in range(0, idx.shape[0], step):
+                ci = idx[c0:c0 + step]
+                py = lat[ci][:, None]
+                px = lon[ci][:, None]
+                cond = (ey1 > py) != (ey2 > py)
+                xin = (ex2 - ex1) * (py - ey1) / (ey2 - ey1) + ex1
+                hits = cond & (px < xin)
+                # reduceat on bool would OR, not count — reinterpret as
+                # uint8 (free); uint8 wraparound is mod 256 (even), so the
+                # & 1 parity is exact even for >255 crossings per segment
+                odd = (np.add.reduceat(hits.view(np.uint8), offsets,
+                                       axis=1) & 1).astype(bool)
+                any_hit = odd.any(axis=1)
+                out[ci] = np.where(any_hit, cand_ids[odd.argmax(axis=1)], -1)
         return out
 
     def lookup_place_ids(self, idx: np.ndarray):
