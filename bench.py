@@ -239,6 +239,10 @@ def run_bench() -> dict:
     timings["flagship_pages"] = min(first, second)
     timings["flagship_pages_run1"] = first
     timings["flagship_pages_run2"] = second
+    # methodology changed in r4 from single-shot to best-of-2 under the
+    # SAME key; stamp it so cross-round readers don't compare a min-of-2
+    # against r1-r3 single-shot numbers (ADVICE r3)
+    timings["flagship_pages_methodology"] = "best_of_2_since_r4"
     timings["pages_per_sec"] = round(n_pages / timings["flagship_pages"], 1)
 
     # record-level labeled path (text through the shuffle), reported but NOT
