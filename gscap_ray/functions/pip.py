@@ -68,39 +68,48 @@ class PolygonIndex:
             for cy in range(int(np.floor(bbox[0] / cell_deg)), int(np.floor(bbox[1] / cell_deg)) + 1):
                 for cx in range(int(np.floor(bbox[2] / cell_deg)), int(np.floor(bbox[3] / cell_deg)) + 1):
                     self.cell_map.setdefault((cy, cx), []).append(i)
-        # per-cell compacted candidate-edge arrays for the vectorized query:
-        # ascending candidate ids, each candidate's NON-horizontal edges
-        # concatenated (a horizontal edge never crosses the upward ray), and
-        # reduceat offsets delimiting each candidate's edge segment.
-        # Candidates with zero non-horizontal edges (degenerate polygons) are
-        # dropped here: the scalar rule could never report a point inside
+        # Flat compacted candidate-edge layout for the vectorized query —
+        # EIGHT global numpy arrays total, not per-cell objects (a dict of
+        # ~50k tiny arrays costs hundreds of ms to unpickle PER WORKER and
+        # erased the kernel win when the prebuilt index is broadcast):
+        #   _cell_keys   sorted packed (cy<<32|cx) cell ids -> searchsorted
+        #   _cell_off    [n_cells+1] slice bounds into the candidate arrays
+        #   _cand_ids    ascending polygon ids per cell, concatenated
+        #   _cand_off    [n_cands+1] slice bounds into the edge arrays
+        #   _ex1/_ey1/_ex2/_ey2   NON-horizontal edges (a horizontal edge
+        #       never crosses the upward ray), per candidate, concatenated —
+        #       so one cell's edges are ONE contiguous slice.
+        # Candidates with zero non-horizontal edges (degenerate polygons)
+        # are dropped: the scalar rule could never report a point inside
         # them, and np.add.reduceat returns the ELEMENT at a zero-length
         # segment's offset rather than 0, which would leak a neighbor's edge.
-        self._cells: dict[tuple[int, int], tuple] = {}
-        for key, cands in self.cell_map.items():
-            ids, segs, counts = [], [], []
-            for pi in cands:
-                rx, ry = self.rings[pi]
-                x2 = np.roll(rx, -1)
-                y2 = np.roll(ry, -1)
-                keep = ry != y2
-                k = int(keep.sum())
-                if k == 0:
-                    continue
-                ids.append(pi)
-                segs.append((rx[keep], ry[keep], x2[keep], y2[keep]))
-                counts.append(k)
-            if not ids:
+        nh_edges = []  # per polygon id: (ex1, ey1, ex2, ey2) non-horizontal
+        for rx, ry in self.rings:
+            x2 = np.roll(rx, -1)
+            y2 = np.roll(ry, -1)
+            keep = ry != y2
+            nh_edges.append((rx[keep], ry[keep], x2[keep], y2[keep]))
+        keys, cell_counts, cand_ids, edge_counts = [], [], [], []
+        for (cy, cx) in sorted(self.cell_map):
+            kept = [pi for pi in self.cell_map[(cy, cx)]
+                    if nh_edges[pi][0].shape[0]]
+            if not kept:
                 continue
-            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-            self._cells[key] = (
-                np.asarray(ids, dtype=np.int64),
-                np.concatenate([s[0] for s in segs]),
-                np.concatenate([s[1] for s in segs]),
-                np.concatenate([s[2] for s in segs]),
-                np.concatenate([s[3] for s in segs]),
-                offsets,
-            )
+            # same packing as query(); lexicographic (cy, cx) order is
+            # monotone under it for |cx| < 2^31, so _cell_keys stays sorted
+            keys.append(np.int64(cy) * np.int64(1 << 32) + np.int64(cx))
+            cell_counts.append(len(kept))
+            cand_ids.extend(kept)
+            edge_counts.extend(nh_edges[pi][0].shape[0] for pi in kept)
+        self._cell_keys = np.asarray(keys, dtype=np.int64)
+        self._cell_off = np.concatenate([[0], np.cumsum(cell_counts)]).astype(np.int64)
+        self._cand_ids = np.asarray(cand_ids, dtype=np.int64)
+        self._cand_off = np.concatenate([[0], np.cumsum(edge_counts)]).astype(np.int64)
+        e = np.empty(0, dtype=np.float64)
+        self._ex1 = np.concatenate([nh_edges[pi][0] for pi in cand_ids]) if cand_ids else e
+        self._ey1 = np.concatenate([nh_edges[pi][1] for pi in cand_ids]) if cand_ids else e
+        self._ex2 = np.concatenate([nh_edges[pi][2] for pi in cand_ids]) if cand_ids else e
+        self._ey2 = np.concatenate([nh_edges[pi][3] for pi in cand_ids]) if cand_ids else e
 
     def query(self, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
         """Index (into the layer) of the first containing polygon, else -1.
@@ -128,15 +137,21 @@ class PolygonIndex:
         sp = packed[order]
         uniq, starts = np.unique(sp, return_index=True)
         ends = np.append(starts[1:], n)
-        for s, e in zip(starts, ends):
-            cell = self._cells.get((int(cy[order[s]]), int(cx[order[s]])))
-            if cell is None:
-                continue
-            cand_ids, ex1, ey1, ex2, ey2, offsets = cell
+        pos = np.searchsorted(self._cell_keys, uniq)
+        pos[pos >= self._cell_keys.shape[0]] = 0
+        known = self._cell_keys[pos] == uniq if self._cell_keys.size else np.zeros(uniq.shape, bool)
+        for gi in np.flatnonzero(known):
+            s, e, ci0 = starts[gi], ends[gi], pos[gi]
+            c0, c1 = self._cell_off[ci0], self._cell_off[ci0 + 1]
+            e0, e1 = self._cand_off[c0], self._cand_off[c1]
+            cand_ids = self._cand_ids[c0:c1]
+            ex1, ey1 = self._ex1[e0:e1], self._ey1[e0:e1]
+            ex2, ey2 = self._ex2[e0:e1], self._ey2[e0:e1]
+            offsets = self._cand_off[c0:c1] - e0
             idx = order[s:e]
             step = max(1, 4_000_000 // ex1.shape[0])
-            for c0 in range(0, idx.shape[0], step):
-                ci = idx[c0:c0 + step]
+            for b0 in range(0, idx.shape[0], step):
+                ci = idx[b0:b0 + step]
                 py = lat[ci][:, None]
                 px = lon[ci][:, None]
                 cond = (ey1 > py) != (ey2 > py)
