@@ -4832,6 +4832,11 @@ SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est FROM probe
 """
 
 
+# triangle fast-path gate: broadcast the oriented edge CSR when the edge
+# set fits comfortably in every worker's heap (~64 MB of int64 at 4M)
+_TRI_BROADCAST_EDGES = 4_000_000
+
+
 def _event_graph(sf_dir: str):
     """The deterministic synthetic follow graph shared by the graph
     operators (see q_pagerank): src = user_id, dst = md5(event_id) % U,
@@ -4841,12 +4846,20 @@ def _event_graph(sf_dir: str):
 
     from .functions.text import md5_token_hash64
 
-    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    import ray as _ray
+
+    # split at the READ (testdata is one parquet file -> one block; the
+    # per-row md5 below is the dominant cost and must parallelize). The
+    # U scan stays a separate streaming pass — never materialize events.
+    nb = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"],
+                         override_num_blocks=nb)
     U = int(ev.max("user_id")) + 1
 
     def edge_batch(t: pa.Table) -> pa.Table:
         src = t["user_id"].to_numpy().astype(np.int64)
-        h = md5_token_hash64([str(int(e)) for e in t["event_id"].to_numpy()])
+        h = md5_token_hash64(list(map(str, t["event_id"].to_numpy().tolist())))
         dst = (h % np.uint64(U)).astype(np.int64)
         keep = src != dst
         key = np.unique(src[keep] * U + dst[keep])  # per-batch dedup
@@ -4862,15 +4875,17 @@ def _event_graph(sf_dir: str):
 
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting over the event-derived graph —
-    degree-oriented wedge join, the standard skew-hardened construction:
+    degree-oriented wedges, the standard skew-hardened construction:
     every UNDIRECTED edge is oriented from its lower-(degree, id)
     endpoint to the higher, which bounds each node's out-degree by
     O(sqrt(m)) and therefore the total wedge count by O(m^1.5) even on
-    power-law graphs. Wedges (a->b, b->c) come from ONE Dataset.join on
-    the middle node; a second composite-key join probes the (a, c)
-    closing edge. The undirected degree table is O(nodes), broadcast
-    once (same memory assumption as q_pagerank). Output: one row of
-    integer graph invariants (n_nodes, n_edges, n_wedges, n_triangles)."""
+    power-law graphs. Edge sets under _TRI_BROADCAST_EDGES broadcast the
+    oriented CSR once and count wedges+closures in ONE map_batches pass
+    (no wedge table ever exchanges); larger graphs form wedges with a
+    Dataset.join on the middle node and close them with a second
+    composite-key join. The undirected degree table is O(nodes),
+    broadcast once (same memory assumption as q_pagerank). Output: one
+    row of integer invariants (n_nodes, n_edges, n_wedges, n_triangles)."""
     import ray as _ray
     from ray.data.aggregate import Count, Sum
 
@@ -4917,27 +4932,69 @@ def q_triangle_count(sf_dir: str):
                          "b": pa.array(b, pa.int64())})
 
     ori = und.map_batches(orient, batch_format="pyarrow").materialize()
-    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
-    # wedges: (a->b) x (b->c); both legs out-edges of the oriented DAG
-    left = ori.map_batches(
-        lambda t: pa.table({"a": t["a"], "mid": t["b"]}),
-        batch_format="pyarrow")
-    right = ori.map_batches(
-        lambda t: pa.table({"mid": t["a"], "c": t["b"]}),
-        batch_format="pyarrow")
-    wedges = left.join(right, "inner", jp, on=("mid",)).materialize()
-    n_wedges = wedges.count()
-    # close the wedge: (a, c) must itself be an oriented edge — an exact
-    # composite-key join, so the probe carries no per-node fan-out
-    probe = wedges.map_batches(
-        lambda t: pa.table({"a": t["a"], "c": t["c"]}),
-        batch_format="pyarrow")
-    closing = ori.map_batches(
-        lambda t: pa.table({"a": t["a"], "c": t["b"]}),
-        batch_format="pyarrow")
-    n_tri = probe.join(closing, "inner", jp, on=("a", "c")).count()
+    n_edges = ori.count()
+    if n_edges <= _TRI_BROADCAST_EDGES:
+        # Small-edge-set fast path (the connected_components `small_edges`
+        # pattern): broadcast the oriented out-adjacency CSR + the sorted
+        # packed edge keys ONCE, then ONE map_batches over the distributed
+        # edge set expands each edge (a,b)'s wedges through N+(b) and
+        # closes them with a searchsorted membership probe — no wedge
+        # exchange at all (the 4M-row wedge table never exists as a
+        # Dataset). Gate bounds the broadcast at ~64 MB; larger graphs
+        # take the join path below, which shuffles but never broadcasts.
+        et = pa.concat_tables(_ray.get(ori.to_arrow_refs()))
+        a = et["a"].to_numpy().astype(np.int64)
+        b = et["b"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, a))
+        a_s, b_s = a[o], b[o]
+        indptr = np.searchsorted(a_s, np.arange(U + 1, dtype=np.int64))
+        keys = a_s * U + b_s  # sorted: a_s asc, b_s asc within a
+        csr_ref = _ray.put((indptr, b_s, keys))
+
+        def probe_batch(t: pa.Table) -> pa.Table:
+            indptr, adj, keys = _ray.get(csr_ref)
+            aa = t["a"].to_numpy().astype(np.int64)
+            bb = t["b"].to_numpy().astype(np.int64)
+            cnt = indptr[bb + 1] - indptr[bb]
+            tot = int(cnt.sum())
+            if tot == 0:
+                return pa.table({"wedges": pa.array([0], pa.int64()),
+                                 "tri": pa.array([0], pa.int64())})
+            seg = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(seg, cnt)
+            cs = adj[np.repeat(indptr[bb], cnt) + within]
+            pk = np.repeat(aa, cnt) * U + cs
+            pos = np.searchsorted(keys, pk)
+            ok = pos < keys.shape[0]
+            tri = int((keys[np.minimum(pos, keys.shape[0] - 1)][ok] == pk[ok]).sum())
+            return pa.table({"wedges": pa.array([tot], pa.int64()),
+                             "tri": pa.array([tri], pa.int64())})
+
+        parts = ori.map_batches(probe_batch, batch_format="pyarrow").to_pandas()
+        n_wedges = int(parts["wedges"].sum())
+        n_tri = int(parts["tri"].sum())
+    else:
+        jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+        # wedges: (a->b) x (b->c); both legs out-edges of the oriented DAG
+        left = ori.map_batches(
+            lambda t: pa.table({"a": t["a"], "mid": t["b"]}),
+            batch_format="pyarrow")
+        right = ori.map_batches(
+            lambda t: pa.table({"mid": t["a"], "c": t["b"]}),
+            batch_format="pyarrow")
+        wedges = left.join(right, "inner", jp, on=("mid",)).materialize()
+        n_wedges = wedges.count()
+        # close the wedge: (a, c) must itself be an oriented edge — an exact
+        # composite-key join, so the probe carries no per-node fan-out
+        probe = wedges.map_batches(
+            lambda t: pa.table({"a": t["a"], "c": t["c"]}),
+            batch_format="pyarrow")
+        closing = ori.map_batches(
+            lambda t: pa.table({"a": t["a"], "c": t["b"]}),
+            batch_format="pyarrow")
+        n_tri = probe.join(closing, "inner", jp, on=("a", "c")).count()
     return pd.DataFrame({"n_nodes": [int((deg > 0).sum())],
-                         "n_edges": [und.count()],
+                         "n_edges": [int(n_edges)],
                          "n_wedges": [int(n_wedges)],
                          "n_triangles": [int(n_tri)]})
 
