@@ -36,6 +36,27 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_split(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    """_read for stages whose FIRST map is the dominant per-row CPU cost
+    (md5 shingling, edit-distance segmenting): the testdata ships one
+    file with one row group, which Ray cannot split at the read, so the
+    hot kernel would run in a single task. Repartition to one block per
+    CPU ONLY in that case — production-scale inputs arrive as many
+    files/row groups and skip the exchange entirely."""
+    import ray as _ray
+    import pyarrow.parquet as _pq
+
+    ds = _read(sf_dir, table, columns)  # _read is the tests' injection seam
+    nb = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    try:
+        rgs = _pq.read_metadata(f"{sf_dir}/{table}.parquet").num_row_groups
+    except Exception:
+        return ds  # seam-injected input (tests): leave its layout alone
+    if rgs < nb:
+        ds = ds.repartition(nb)
+    return ds
+
+
 def derive_points_batch(t: pa.Table) -> pa.Table:
     """events batch -> + (lat, lon), integer-arithmetic deterministic."""
     u = t["user_id"].to_numpy().astype(np.int64)
@@ -1806,7 +1827,7 @@ def q_simhash(sf_dir: str):
         codes = np.array([f"{int(simhash64(x.split())):016x}" for x in txt], dtype=object)
         return t.select(["doc_id"]).append_column("simhash", pa.array(codes, pa.string()))
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(sh, batch_format="pyarrow")
+    return _read_split(sf_dir, "documents", ["doc_id", "text"]).map_batches(sh, batch_format="pyarrow")
 
 
 SQL_SIMHASH = """
@@ -1877,7 +1898,7 @@ def _minhash_verified_pairs(sf_dir: str) -> rd.Dataset:
 
     from .functions.dedup import batch_band_keys, shingle_hashes
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
         txt = t["text"].to_numpy(zero_copy_only=False)
@@ -2238,7 +2259,7 @@ def q_ngram_jaccard(sf_dir: str):
     """
     from .functions.dedup import shingle_hashes
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text"])
 
     def explode_all(t: pa.Table) -> pa.Table:
         txt = t["text"].to_numpy(zero_copy_only=False)
@@ -2433,7 +2454,7 @@ def q_fuzzy_dedup(sf_dir: str):
     D = 4
     SEG_STARTS = (0, 6, 12, 18, 25)
     SEG_LENS = (6, 6, 6, 7, 7)
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     keys = docs.map_batches(_edit_key_table, batch_format="pyarrow")
 
     def passjoin_postings(t: pa.Table) -> pa.Table:
@@ -2517,7 +2538,7 @@ def q_substring_dedup(sf_dir: str):
     from .functions.dedup import window_hashes
 
     K = 8
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
         txt = t["text"].to_numpy(zero_copy_only=False)
