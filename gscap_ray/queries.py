@@ -4341,10 +4341,10 @@ def q_image_features(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "image": pa.array(imgs, pa.binary())})
 
-    return (_read(sf_dir, "documents", ["doc_id"])
+    return (_read_split(sf_dir, "documents", ["doc_id"])
             .map_batches(attach_image, batch_format="pyarrow")
             .map_batches(ImageFeaturizer, batch_format="pyarrow",
-                         batch_size=256, concurrency=2))
+                         batch_size=256, concurrency=(2, 8)))
 
 
 SQL_IMAGE_FEATURES = """
@@ -4382,10 +4382,10 @@ def q_audio_features(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "audio": pa.array(clips, pa.binary())})
 
-    return (_read(sf_dir, "documents", ["doc_id"])
+    return (_read_split(sf_dir, "documents", ["doc_id"])
             .map_batches(attach_clip, batch_format="pyarrow")
             .map_batches(AudioFeaturizer, batch_format="pyarrow",
-                         batch_size=256, concurrency=2))
+                         batch_size=256, concurrency=(2, 8)))
 
 
 SQL_AUDIO_FEATURES = """
@@ -4428,10 +4428,10 @@ def q_video_frames(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "video": pa.array(clips, pa.binary())})
 
-    return (_read(sf_dir, "documents", ["doc_id"])
+    return (_read_split(sf_dir, "documents", ["doc_id"])
             .map_batches(attach_clip, batch_format="pyarrow")
             .map_batches(VideoFeaturizer, batch_format="pyarrow",
-                         batch_size=128, concurrency=2))
+                         batch_size=128, concurrency=(2, 8)))
 
 
 SQL_VIDEO_FRAMES = """
@@ -5653,10 +5653,10 @@ def q_png_features(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "image": pa.array(imgs, pa.binary())})
 
-    return (_read(sf_dir, "documents", ["doc_id"])
+    return (_read_split(sf_dir, "documents", ["doc_id"])
             .map_batches(attach_image, batch_format="pyarrow")
             .map_batches(ImageFeaturizer, batch_format="pyarrow",
-                         batch_size=256, concurrency=2))
+                         batch_size=256, concurrency=(2, 8)))
 
 
 SQL_PNG_FEATURES = """
