@@ -5748,6 +5748,182 @@ GROUP BY user_id
 """
 
 
+def q_lead_lag_delta(sf_dir: str):
+    """Per-key LAG window primitive (streaming §2.10 family): for every
+    event with a predecessor in its user's (ts, event_id)-ordered stream,
+    the gap to that predecessor in microseconds and the integer-cents
+    value delta. Scale shape: ONE hash shuffle on user_id % 64 part keys,
+    then a vectorized lexsort + segment shift per partition — the
+    label_partition pattern; no per-row Python, no window state on the
+    driver. All-integer outputs."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(np.round(t["value"].to_numpy() * 100).astype(np.int64),
+                              pa.int64()),
+            "part": pa.array(u % 64, pa.int32()),
+        })
+
+    def lagged(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64()),
+                             "dcents": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        c = t["cents"].to_numpy()
+        o = np.lexsort((eid, ts, u))
+        u, ts, eid, c = u[o], ts[o], eid[o], c[o]
+        has_prev = np.zeros(n, dtype=bool)
+        has_prev[1:] = u[1:] == u[:-1]
+        gap = np.empty(n, np.int64)
+        dc = np.empty(n, np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        dc[1:] = c[1:] - c[:-1]
+        m = has_prev
+        return pa.table({"event_id": pa.array(eid[m], pa.int64()),
+                         "user_id": pa.array(u[m], pa.int64()),
+                         "gap_us": pa.array(gap[m], pa.int64()),
+                         "dcents": pa.array(dc[m], pa.int64())})
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(lagged, batch_format="pyarrow"))
+
+
+SQL_LEAD_LAG_DELTA = """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS gap_us,
+       CAST(c - lag(c) OVER w AS BIGINT) AS dcents
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(event_id) OVER w IS NOT NULL
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """Distributed ANTI join (customers with no URGENT-priority order —
+    every customer has SOME order in the synthetic world, so the
+    unrestricted anti-join would be vacuously empty) via the cogroup
+    trick — the scale-lawful shape when the probe side is too big to
+    broadcast: union customer rows (tag 0, carrying payload) with the
+    DISTINCT qualifying order custkeys (tag 1), ONE hash shuffle on the
+    key, and a vectorized per-partition scan keeps keys whose group never
+    saw tag 1. No broadcast, no join operator, no driver state.
+    Complements q_bloom_semi_join (the semi side). All-integer output."""
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "nat": t["c_nationkey"].cast(pa.int64()),
+                         "tag": pa.array(np.zeros(k.size, np.int8), pa.int8()),
+                         "part": pa.array(k % 64, pa.int32())})
+
+    def tag_ord(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        k = np.unique(t["o_custkey"].to_numpy().astype(np.int64))
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "nat": pa.array(np.zeros(k.size, np.int64), pa.int64()),
+                         "tag": pa.array(np.ones(k.size, np.int8), pa.int8()),
+                         "part": pa.array(k % 64, pa.int32())})
+
+    def anti(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        tag = t["tag"].to_numpy()
+        nat = t["nat"].to_numpy()
+        o = np.lexsort((tag, key))
+        key, tag, nat = key[o], tag[o], nat[o]
+        # a key is ordered iff ANY row of its run is tag 1; runs are
+        # tag-sorted, so a run is clean iff its LAST row has tag 0
+        last = np.ones(key.shape[0], dtype=bool)
+        last[:-1] = key[1:] != key[:-1]
+        keep = last & (tag == 0)
+        return pa.table({"c_custkey": pa.array(key[keep], pa.int64()),
+                         "c_nationkey": pa.array(nat[keep], pa.int64())})
+
+    both = (cust.map_batches(tag_cust, batch_format="pyarrow")
+            .union(orders.map_batches(tag_ord, batch_format="pyarrow")))
+    out = (both.groupby("part").map_groups(anti, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:  # all-empty map_groups output loses its schema (Ray 2.49)
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                            "c_nationkey": pd.Series([], dtype=np.int64)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-active day, counts
+    of users active at each day offset. Two exchanges, no join: ONE
+    hash shuffle on user_id co-locates each user's full day set (group =
+    distinct days -> cohort = min -> offset rows), then a (cohort,
+    offset) count aggregate — the per-user state never leaves its task
+    and the output is O(days^2) tiny. All-integer."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def days(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        d = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+             // np.int64(86_400_000_000))
+        key = np.unique(u * np.int64(1 << 20) + d)  # per-batch (user, day) dedup
+        uu = key >> np.int64(20)
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "day": pa.array(key & np.int64((1 << 20) - 1), pa.int64()),
+                         "part": pa.array(uu % 64, pa.int32())})
+
+    def offsets(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        d = t["day"].to_numpy()
+        key = np.unique(u * np.int64(1 << 20) + d)  # global (user, day) dedup
+        uu, dd = key >> np.int64(20), key & np.int64((1 << 20) - 1)
+        first = np.ones(uu.shape[0], dtype=bool)
+        first[1:] = uu[1:] != uu[:-1]
+        cohort = np.repeat(dd[first], np.diff(np.append(np.flatnonzero(first), uu.shape[0])))
+        return pa.table({"cohort_day": pa.array(cohort, pa.int64()),
+                         "day_offset": pa.array(dd - cohort, pa.int64())})
+
+    out = (ev.map_batches(days, batch_format="pyarrow")
+           .groupby("part").map_groups(offsets, batch_format="pyarrow")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Count(alias_name="n_users"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+SQL_COHORT_RETENTION = """
+WITH dd AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events),
+c AS (SELECT user_id, min(day) AS cohort FROM dd GROUP BY user_id)
+SELECT c.cohort AS cohort_day, dd.day - c.cohort AS day_offset,
+       count(*) AS n_users
+FROM dd JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -5874,6 +6050,9 @@ QUERIES = {
     "outlier_filter": q_outlier_filter,
     "png_features": q_png_features,
     "partition_prune": q_partition_prune,
+    "lead_lag_delta": q_lead_lag_delta,
+    "anti_join": q_anti_join,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -5936,6 +6115,9 @@ ORACLE_SQL = {
     "outlier_filter": SQL_OUTLIER_FILTER,
     "png_features": SQL_PNG_FEATURES,
     "partition_prune": SQL_PARTITION_PRUNE,
+    "lead_lag_delta": SQL_LEAD_LAG_DELTA,
+    "anti_join": SQL_ANTI_JOIN,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
