@@ -113,9 +113,11 @@ def labeled_pages(pages_dir: str, polygons: list | None = None,
     ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
                         batch_format="pyarrow", batch_size=None)
     if polygons is not None:
-        # build the grid index once on the driver, broadcast the FINISHED
-        # enricher (unpickle is ~8x cheaper than a per-worker rebuild)
-        ref = ray.put(PipEnricher(polygons))
+        # grid index built once per (layer, session) on the driver, the
+        # FINISHED enricher broadcast (unpickle ~8x cheaper than rebuild)
+        from ..stages.enrich import broadcast_enricher
+
+        ref = broadcast_enricher(polygons)
         ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
                             batch_format="pyarrow", batch_size=None,
                             concurrency=enrich_concurrency)
@@ -207,7 +209,9 @@ def daily_features_direct(pages_dir: str, polygons: list | None = None,
     ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
                         batch_format="pyarrow", batch_size=None)
     if polygons is not None:
-        ref = ray.put(PipEnricher(polygons))  # prebuilt-index broadcast
+        from ..stages.enrich import broadcast_enricher
+
+        ref = broadcast_enricher(polygons)  # memoized prebuilt-index broadcast
         ds = ds.map_batches(make_pip_task(ref), batch_format="pyarrow", batch_size=None)
     ds = ds.select_columns(["host_hash", "part_key", "warc_ts", "lat", "lon"])
 
@@ -300,7 +304,9 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
                         batch_format="pyarrow", batch_size=None)
     ds = filter_out_partitions(ds, done)
     if polygons is not None:
-        ref = ray.put(PipEnricher(polygons))  # prebuilt-index broadcast
+        from ..stages.enrich import broadcast_enricher
+
+        ref = broadcast_enricher(polygons)  # memoized prebuilt-index broadcast
         ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
                             batch_format="pyarrow", concurrency=enrich_concurrency)
     labeled = ds.groupby("part_key").map_groups(label_partition, batch_format="pyarrow")
