@@ -106,10 +106,19 @@ def labeled_pages(pages_dir: str, polygons: list | None = None,
     derived from the input's footer row count."""
     import functools
 
-    from ..stages.geocode import dataset_num_rows, geocode_tile_batch, partitions_for
+    from ..stages.geocode import (
+        dataset_num_rows,
+        geocode_tile_batch,
+        partitions_for,
+        read_blocks_for,
+    )
 
-    parts = partitions_for(dataset_num_rows(pages_dir))
-    ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS)
+    n_rows = dataset_num_rows(pages_dir)
+    parts = partitions_for(n_rows)
+    # few-large-blocks read: the part_key exchange emits one object per
+    # (map block x reduce partition); see read_blocks_for
+    ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS,
+                         override_num_blocks=read_blocks_for(n_rows))
     ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
                         batch_format="pyarrow", batch_size=None)
     if polygons is not None:
@@ -202,10 +211,17 @@ def daily_features_direct(pages_dir: str, polygons: list | None = None,
     import functools
 
     from ..stages.enrich import make_pip_task
-    from ..stages.geocode import dataset_num_rows, geocode_tile_batch, partitions_for
+    from ..stages.geocode import (
+        dataset_num_rows,
+        geocode_tile_batch,
+        partitions_for,
+        read_blocks_for,
+    )
 
-    parts = partitions_for(dataset_num_rows(pages_dir))
-    ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
+    n_rows = dataset_num_rows(pages_dir)
+    parts = partitions_for(n_rows)
+    ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"],
+                         override_num_blocks=read_blocks_for(n_rows))
     ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
                         batch_format="pyarrow", batch_size=None)
     if polygons is not None:
@@ -288,10 +304,16 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
         run_partitioned,
     )
 
-    from ..stages.geocode import dataset_num_rows, geocode_tile_batch, partitions_for
+    from ..stages.geocode import (
+        dataset_num_rows,
+        geocode_tile_batch,
+        partitions_for,
+        read_blocks_for,
+    )
     from ..state.checkpoint import run_is_complete
 
-    parts = partitions_for(dataset_num_rows(pages_dir))
+    n_rows = dataset_num_rows(pages_dir)
+    parts = partitions_for(n_rows)
     # partition count rides along so manifests written under a different
     # layout (e.g. a changed partitions_for target) never validate
     done = completed_partitions(out_dir, input_fingerprint, parts)
@@ -299,7 +321,8 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
         # prior run drained fully for this input: nothing to read at all
         return {"partitions": 0, "written": 0, "skipped": 0,
                 "rows_written": 0, "skipped_at_read": len(done)}
-    ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS)
+    ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS,
+                         override_num_blocks=read_blocks_for(n_rows))
     ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
                         batch_format="pyarrow", batch_size=None)
     ds = filter_out_partitions(ds, done)
