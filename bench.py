@@ -305,9 +305,10 @@ def run_bench() -> dict:
     timed("distributed_dbscan", spatial_dbscan)
 
     headline = round(sum(v for k, v in timings.items()
-                         if k not in ("pages_per_sec", "flagship_pages_run1",
-                                      "flagship_pages_run2", "labeled_pages",
-                                      "labeled_pages_per_sec")), 3)
+                         if isinstance(v, (int, float))
+                         and k not in ("pages_per_sec", "flagship_pages_run1",
+                                       "flagship_pages_run2", "labeled_pages",
+                                       "labeled_pages_per_sec")), 3)
 
     # checkpoint write + resume short-circuit at the bench scale (VERDICT
     # r3 #8): full pages world through the partitioned checkpoint sink,
