@@ -207,3 +207,21 @@ def test_label_partition_equals_per_host_path(ray_session):
         assert np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True), col
     # byte identity of text through the new path
     assert (new["text"].values == old["text"].values).all()
+
+
+def test_read_blocks_for_sizing():
+    """Block sizing: ~250k rows/block, floored at cluster CPUs (one map wave
+    fills every core), capped so the exchange object count stays bounded."""
+    import ray
+
+    from gscap_ray.stages.geocode import read_blocks_for
+
+    ncpus = int(ray.cluster_resources()["CPU"])
+    assert read_blocks_for(None) is None
+    assert read_blocks_for(0) is None
+    # tiny input: floored at the CPU count, never zero
+    assert read_blocks_for(10_000) == max(ncpus, 1)
+    # bench shape: 8M rows -> max(ncpus, 32) blocks
+    assert read_blocks_for(8_000_000) == max(ncpus, 32)
+    # huge input: capped (sub-object count must stay bounded)
+    assert read_blocks_for(10**12) <= 4096
