@@ -358,6 +358,7 @@ def run_bench() -> dict:
           lambda: consume(Q.q_histogram_quantiles(sf_dir)))
     timed("outlier_filter", lambda: Q.q_outlier_filter(sf_dir))
     timed("png_features", lambda: consume(Q.q_png_features(sf_dir)))
+    timed("jpeg_dc_stats", lambda: consume(Q.q_jpeg_dc_stats(sf_dir)))
     timed("partition_prune", lambda: Q.q_partition_prune(sf_dir))
 
     def finish() -> dict:

@@ -1,10 +1,11 @@
 """Pure-numpy image kernels for multimodal binary columns.
 
 The container ships no image codecs, but PPM (P6) is a trivial
-self-describing format and PNG is exactly decodable with stdlib zlib
-(functions/png.py) — so both decode / resize / feature-extract paths are
-REAL here (bytes -> pixel array -> features), not stubs; only JPEG (lossy
-DCT, unverifiable offline) remains behind the NotImplementedError gate.
+self-describing format, PNG is exactly decodable with stdlib zlib
+(functions/png.py), and baseline JPEG is implemented from the spec in
+functions/jpeg.py (canonical-Huffman entropy layer byte-verified, DCT
+transform layer pinned by transform-reference tests) — all three decode /
+resize / feature-extract paths are REAL (bytes -> pixels -> features).
 
 Deterministic synthetic images: pixel(x, y, ch) is integer arithmetic on
 (img_id, x, y, ch), so per-channel statistics are replicable in oracle SQL
@@ -61,10 +62,10 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-sniffing decode: P6 PPM and 8-bit PNG are REAL decode paths
-    (PNG via functions/png.py — stdlib zlib + numpy unfiltering); JPEG
-    stays environment-gated (lossy DCT codec, not byte-verifiable
-    offline). Returns uint8 (h, w, c)."""
+    """Magic-sniffing decode: P6 PPM, 8-bit PNG and baseline JPEG are ALL
+    real decode paths (PNG via functions/png.py — stdlib zlib + numpy
+    unfiltering; JPEG via functions/jpeg.py — full marker walk, canonical
+    Huffman, DPCM/zigzag, dequant + IDCT). Returns uint8 (h, w[, c])."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
@@ -72,8 +73,9 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return decode_png(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG needs a DCT codec, not present in this environment")
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError("unrecognized image format")
 
 

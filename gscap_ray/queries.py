@@ -5676,6 +5676,60 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_jpeg_dc_stats(sf_dir: str):
+    """Multimodal with a REAL LOSSY-image decode: one deterministic 16x16
+    grayscale JPEG per document — four 8x8-FLAT blocks, block luma
+    c = (doc_id*29 + bi*53 + bj*97 + 11) % 256 — encoded in the pipeline
+    by the from-spec baseline encoder (computed canonical Huffman tables
+    emitted as DHT; functions/jpeg.py), then ENTROPY-DECODED by the
+    JpegDcExtractor actor pool (marker walk, Huffman, DC DPCM, zigzag,
+    byte unstuffing — no IDCT).
+
+    Oracle design: the entropy layer is lossless, and flat blocks make
+    each quantized DC a closed form the SQL recomputes exactly —
+    round_even((c-128)*8/13), never a .5 boundary because 13 is odd
+    (16*(c-128) = 13*odd has no solution), so numpy and DuckDB provably
+    round identically. A byte-exact match proves the whole entropy layer
+    end to end; the transform layer (DCT/IDCT) is pinned separately by
+    tests/test_jpeg.py's transform-reference equalities."""
+    from .functions.jpeg import encode_jpeg
+    from .stages.multimodal import JpegDcExtractor
+
+    def synth(img_id: int) -> np.ndarray:
+        bi = np.arange(2, dtype=np.int64)[:, None]
+        bj = np.arange(2, dtype=np.int64)[None, :]
+        colors = (int(img_id) * 29 + bi * 53 + bj * 97 + 11) % 256
+        return np.repeat(np.repeat(colors, 8, axis=0),
+                         8, axis=1).astype(np.uint8)
+
+    def attach_image(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        imgs = [encode_jpeg(synth(int(i))) for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "image": pa.array(imgs, pa.binary())})
+
+    return (_read_split(sf_dir, "documents", ["doc_id"])
+            .map_batches(attach_image, batch_format="pyarrow")
+            .map_batches(JpegDcExtractor, batch_format="pyarrow",
+                         batch_size=256, concurrency=(2, 8)))
+
+
+SQL_JPEG_DC_STATS = """
+WITH b AS (SELECT bi, bj FROM range(2) t1(bi), range(2) t2(bj)),
+dc AS (SELECT d.doc_id,
+              CAST(round_even(((d.doc_id*29 + b.bi*53 + b.bj*97 + 11) % 256
+                               - 128) * 8.0 / 13, 0) AS BIGINT) AS dcq
+       FROM documents d, b)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       count(*) AS n_blocks,
+       CAST(sum(dcq) AS BIGINT) AS dc_sum,
+       min(dcq) AS dc_min,
+       max(dcq) AS dc_max
+FROM dc GROUP BY doc_id
+"""
+
+
 def _events_hive_for(sf_dir: str) -> str:
     """events re-laid-out as a hive-partitioned dataset
     (event_type=<v>/...), written once per sf to /tmp — the input for the
@@ -6049,6 +6103,7 @@ QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "outlier_filter": q_outlier_filter,
     "png_features": q_png_features,
+    "jpeg_dc_stats": q_jpeg_dc_stats,
     "partition_prune": q_partition_prune,
     "lead_lag_delta": q_lead_lag_delta,
     "anti_join": q_anti_join,
@@ -6114,6 +6169,7 @@ ORACLE_SQL = {
     "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
     "outlier_filter": SQL_OUTLIER_FILTER,
     "png_features": SQL_PNG_FEATURES,
+    "jpeg_dc_stats": SQL_JPEG_DC_STATS,
     "partition_prune": SQL_PARTITION_PRUNE,
     "lead_lag_delta": SQL_LEAD_LAG_DELTA,
     "anti_join": SQL_ANTI_JOIN,

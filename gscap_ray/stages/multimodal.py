@@ -1,13 +1,15 @@
 """Multimodal column stages: opaque binary payloads (image/audio/video)
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Decode paths that need no external codec are REAL: PPM and PNG images
-(ImageFeaturizer — PNG via stdlib zlib + numpy unfiltering), PCM16 WAV
-audio (AudioFeaturizer), Y4M video with frame sampling (VideoFeaturizer).
-Only codecs that cannot be verified offline stay environment-gated behind
-NotImplementedError (JPEG, MP3/OGG/FLAC, H.264/VP9/AV1), and the generic
-BinaryFeatureExtractor keeps a deterministic payload-hash stub for the
-plug-a-model path. Everything Ray-side is real and tested: schema handling
+Decode paths that need no external codec are REAL: PPM, PNG and baseline
+JPEG images (ImageFeaturizer — PNG via stdlib zlib + numpy unfiltering,
+JPEG via the from-spec codec in functions/jpeg.py; JpegDcExtractor exposes
+the entropy layer's quantized DC coefficients for integer-exact oracles),
+PCM16 WAV audio (AudioFeaturizer), Y4M video with frame sampling
+(VideoFeaturizer). Only codecs that cannot be verified offline stay
+environment-gated behind NotImplementedError (MP3/OGG/FLAC,
+H.264/VP9/AV1), and the generic BinaryFeatureExtractor keeps a
+deterministic payload-hash stub for the plug-a-model path. Everything Ray-side is real and tested: schema handling
 for binary columns, actor-pool signature, batch sizing for large payloads,
 zero-copy pass-through of the bytes, and the output layouts.
 
@@ -80,12 +82,12 @@ class BinaryFeatureExtractor:
 
 
 class ImageFeaturizer:
-    """Actor-pool stage with REAL decode paths: binary PPM or PNG
-    payloads -> decode (pure-numpy P6 parser; stdlib-zlib + numpy
-    unfiltering PNG decoder, functions/png.py) -> optional bilinear
-    resize -> per-channel statistics columns. No stub: neither format
-    needs an external codec. JPEG stays behind a NotImplementedError
-    gate (lossy DCT, not byte-verifiable offline)."""
+    """Actor-pool stage with REAL decode paths: binary PPM, PNG or
+    baseline JPEG payloads -> decode (pure-numpy P6 parser; stdlib-zlib +
+    numpy unfiltering PNG decoder, functions/png.py; from-spec baseline
+    JPEG decoder, functions/jpeg.py) -> optional bilinear resize ->
+    per-channel statistics columns. No stub: none of the three formats
+    needs an external codec."""
 
     def __init__(self, payload_col: str = "image", resize_to: int | None = None,
                  drop_payload: bool = True):
@@ -114,6 +116,41 @@ class ImageFeaturizer:
                 .append_column("b_mean", pa.array(cols["b_mean"], pa.float64()))
                 .append_column("px_min", pa.array(cols["px_min"], pa.int64()))
                 .append_column("px_max", pa.array(cols["px_max"], pa.int64())))
+
+
+class JpegDcExtractor:
+    """Actor-pool stage over binary JPEG payloads: entropy-decode only
+    (marker walk + canonical Huffman + DC DPCM, functions/jpeg.py) and
+    emit integer statistics of the first component's quantized DC
+    coefficients. No IDCT runs — this is the byte-verifiable half of the
+    codec, and the jpeg_dc_stats query oracles it in closed-form integer
+    SQL (flat 8x8 blocks make each DC = round_even((c-128)*8/q))."""
+
+    def __init__(self, payload_col: str = "image", drop_payload: bool = True):
+        from ..functions import jpeg
+
+        self.payload_col = payload_col
+        self.drop_payload = drop_payload
+        self._jpeg = jpeg  # module bound once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        cols: dict[str, list[int]] = {k: [] for k in (
+            "width", "height", "n_blocks", "dc_sum", "dc_min", "dc_max")}
+        for p in payloads:
+            h, w, coeffs, _tables = self._jpeg.decode_jpeg_coeffs(p)
+            dc = coeffs[0][:, 0].astype(np.int64)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_blocks"].append(dc.shape[0])
+            cols["dc_sum"].append(int(dc.sum()))
+            cols["dc_min"].append(int(dc.min()))
+            cols["dc_max"].append(int(dc.max()))
+        out = batch.drop_columns([self.payload_col]) if self.drop_payload \
+            else batch
+        for k, v in cols.items():
+            out = out.append_column(k, pa.array(v, pa.int64()))
+        return out
 
 
 class AudioFeaturizer:
