@@ -5989,9 +5989,11 @@ QUERIES = {
     "next_phase_cores": q_next_phase_cores,
     # r4: the multimodal window slots go to the REAL codec paths — the
     # generic binary-payload extractor (multimodal_features) is witnessed
-    # in-window by image_features (PPM) + video_frames (Y4M) over the same
-    # actor-pool plumbing and moves out of the window
-    "image_features": q_image_features,
+    # in-window by jpeg_dc_stats (the codec family's strongest member:
+    # real lossy decode, closed-form integer oracle) + video_frames (Y4M)
+    # over the same actor-pool plumbing; image_features (PPM) and
+    # png_features carry the witnesses out of the window
+    "jpeg_dc_stats": q_jpeg_dc_stats,
     "video_frames": q_video_frames,
     "pairwise_distances": q_pairwise_distances,
     "cell_dedup": q_cell_dedup,
@@ -6103,7 +6105,7 @@ QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "outlier_filter": q_outlier_filter,
     "png_features": q_png_features,
-    "jpeg_dc_stats": q_jpeg_dc_stats,
+    "image_features": q_image_features,
     "partition_prune": q_partition_prune,
     "lead_lag_delta": q_lead_lag_delta,
     "anti_join": q_anti_join,
