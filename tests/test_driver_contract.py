@@ -30,13 +30,14 @@ def test_driver_window_holds_flagship():
     must_be_checked = {
         "pages_label_stats", "pages_entries", "pages_daily_features",
         "pages_clusters", "pages_cluster_metrics", "spatial_clusters",
-        "next_phase_cores", "image_features", "video_frames",
+        "next_phase_cores", "jpeg_dc_stats", "video_frames",
         "pairwise_distances", "cell_dedup", "raster_sample",
         "weather_daily", "pages_next_phase", "minhash_dedup",
         "fuzzy_dedup", "embedding_dupes_lsh", "ann_topk", "ann_lsh_recall",
     }
-    # r4 recuration: multimodal_features (generic binary extractor) is
-    # witnessed in-window by the two real codec paths above and moved out
+    # r4 recuration: multimodal_features (generic binary extractor) and
+    # image_features (PPM) are witnessed in-window by jpeg_dc_stats (real
+    # lossy codec) + video_frames over the same plumbing and moved out
     missing = must_be_checked - set(window)
     assert not missing, f"flagship queries outside the driver window: {missing}"
     oracles = set(E.oracle_sql())

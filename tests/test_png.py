@@ -62,7 +62,9 @@ def test_decode_image_dispatch():
     img = synth_pixels(9)
     assert np.array_equal(decode_image(encode_ppm(img)), img)
     assert np.array_equal(decode_image(encode_png(img)), img)
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG is a real decode path since late r4 (functions/jpeg.py);
+    # malformed JPEG bytes still fail loudly
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0junk")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a...")
