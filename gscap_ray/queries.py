@@ -5978,6 +5978,64 @@ GROUP BY 1, 2
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (the search/retrieval primitive): token ->
+    document frequency + the head of its sorted posting list.
+
+    Scale shape: per-batch DISTINCT (token, doc_id) pairs collapse inside
+    ``map_batches`` before the exchange (a token repeated within one doc
+    never leaves its block twice), then ONE hash shuffle on the token key
+    and a per-group finish. Output keeps df exact and caps the posting
+    list at the first 16 doc ids — at corpus scale the full postings
+    would be written as delta-encoded ``list<int64>`` chunks partitioned
+    by token hash (one parquet dir per bucket, the resumable unit); the
+    head cap here keeps the byte-compare bounded while still proving
+    distinctness, grouping and ordering end to end."""
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("").str.strip()
+        ids = pd.Series(t["doc_id"].to_numpy())
+        toks = s.str.split().explode()
+        keep = toks.notna()
+        df = pd.DataFrame({"token": toks[keep],
+                           "doc_id": ids.reindex(toks.index[keep]).values})
+        df = df.drop_duplicates()
+        return pa.table({"token": pa.array(df["token"].to_numpy(dtype=object), pa.string()),
+                         "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64())})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())  # sorted distinct
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "df": np.array([ids.shape[0]], np.int64),
+            "postings_head": [",".join(str(i) for i in ids[:16])],
+        })
+
+    out = (docs.map_batches(pairs, batch_format="pyarrow")
+           .groupby("token").map_groups(finish, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("token").reset_index(drop=True)
+
+
+SQL_INVERTED_INDEX = """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+p AS (SELECT DISTINCT token, doc_id
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)),
+r AS (SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM p)
+SELECT token,
+       count(*) AS df,
+       string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings_head
+FROM r GROUP BY token
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -6110,6 +6168,7 @@ QUERIES = {
     "lead_lag_delta": q_lead_lag_delta,
     "anti_join": q_anti_join,
     "cohort_retention": q_cohort_retention,
+    "inverted_index": q_inverted_index,
 }
 
 ORACLE_SQL = {
@@ -6176,6 +6235,7 @@ ORACLE_SQL = {
     "lead_lag_delta": SQL_LEAD_LAG_DELTA,
     "anti_join": SQL_ANTI_JOIN,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "inverted_index": SQL_INVERTED_INDEX,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
