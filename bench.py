@@ -408,14 +408,25 @@ def run_bench() -> dict:
     def flagship_skew():
         daily_features_direct(skew_dir, polygons=polys).count()
 
-    # best-of-2 like the uniform flagship — a single-shot skew run against
-    # a best-of-2 uniform run inflates the ratio with box noise (observed
-    # +/-40%: a clean r3 run recorded 17.7 vs runs of 13.8/9.7 uniform)
+    # PAIRED comparison (late r4): the suite-start flagship number is
+    # measured ~40 queries before this point, and suite-internal
+    # object-store state drifts timings by 1.5-2x — r4 measured skew
+    # ratios of 1.48 against the stale baseline vs 1.02 against a paired
+    # one (interleaved same-session A/B). Re-time the uniform world HERE
+    # and pair both best-of-2s.
+    timed("flagship_pages_uniform_paired_run1", flagship)
+    timed("flagship_pages_uniform_paired_run2", flagship)
+    timings["flagship_pages_uniform_paired"] = min(
+        timings["flagship_pages_uniform_paired_run1"],
+        timings["flagship_pages_uniform_paired_run2"])
     timed("flagship_pages_skew_run1", flagship_skew)
     timed("flagship_pages_skew_run2", flagship_skew)
     timings["flagship_pages_skew"] = min(timings["flagship_pages_skew_run1"],
                                          timings["flagship_pages_skew_run2"])
     timings["skew_ratio"] = round(
+        timings["flagship_pages_skew"]
+        / timings["flagship_pages_uniform_paired"], 3)
+    timings["skew_ratio_vs_suite_start"] = round(
         timings["flagship_pages_skew"] / timings["flagship_pages"], 3)
 
     def hot_cells_skew():
