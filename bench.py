@@ -285,8 +285,11 @@ def run_bench() -> dict:
         return pa.table({"h3_r7": pa.array(
             hex_cell_id(lat, lon, 7).view(np.int64), pa.int64())})
 
+    from gscap_ray.stages.geocode import read_blocks_for
+
     def hot_cells():
-        ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
+        ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"],
+                             override_num_blocks=read_blocks_for(n_pages))
         ds = ds.map_batches(cell_only, batch_format="pyarrow", batch_size=None)
         # salt=0: ~30k distinct cells means per-batch partials already spread
         # the load; salting is for the few-hot-keys regime (tests cover it)
@@ -430,7 +433,8 @@ def run_bench() -> dict:
         timings["flagship_pages_skew"] / timings["flagship_pages"], 3)
 
     def hot_cells_skew():
-        ds = rd.read_parquet(skew_dir, columns=["url", "warc_ts"])
+        ds = rd.read_parquet(skew_dir, columns=["url", "warc_ts"],
+                             override_num_blocks=read_blocks_for(n_pages))
         ds = ds.map_batches(cell_only, batch_format="pyarrow", batch_size=None)
         # salt>0: the planted hot host makes a few tile keys hold ~10% of
         # rows — the exact few-hot-keys regime the salt exists for
