@@ -365,3 +365,26 @@ def grid_cell_id(lat_deg, lon_deg, cell_deg: float = 0.1) -> np.ndarray:
     cy = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
     cx = np.floor((lon + 180.0) / cell_deg).astype(np.int64)
     return cy * ncols + cx
+
+
+def morton_spread16(x) -> np.ndarray:
+    """Spread the low 16 bits of ``x`` onto the even bit positions of a
+    32-bit lane (b15..b1b0 -> 0b15..0b1 0b0) with the classic magic-mask
+    doubling — the vectorized building block of the Z-order encoder."""
+    v = np.asarray(x).astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def morton_key16(qx, qy) -> np.ndarray:
+    """32-bit Z-order (Morton) key of two 16-bit quantized coordinates —
+    x bits on even positions, y bits on odd.  Keys sharing a high-bit
+    prefix share a quadtree tile, so sorting by the key co-locates
+    spatial neighbors: the write layout that makes per-file min/max
+    pruning effective (reference tiling semantics: gscap/gps.py cluster
+    locality; layout technique is standard Z-order curve literature)."""
+    return (morton_spread16(qx)
+            | (morton_spread16(qy) << np.uint64(1))).astype(np.int64)

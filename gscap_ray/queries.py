@@ -6036,6 +6036,211 @@ FROM r GROUP BY token
 """
 
 
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout pass — the tiling engine's file-layout op:
+    quantize each point to a 16-bit (qx, qy) grid, interleave the bits
+    into a 32-bit Z key, and report per top-10-bit Z tile (1024 buckets)
+    the min/max bounding box a reader would prune on, plus the head of
+    the Z-sorted order inside the tile.
+
+    Scale shape: ONE per-batch combiner emits per (batch x bucket) a
+    stats row carrying count/min/max AND the batch's top-8 (zkey,
+    event_id) pairs as list columns, so the only exchange is a groupby
+    over <= 1024 x n_batches partial rows — never the points themselves.
+    At production scale the same keys feed write_parquet partitioning
+    (one file run per Z range); the head column here is the byte-compare
+    device for the global order."""
+    from .functions.cells import morton_key16
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        qx = np.floor(((lon + 180.0) / 360.0) * 65536.0).astype(np.int64)
+        qy = np.floor(((lat + 90.0) / 180.0) * 65536.0).astype(np.int64)
+        zk = morton_key16(qx, qy)
+        df = pd.DataFrame({"bucket": zk >> 22, "zkey": zk,
+                           "event_id": t["event_id"].to_numpy(),
+                           "qx": qx, "qy": qy})
+        df = df.sort_values(["bucket", "zkey", "event_id"], kind="stable")
+        g = df.groupby("bucket", sort=True)
+        agg = g.agg(n=("zkey", "size"),
+                    min_qx=("qx", "min"), max_qx=("qx", "max"),
+                    min_qy=("qy", "min"), max_qy=("qy", "max"))
+        heads = df.groupby("bucket", sort=True).head(8)
+        hz = heads.groupby("bucket", sort=True)["zkey"].apply(list)
+        he = heads.groupby("bucket", sort=True)["event_id"].apply(list)
+        return pa.table({
+            "bucket": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "min_qx": pa.array(agg["min_qx"].to_numpy(np.int64), pa.int64()),
+            "max_qx": pa.array(agg["max_qx"].to_numpy(np.int64), pa.int64()),
+            "min_qy": pa.array(agg["min_qy"].to_numpy(np.int64), pa.int64()),
+            "max_qy": pa.array(agg["max_qy"].to_numpy(np.int64), pa.int64()),
+            "hz": pa.array(hz.tolist(), pa.list_(pa.int64())),
+            "he": pa.array(he.tolist(), pa.list_(pa.int64())),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        z = np.concatenate([np.asarray(x, np.int64) for x in g["hz"]])
+        e = np.concatenate([np.asarray(x, np.int64) for x in g["he"]])
+        o = np.lexsort((e, z))[:8]
+        return pd.DataFrame({
+            "bucket": np.array([g["bucket"].iloc[0]], np.int64),
+            "n": np.array([g["n"].sum()], np.int64),
+            "min_qx": np.array([g["min_qx"].min()], np.int64),
+            "max_qx": np.array([g["max_qx"].max()], np.int64),
+            "min_qy": np.array([g["min_qy"].min()], np.int64),
+            "max_qy": np.array([g["max_qy"].max()], np.int64),
+            "head_events": [",".join(str(v) for v in e[o])],
+        })
+
+    return (_points_ds(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pandas"))
+
+
+def _sql_zorder_layout() -> str:
+    qx = "CAST(floor(((lon + 180.0) / 360.0) * 65536.0) AS BIGINT)"
+    qy = "CAST(floor(((lat + 90.0) / 180.0) * 65536.0) AS BIGINT)"
+    terms = " | ".join(
+        [f"(((qx >> {i}) & 1) << {2 * i})" for i in range(16)]
+        + [f"(((qy >> {i}) & 1) << {2 * i + 1})" for i in range(16)])
+    return f"""
+WITH q AS (SELECT event_id, {qx} AS qx, {qy} AS qy FROM ({_PTS_SQL})),
+z AS (SELECT event_id, qx, qy, ({terms}) AS zkey FROM q),
+b AS (SELECT event_id, qx, qy, zkey, zkey >> 22 AS bucket FROM z),
+r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                   ORDER BY zkey, event_id) AS rn FROM b)
+SELECT bucket, count(*) AS n,
+       min(qx) AS min_qx, max(qx) AS max_qx,
+       min(qy) AS min_qy, max(qy) AS max_qy,
+       string_agg(CASE WHEN rn <= 8 THEN CAST(event_id AS VARCHAR) END,
+                  ',' ORDER BY zkey, event_id) AS head_events
+FROM r GROUP BY bucket
+"""
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user overlapping-interval merge (stay-interval coverage): each
+    event opens an interval of (event_id % 3600 + 60) seconds; merge
+    overlaps into islands and report islands / covered / longest in
+    integer microseconds (all-integer output = zero float-parity risk).
+
+    Scale shape: one hash shuffle on user_id, then a vectorized
+    sort + running-max island scan per group — the same per-key ordered
+    pass the sessionizer uses (reference gps.py sessionization
+    semantics)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        e = s + (eid % 3600 + 60) * 1_000_000
+        o = np.lexsort((eid, e, s))
+        s, e = s[o], e[o]
+        cm = np.maximum.accumulate(e)
+        new = np.ones(s.size, bool)
+        new[1:] = s[1:] > cm[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], s.size) - 1
+        cov = cm[ends] - s[starts]
+        return pd.DataFrame({
+            "user_id": np.array([g["user_id"].iloc[0]], np.int64),
+            "n_islands": np.array([starts.size], np.int64),
+            "covered_us": np.array([cov.sum()], np.int64),
+            "longest_us": np.array([cov.max()], np.int64),
+        })
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + (event_id % 3600 + 60) * 1000000 AS e
+            FROM events),
+w AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+      FROM iv),
+isl AS (SELECT user_id, s, e,
+               sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM w),
+g AS (SELECT user_id, island, max(e) - min(s) AS cov
+      FROM isl GROUP BY user_id, island)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us,
+       max(cov) AS longest_us
+FROM g GROUP BY user_id
+"""
+
+
+def q_balanced_ranges(sf_dir: str):
+    """Weighted balanced range partitioner over grid cells — the explicit
+    skew-rebalancing primitive the north rule names: per-cell counts come
+    back as METADATA (O(#cells), never rows), the driver derives K=32
+    equal-weight contiguous cell ranges by exclusive-prefix weight
+    (part = min(31, cum_before*32 // total)), and the assignment table is
+    broadcast once (ray.put) so the row pass re-counts per part with a
+    searchsorted lookup — proving boundaries and assignment end to end.
+
+    Scale shape: two small exchanges (cell counts, part counts), one
+    broadcast; this is exactly how a balanced repartition-by-range step
+    sizes its output files under a skewed spatial distribution."""
+    import ray
+
+    from .functions.cells import grid_cell_id
+    from .ops import partial_count
+
+    def cellify(t: pa.Table) -> pa.Table:
+        c = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        return pa.table({"cell": pa.array(c, pa.int64())})
+
+    pts = _points_ds(sf_dir).map_batches(cellify, batch_format="pyarrow")
+    counts = partial_count(pts, "cell").to_pandas().sort_values("cell")
+    cells = counts["cell"].to_numpy(np.int64)
+    cnt = counts["n"].to_numpy(np.int64)
+    tot = int(cnt.sum())
+    cb = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    part = np.minimum(31, (cb * 32) // tot).astype(np.int64)
+    ref = ray.put((cells, part))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cs, pt = ray.get(ref)
+        idx = np.searchsorted(cs, t["cell"].to_numpy())
+        return pa.table({"part": pa.array(pt[idx], pa.int64())})
+
+    nrows = partial_count(pts.map_batches(assign, batch_format="pyarrow"),
+                          "part").to_pandas().rename(columns={"n": "n_rows"})
+    meta = (pd.DataFrame({"part": part, "cell": cells, "cnt": cnt})
+            .groupby("part")
+            .agg(n_cells=("cell", "size"), min_cell=("cell", "min"),
+                 max_cell=("cell", "max")).reset_index())
+    out = meta.merge(nrows, on="part").sort_values("part")
+    return out[["part", "n_rows", "n_cells",
+                "min_cell", "max_cell"]].reset_index(drop=True)
+
+
+SQL_BALANCED_RANGES = f"""
+WITH pts AS (SELECT CAST(floor((lat+90)/0.1) AS BIGINT)*3600
+                    + CAST(floor((lon+180)/0.1) AS BIGINT) AS cell
+             FROM ({_PTS_SQL})),
+c AS (SELECT cell, count(*) AS cnt FROM pts GROUP BY cell),
+cum AS (SELECT cell, cnt,
+               CAST(COALESCE(sum(cnt) OVER (ORDER BY cell
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cb,
+               CAST(sum(cnt) OVER () AS BIGINT) AS tot
+        FROM c),
+p AS (SELECT cell, cnt, LEAST(31, (cb * 32) // tot) AS part FROM cum)
+SELECT part, CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_cells,
+       min(cell) AS min_cell, max(cell) AS max_cell
+FROM p GROUP BY part
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -6169,6 +6374,9 @@ QUERIES = {
     "anti_join": q_anti_join,
     "cohort_retention": q_cohort_retention,
     "inverted_index": q_inverted_index,
+    "zorder_layout": q_zorder_layout,
+    "interval_coverage": q_interval_coverage,
+    "balanced_ranges": q_balanced_ranges,
 }
 
 ORACLE_SQL = {
@@ -6236,6 +6444,9 @@ ORACLE_SQL = {
     "anti_join": SQL_ANTI_JOIN,
     "cohort_retention": SQL_COHORT_RETENTION,
     "inverted_index": SQL_INVERTED_INDEX,
+    "zorder_layout": _sql_zorder_layout(),
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "balanced_ranges": SQL_BALANCED_RANGES,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -31,7 +31,8 @@ SUBSET = [
     "bloom_semi_join", "per_group_topk", "rollup_sales", "pivot_events",
     "local_revenue", "running_total", "funnel_counts",
     "histogram_quantiles", "outlier_filter", "png_features",
-    "partition_prune",
+    "partition_prune", "zorder_layout", "interval_coverage",
+    "balanced_ranges",
 ]
 
 
