@@ -6241,6 +6241,70 @@ FROM p GROUP BY part
 """
 
 
+def q_components(sf_dir: str):
+    """Distributed connected components — ops.connected_components (the
+    alternating large-/small-star contraction that also powers the dedup
+    cluster builder and the DBSCAN cross-partition merge,
+    pipelines/spatial.py) — put directly under a DuckDB oracle: a
+    recursive min-label-propagation CTE recomputes every component's
+    minimum id.
+
+    Graph: block-local synthetic edges u = user_id,
+    v = (user_id // 32) * 32 + md5(event_id) % 32 over every 4th event,
+    self-loops dropped, globally deduped. Components are confined to
+    32-node blocks by construction, so the SQL recursion's frontier stays
+    linear in nodes while the Ray side runs the identical path it runs on
+    unbounded graphs. Output: (id, rep) for every node in an edge, rep =
+    component minimum."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    from .functions.text import md5_token_hash64
+    from .ops import connected_components
+
+    nb = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"],
+                         override_num_blocks=nb)
+
+    def edge_batch(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        keep = (eid % 4) == 0
+        u = t["user_id"].to_numpy()[keep].astype(np.int64)
+        h = md5_token_hash64([str(x) for x in eid[keep].tolist()])
+        v = (u // 32) * 32 + (h % np.uint64(32)).astype(np.int64)
+        m = u != v
+        key = np.unique((u[m] << np.int64(32)) | v[m])  # per-batch dedup
+        return pa.table({"u": pa.array(key >> np.int64(32), pa.int64()),
+                         "v": pa.array(key & np.int64(0xFFFFFFFF),
+                                       pa.int64())})
+
+    edges = (ev.map_batches(edge_batch, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["u", "v"]))
+    return connected_components(edges)
+
+
+SQL_COMPONENTS = """
+WITH RECURSIVE
+ed AS (SELECT DISTINCT user_id AS u,
+              (user_id // 32) * 32
+                + CAST(md5_number_lower(CAST(event_id AS VARCHAR)) % 32
+                       AS BIGINT) AS v
+       FROM events WHERE event_id % 4 = 0),
+ge AS (SELECT u, v FROM ed WHERE u != v),
+e AS (SELECT u, v FROM ge UNION SELECT v, u FROM ge),
+n AS (SELECT DISTINCT u AS id FROM e),
+reach(id, r) AS (
+    SELECT id, id FROM n
+    UNION
+    SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+    WHERE reach.r < e.v
+)
+SELECT id, min(r) AS rep FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -6377,6 +6441,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "interval_coverage": q_interval_coverage,
     "balanced_ranges": q_balanced_ranges,
+    "components": q_components,
 }
 
 ORACLE_SQL = {
@@ -6447,6 +6512,7 @@ ORACLE_SQL = {
     "zorder_layout": _sql_zorder_layout(),
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "balanced_ranges": SQL_BALANCED_RANGES,
+    "components": SQL_COMPONENTS,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -113,3 +113,27 @@ def test_dedup_representatives_tie_semantics(tmp_path):
     reps = dict(zip(out["doc_id"], out["rep"]))
     assert reps[0] == reps[1] == reps[2] == 0
     assert reps[3] == reps[4] == 3
+
+
+def test_components_query_star_path_parity(ray_session, monkeypatch):
+    # the components query normally takes the single-task fast path at
+    # test scale; the distributed star-contraction path must produce the
+    # identical (id, rep) table on the same graph
+    import gscap_ray.ops as ops
+    import gscap_ray.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast = Q.q_components(sf).to_pandas().sort_values("id").reset_index(drop=True)
+
+    orig = ops.connected_components
+
+    def forced(edges, **kw):
+        kw["small_edges"] = 0
+        return orig(edges, **kw)
+
+    monkeypatch.setattr(ops, "connected_components", forced)
+    monkeypatch.setattr(Q, "connected_components", forced, raising=False)
+    # q_components imports inside the function body, so patch the module
+    # attribute it resolves at call time
+    star = Q.q_components(sf).to_pandas().sort_values("id").reset_index(drop=True)
+    assert star.equals(fast), (star.head(), fast.head())
