@@ -363,6 +363,14 @@ def run_bench() -> dict:
     timed("png_features", lambda: consume(Q.q_png_features(sf_dir)))
     timed("jpeg_dc_stats", lambda: consume(Q.q_jpeg_dc_stats(sf_dir)))
     timed("partition_prune", lambda: Q.q_partition_prune(sf_dir))
+    # round-4 final family (layout / partitioning / graph closure / text)
+    timed("zorder_layout", lambda: consume(Q.q_zorder_layout(sf_dir)))
+    timed("balanced_ranges", lambda: Q.q_balanced_ranges(sf_dir))
+    timed("interval_coverage",
+          lambda: consume(Q.q_interval_coverage(sf_dir)))
+    timed("components", lambda: consume(Q.q_components(sf_dir)))
+    timed("hex_rollup", lambda: Q.q_hex_rollup(sf_dir))
+    timed("inverted_index", lambda: consume(Q.q_inverted_index(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -6305,6 +6305,106 @@ SELECT id, min(r) AS rep FROM reach GROUP BY id
 """
 
 
+def q_hex_rollup(sf_dir: str):
+    """Multi-resolution tile-pyramid aggregation: point counts at hex
+    res 8 roll up the aperture-7 hierarchy to res 7 and res 6 — the
+    zoom-pyramid build every tile server / heat-map pipeline runs
+    (reference tiling semantics: gscap/gps.py cluster cells; hierarchy
+    math: functions/cells.py hex_parent, SQL-twinned like hex_parents).
+
+    Scale shape: the per-batch combiner collapses points to (cell8,
+    parent7, n) partials, so every exchange after the first is O(#cells),
+    not O(rows); each pyramid level is one small groupby of the level
+    below. Output per level-7/level-6 tile: res, cell, n_points,
+    n_cells (= occupied children)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.cells import hex_cell_id, hex_parent
+
+    def partial(t: pa.Table) -> pa.Table:
+        c8 = hex_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 8)
+        codes, cells = pd.factorize(c8.astype(np.int64))
+        n = np.bincount(codes, minlength=len(cells)).astype(np.int64)
+        cells = np.asarray(cells, np.int64)
+        return pa.table({
+            "cell8": pa.array(cells, pa.int64()),
+            "parent7": pa.array(hex_parent(cells).astype(np.int64),
+                                pa.int64()),
+            "n_part": pa.array(n, pa.int64()),
+        })
+
+    l8 = (_points_ds(sf_dir).map_batches(partial, batch_format="pyarrow")
+          .groupby(["cell8", "parent7"])
+          .aggregate(Sum("n_part", alias_name="n")))
+    l7 = (l8.groupby("parent7")
+          .aggregate(Sum("n", alias_name="n_points"),
+                     Count(alias_name="n_cells")))
+
+    def with_parent6(t: pa.Table) -> pa.Table:
+        c7 = t["parent7"].to_numpy().astype(np.int64)
+        return t.append_column(
+            "parent6", pa.array(hex_parent(c7).astype(np.int64), pa.int64()))
+
+    l7p = l7.map_batches(with_parent6, batch_format="pyarrow").materialize()
+    l6 = (l7p.groupby("parent6")
+          .aggregate(Sum("n_points", alias_name="n_points"),
+                     Count(alias_name="n_cells")))
+
+    a = l7p.to_pandas()
+    b = l6.to_pandas()
+    out = pd.concat([
+        pd.DataFrame({"res": np.int64(7), "cell": a["parent7"],
+                      "n_points": a["n_points"], "n_cells": a["n_cells"]}),
+        pd.DataFrame({"res": np.int64(6), "cell": b["parent6"],
+                      "n_points": b["n_points"], "n_cells": b["n_cells"]}),
+    ], ignore_index=True)
+    out["n_points"] = out["n_points"].astype(np.int64)
+    out["n_cells"] = out["n_cells"].astype(np.int64)
+    return out.sort_values(["res", "cell"]).reset_index(drop=True)
+
+
+def _sql_hex_rollup() -> str:
+    """Oracle twin of the pyramid: res-8 cell + res-7 parent ride the
+    proven hex_parents SQL; the 7 -> 6 step decodes the integer cell id
+    back to axial coords and repeats the exact cube_round block."""
+    base = _sql_hex_parents()
+    off = 134217728
+    return f"""
+WITH base AS ({base}),
+l8 AS (SELECT h3_r8 AS cell8, h3_r8_parent AS parent7, count(*) AS n
+       FROM base GROUP BY 1, 2),
+l7 AS (SELECT parent7, CAST(sum(n) AS BIGINT) AS n_points,
+              count(*) AS n_cells
+       FROM l8 GROUP BY 1),
+d AS (SELECT parent7, n_points, n_cells,
+             ((parent7 // 268435456) % 268435456) - {off} AS q7,
+             (parent7 % 268435456) - {off} AS r7
+      FROM l7),
+f AS (SELECT *, (3.0*q7 + r7)/7.0 AS af, (-1.0*q7 + 2.0*r7)/7.0 AS bf
+      FROM d),
+y AS (SELECT *, -af-bf AS cf, round_even(af, 0) AS a0,
+             round_even(bf, 0) AS b0, round_even(-af-bf, 0) AS c0 FROM f),
+z AS (SELECT *, abs(a0-af) AS da, abs(b0-bf) AS db, abs(c0-cf) AS dc
+      FROM y),
+pr AS (SELECT parent7, n_points, n_cells,
+              CAST(CASE WHEN da > db AND da > dc THEN -b0-c0 ELSE a0 END
+                   AS BIGINT) AS a6,
+              CAST(CASE WHEN NOT (da > db AND da > dc) AND db > dc
+                   THEN -(CASE WHEN da > db AND da > dc THEN -b0-c0 ELSE a0
+                          END)-c0
+                   ELSE b0 END AS BIGINT) AS b6
+       FROM z),
+l6 AS (SELECT 6*72057594037927936 + (a6 + {off})*268435456 + (b6 + {off})
+                AS parent6,
+              CAST(sum(n_points) AS BIGINT) AS n_points,
+              count(*) AS n_cells
+       FROM pr GROUP BY 1)
+SELECT CAST(7 AS BIGINT) AS res, parent7 AS cell, n_points, n_cells FROM l7
+UNION ALL
+SELECT CAST(6 AS BIGINT) AS res, parent6 AS cell, n_points, n_cells FROM l6
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -6442,6 +6542,7 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "balanced_ranges": q_balanced_ranges,
     "components": q_components,
+    "hex_rollup": q_hex_rollup,
 }
 
 ORACLE_SQL = {
@@ -6513,6 +6614,7 @@ ORACLE_SQL = {
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "balanced_ranges": SQL_BALANCED_RANGES,
     "components": SQL_COMPONENTS,
+    "hex_rollup": _sql_hex_rollup(),
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -32,7 +32,7 @@ SUBSET = [
     "local_revenue", "running_total", "funnel_counts",
     "histogram_quantiles", "outlier_filter", "png_features",
     "partition_prune", "zorder_layout", "interval_coverage",
-    "balanced_ranges", "components",
+    "balanced_ranges", "components", "hex_rollup",
 ]
 
 
