@@ -371,6 +371,11 @@ def run_bench() -> dict:
     timed("components", lambda: consume(Q.q_components(sf_dir)))
     timed("hex_rollup", lambda: Q.q_hex_rollup(sf_dir))
     timed("inverted_index", lambda: consume(Q.q_inverted_index(sf_dir)))
+    timed("trajectory_simplify",
+          lambda: consume(Q.q_trajectory_simplify(sf_dir)))
+    timed("skyline", lambda: Q.q_skyline(sf_dir))
+    timed("pmi_bigrams", lambda: Q.q_pmi_bigrams(sf_dir))
+    timed("snapshot_diff", lambda: consume(Q.q_snapshot_diff(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -6405,6 +6405,319 @@ SELECT CAST(6 AS BIGINT) AS res, parent6 AS cell, n_points, n_cells FROM l6
 """
 
 
+def q_trajectory_simplify(sf_dir: str):
+    """Trajectory simplification (one-round Visvalingam area filter): per
+    user, order the GPS track by (ts, event_id) and keep the endpoints
+    plus every interior point whose doubled triangle area with its two
+    neighbours exceeds 2e6 in integer micro-degree^2 units — the standard
+    pre-store thinning pass a trajectory warehouse runs before tiling
+    (reference track semantics: gscap/gps.py ordered per-subject passes).
+    Coordinates are the flagship's deterministic synth in exact e5
+    integers, so the output — the simplified geometry itself, not a
+    summary — is all-integer with zero float-parity risk.
+
+    Scale shape: one hash shuffle on user_id, then a vectorized numpy
+    cross-product per group (no per-row Python); identical to the
+    sessionizer's per-key ordered pass."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.int64(g["user_id"].iloc[0])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        eid = eid[np.lexsort((eid, ts))]
+        x = (u * 37 % 120 - 60) * 100000 + 50000 + (eid * 7919) % 2001 - 1000
+        y = (u * 91 % 300 - 150) * 100000 + 50000 \
+            + (eid * 104729) % 2001 - 1000
+        keep = np.ones(eid.size, bool)
+        if eid.size > 2:
+            a2 = np.abs((x[1:-1] - x[:-2]) * (y[2:] - y[:-2])
+                        - (y[1:-1] - y[:-2]) * (x[2:] - x[:-2]))
+            keep[1:-1] = a2 > 2_000_000
+        return pd.DataFrame({
+            "user_id": np.full(int(keep.sum()), u, np.int64),
+            "event_id": eid[keep],
+            "lat_e5": x[keep].astype(np.int64),
+            "lon_e5": y[keep].astype(np.int64),
+        })
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_TRAJECTORY_SIMPLIFY = """
+WITH p AS (SELECT user_id, event_id, ts,
+       ((user_id*37) % 120 - 60)*100000 + 50000
+         + (event_id*7919) % 2001 - 1000 AS x,
+       ((user_id*91) % 300 - 150)*100000 + 50000
+         + (event_id*104729) % 2001 - 1000 AS y
+     FROM events),
+w AS (SELECT user_id, event_id, x, y,
+             lag(x) OVER win AS px, lag(y) OVER win AS py,
+             lead(x) OVER win AS nx, lead(y) OVER win AS ny
+      FROM p WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id, x AS lat_e5, y AS lon_e5
+FROM w
+WHERE px IS NULL OR nx IS NULL
+   OR abs((x - px)*(ny - py) - (y - py)*(nx - px)) > 2000000
+"""
+
+
+def _skyline_keep_idx(price: np.ndarray, date: np.ndarray,
+                      key: np.ndarray) -> np.ndarray:
+    """Indices of the 2-d skyline (minimize price, maximize date).
+    Dominated iff some point has strictly smaller price and date >= mine,
+    OR equal price and date strictly greater. One lexsort, then per
+    distinct-price-group first-element date = group max (sorted date
+    desc), prefix max across earlier groups = best strictly-cheaper
+    date — fully vectorized."""
+    o = np.lexsort((key, -date, price))
+    p, d = price[o], date[o]
+    new = np.ones(p.size, bool)
+    new[1:] = p[1:] != p[:-1]
+    gid = np.cumsum(new) - 1
+    gmax = d[np.flatnonzero(new)]          # group max date (sorted desc)
+    prevmax = np.concatenate(
+        [[np.int64(-2**63)], np.maximum.accumulate(gmax)[:-1]])
+    keep = ~((prevmax[gid] >= d) | (gmax[gid] > d))
+    return o[keep]
+
+
+def q_skyline(sf_dir: str):
+    """Skyline / Pareto front over orders: every order not dominated on
+    (cheaper-or-equal price, fresher-or-equal date, one strict) — the
+    multi-criteria filter behind "best tradeoff" queries. Distributed as
+    the textbook local-skyline -> merge: any globally dominated point is
+    dominated inside its own block too, so each block collapses to its
+    local front (O(log n) expected rows for 2-d) before the tiny union is
+    merged once; the exchange carries candidate fronts, never the table."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_front(t: pa.Table) -> pa.Table:
+        idx = _skyline_keep_idx(
+            t["o_totalprice"].to_numpy(),
+            t["o_orderdate"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64),
+            t["o_orderkey"].to_numpy())
+        return t.take(np.sort(idx))
+
+    cand = (orders.map_batches(local_front, batch_format="pyarrow")
+            .to_pandas())  # O(front * blocks) rows by construction
+    idx = _skyline_keep_idx(
+        cand["o_totalprice"].to_numpy(),
+        cand["o_orderdate"].to_numpy().astype("datetime64[us]")
+        .astype(np.int64),
+        cand["o_orderkey"].to_numpy())
+    return cand.iloc[np.sort(idx)].reset_index(drop=True)
+
+
+SQL_SKYLINE = """
+WITH g AS (SELECT o_totalprice AS p, max(o_orderdate) AS gd
+           FROM orders GROUP BY 1),
+m AS (SELECT p, gd,
+             max(gd) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+      FROM g)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o JOIN m ON o.o_totalprice = m.p
+WHERE (m.pm IS NULL OR m.pm < o.o_orderdate) AND m.gd <= o.o_orderdate
+"""
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation mining: adjacent-token bigrams ranked by PMI lift
+    cnt_ab * N_bigrams / (cnt_a * cnt_b) — the phrase-detection pass a
+    tokenizer-training pipeline runs (Mikolov-style word2phrase scoring,
+    log-free). The score is emitted as an exact integer milli-lift
+    ((cab*NB*1000) // (ca*cb), Python-int precise on the tiny aggregate)
+    so there is zero float-parity risk.
+
+    Scale shape: per-batch partial counts collapse each batch to its
+    local bigram/unigram vocabulary before the shuffle (one row per
+    batch-distinct gram, never per occurrence); two small integer
+    groupbys; unigram counts come back as a broadcast-sized aggregate and
+    the final scoring is O(distinct bigrams) on the driver."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = (pd.Series(t["text"].to_numpy(zero_copy_only=False))
+             .fillna("").str.strip())
+        ex = s[s != ""].str.split().explode()
+        flat = ex.to_numpy(dtype=object)
+        did = ex.index.to_numpy()
+        if flat.size:
+            same = did[:-1] == did[1:]  # adjacent, same document
+            t1, t2 = flat[:-1][same], flat[1:][same]
+        else:
+            t1 = t2 = np.empty(0, object)
+        bc = (pd.DataFrame({"tok1": t1, "tok2": t2})
+              .value_counts().rename("cnt").reset_index())
+        uc = pd.Series(flat).value_counts()
+        return pa.table({
+            "tok1": pa.array(
+                np.concatenate([bc["tok1"].to_numpy(object),
+                                uc.index.to_numpy(object)]), pa.string()),
+            "tok2": pa.array(
+                np.concatenate([bc["tok2"].to_numpy(object),
+                                np.full(len(uc), "", object)]), pa.string()),
+            "cnt": pa.array(
+                np.concatenate([bc["cnt"].to_numpy(np.int64),
+                                uc.to_numpy(np.int64)]), pa.int64()),
+        })
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby(["tok1", "tok2"]).aggregate(Sum("cnt", alias_name="n"))
+           .to_pandas())
+    uni = agg[agg["tok2"] == ""].set_index("tok1")["n"]
+    bi = agg[agg["tok2"] != ""].copy()
+    bi = bi[bi["n"] >= 5]
+    nb = int(agg.loc[agg["tok2"] != "", "n"].sum())
+    ca = uni.reindex(bi["tok1"]).to_numpy(np.int64)
+    cb = uni.reindex(bi["tok2"]).to_numpy(np.int64)
+    cab = bi["n"].to_numpy(np.int64)
+    # exact integer milli-lift; Python ints dodge int64 overflow at scale
+    lift = np.array([(int(a) * nb * 1000) // (int(x) * int(y))
+                     for a, x, y in zip(cab, ca, cb)], np.int64)
+    return pd.DataFrame({
+        "tok1": bi["tok1"].to_numpy(object),
+        "tok2": bi["tok2"].to_numpy(object),
+        "cnt_ab": cab, "cnt_a": ca, "cnt_b": cb, "pmi_milli": lift,
+    }).sort_values(["tok1", "tok2"]).reset_index(drop=True)
+
+
+SQL_PMI_BIGRAMS = """
+WITH d AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+u AS (SELECT unnest(toks) AS tok FROM d),
+uc AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+b AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> toks[i])) AS tok1,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> toks[i + 1])) AS tok2
+      FROM d),
+bc AS (SELECT tok1, tok2, count(*) AS cab FROM b GROUP BY 1, 2),
+nb AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM bc)
+SELECT bc.tok1, bc.tok2, bc.cab AS cnt_ab,
+       a.c AS cnt_a, z.c AS cnt_b,
+       CAST((CAST(bc.cab AS HUGEINT) * nb.n * 1000)
+            // (CAST(a.c AS HUGEINT) * z.c) AS BIGINT) AS pmi_milli
+FROM bc
+CROSS JOIN nb
+JOIN uc a ON a.tok = bc.tok1
+JOIN uc z ON z.tok = bc.tok2
+WHERE bc.cab >= 5
+"""
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Change-data-capture diff of two table snapshots: snapshot A is
+    orders; snapshot B is a deterministic mutation of it (keys % 97 == 0
+    deleted, keys % 89 == 0 repriorityised, negated keys % 83 == 0
+    inserted). Output one row per differing key with its change kind —
+    the incremental-refresh primitive every warehouse sync runs.
+
+    Scale shape: both sides collapse per batch to (key, side flags, row
+    fingerprint) — the fingerprint is md5 over the mutable fields, same
+    hash both sides so collisions cannot desync Ray vs SQL — then ONE
+    integer groupby on key classifies added/removed/changed with no join
+    and nothing driver-side."""
+    from ray.data.aggregate import Sum
+
+    from .functions.text import md5_token_hash64
+
+    def fingerprint(t: pa.Table) -> np.ndarray:
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        st = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        od = (t["o_orderdate"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        keys = [f"{s}|{p}|{d}" for s, p, d in zip(st, pr, od)]
+        return (md5_token_hash64(keys) % np.uint64(2**31)).astype(np.int64)
+
+    def side_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "in_a": pa.array(np.ones(len(k), np.int64)),
+                         "in_b": pa.array(np.zeros(len(k), np.int64)),
+                         "fp_a": pa.array(fingerprint(t)),
+                         "fp_b": pa.array(np.zeros(len(k), np.int64))})
+
+    def side_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
+        live = k % 97 != 0
+        tt = t.filter(pa.array(live))
+        k = k[live]
+        pr = tt["o_orderpriority"].to_numpy(zero_copy_only=False).copy()
+        pr[k % 89 == 0] = "CHANGED"
+        tt = tt.set_column(tt.schema.get_field_index("o_orderpriority"),
+                           "o_orderpriority", pa.array(pr, pa.string()))
+        ins = tt.filter(pa.array(k % 83 == 0))
+        ik = -ins["o_orderkey"].to_numpy().astype(np.int64)
+        fp = np.concatenate([fingerprint(tt), fingerprint(ins)])
+        kk = np.concatenate([k, ik])
+        return pa.table({"key": pa.array(kk, pa.int64()),
+                         "in_a": pa.array(np.zeros(len(kk), np.int64)),
+                         "in_b": pa.array(np.ones(len(kk), np.int64)),
+                         "fp_a": pa.array(np.zeros(len(kk), np.int64)),
+                         "fp_b": pa.array(fp, pa.int64())})
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+    both = (_read(sf_dir, "orders", cols)
+            .map_batches(side_a, batch_format="pyarrow")
+            .union(_read(sf_dir, "orders", cols)
+                   .map_batches(side_b, batch_format="pyarrow")))
+    agg = (both.groupby("key")
+           .aggregate(Sum("in_a", alias_name="a"),
+                      Sum("in_b", alias_name="b"),
+                      Sum("fp_a", alias_name="fa"),
+                      Sum("fp_b", alias_name="fb")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        fa = t["fa"].to_numpy().astype(np.int64)
+        fb = t["fb"].to_numpy().astype(np.int64)
+        kind = np.where(a == 0, "added",
+                        np.where(b == 0, "removed",
+                                 np.where(fa != fb, "changed", "")))
+        m = kind != ""
+        return pa.table({"o_orderkey": t["key"].to_numpy()[m],
+                         "change": pa.array(kind[m], pa.string())})
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (SELECT o_orderkey AS key,
+                  CAST(md5_number_lower(concat(o_orderstatus, '|',
+                       o_orderpriority, '|', epoch_us(o_orderdate)))
+                       % 2147483648 AS BIGINT) AS fp
+           FROM orders),
+b0 AS (SELECT o_orderkey AS key, o_orderstatus,
+              CASE WHEN o_orderkey % 89 = 0 THEN 'CHANGED'
+                   ELSE o_orderpriority END AS o_orderpriority,
+              o_orderdate
+       FROM orders WHERE o_orderkey % 97 <> 0),
+b1 AS (SELECT key, o_orderstatus, o_orderpriority, o_orderdate FROM b0
+       UNION ALL
+       SELECT -key, o_orderstatus, o_orderpriority, o_orderdate
+       FROM b0 WHERE key % 83 = 0),
+b AS (SELECT key,
+             CAST(md5_number_lower(concat(o_orderstatus, '|',
+                  o_orderpriority, '|', epoch_us(o_orderdate)))
+                  % 2147483648 AS BIGINT) AS fp
+      FROM b1)
+SELECT COALESCE(a.key, b.key) AS o_orderkey,
+       CASE WHEN a.key IS NULL THEN 'added'
+            WHEN b.key IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.key = b.key
+WHERE a.key IS NULL OR b.key IS NULL OR a.fp <> b.fp
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -6543,6 +6856,10 @@ QUERIES = {
     "balanced_ranges": q_balanced_ranges,
     "components": q_components,
     "hex_rollup": q_hex_rollup,
+    "trajectory_simplify": q_trajectory_simplify,
+    "skyline": q_skyline,
+    "pmi_bigrams": q_pmi_bigrams,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -6615,6 +6932,10 @@ ORACLE_SQL = {
     "balanced_ranges": SQL_BALANCED_RANGES,
     "components": SQL_COMPONENTS,
     "hex_rollup": _sql_hex_rollup(),
+    "trajectory_simplify": SQL_TRAJECTORY_SIMPLIFY,
+    "skyline": SQL_SKYLINE,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -33,6 +33,7 @@ SUBSET = [
     "histogram_quantiles", "outlier_filter", "png_features",
     "partition_prune", "zorder_layout", "interval_coverage",
     "balanced_ranges", "components", "hex_rollup",
+    "trajectory_simplify", "skyline", "pmi_bigrams", "snapshot_diff",
 ]
 
 
