@@ -6718,6 +6718,101 @@ WHERE a.key IS NULL OR b.key IS NULL OR a.fp <> b.fp
 """
 
 
+def q_line_dedup(sf_dir: str):
+    """CCNet/C4-style line-level dedup: chunk every document into
+    10-token "lines", count each line hash corpus-wide, and strip lines
+    that appear in >= 3 documents (boilerplate/template removal). This
+    synthetic corpus has no newlines, so fixed 10-token chunks stand in
+    for lines; the two-pass shape is exactly CCNet's (hash-count pass,
+    broadcast frequent set, strip pass).
+
+    Scale shape: pass 1 collapses each batch to (hash, local count)
+    partials before ONE integer groupby — the exchange carries distinct
+    hashes, not occurrences; the frequent set is bounded by the frequency
+    threshold (it is the boilerplate vocabulary, O(templates) not
+    O(corpus)) and ships once via ray.put; pass 2 is an embarrassingly
+    parallel searchsorted filter. Output per doc: n_lines, n_kept and an
+    integer checksum of the kept line hashes (same md5 both sides, so
+    collisions cannot desync Ray vs SQL)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .functions.text import md5_token_hash64
+
+    def line_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+        """(doc row index, line hash % 2^31) for 10-token chunks."""
+        s = pd.Series(texts).fillna("").str.strip()
+        toks = s.str.split()
+        lines, owner = [], []
+        for ri, lst in enumerate(toks):
+            if not lst:
+                continue
+            for j in range(0, len(lst), 10):
+                lines.append(" ".join(lst[j:j + 10]))
+                owner.append(ri)
+        h = (md5_token_hash64(lines) % np.uint64(2**31)).astype(np.int64)
+        return np.asarray(owner, np.int64), h
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, h = line_hashes(t["text"].to_numpy(zero_copy_only=False))
+        hv, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(hv, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    freq = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("h").aggregate(Sum("cnt", alias_name="n")))
+    fdf = freq.to_pandas()
+    hot = np.sort(fdf.loc[fdf["n"] >= 3, "h"].to_numpy(np.int64))
+    hot_ref = ray.put(hot)
+
+    def strip(t: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        owner, h = line_hashes(t["text"].to_numpy(zero_copy_only=False))
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        keep = np.ones(h.size, bool)
+        if hs.size and h.size:
+            i = np.searchsorted(hs, h)
+            i[i == hs.size] = 0
+            keep = hs[np.minimum(i, hs.size - 1)] != h
+        rows = np.unique(owner)
+        n_lines = np.bincount(owner, minlength=len(did))[rows]
+        n_kept = np.bincount(owner, weights=keep,
+                             minlength=len(did))[rows].astype(np.int64)
+        ck = np.bincount(owner, weights=np.where(keep, h, 0),
+                         minlength=len(did))[rows].astype(np.int64)
+        return pa.table({"doc_id": pa.array(did[rows], pa.int64()),
+                         "n_lines": pa.array(n_lines.astype(np.int64)),
+                         "n_kept": pa.array(n_kept, pa.int64()),
+                         "kept_checksum": pa.array(ck, pa.int64())})
+
+    return docs.map_batches(strip, batch_format="pyarrow")
+
+
+SQL_LINE_DEDUP = """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+l AS (SELECT doc_id,
+             unnest(list_transform(range(0, (len(toks) + 9) // 10),
+                    j -> CAST(md5_number_lower(array_to_string(
+                           toks[j*10 + 1 : j*10 + 10], ' '))
+                         % 2147483648 AS BIGINT))) AS h
+      FROM d),
+c AS (SELECT h, count(*) AS n FROM l GROUP BY h),
+f AS (SELECT h FROM c WHERE n >= 3)
+SELECT l.doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN f.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN f.h IS NULL THEN l.h ELSE 0 END) AS BIGINT)
+         AS kept_checksum
+FROM l LEFT JOIN f ON l.h = f.h
+GROUP BY l.doc_id
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -6860,6 +6955,7 @@ QUERIES = {
     "skyline": q_skyline,
     "pmi_bigrams": q_pmi_bigrams,
     "snapshot_diff": q_snapshot_diff,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLE_SQL = {
@@ -6936,6 +7032,7 @@ ORACLE_SQL = {
     "skyline": SQL_SKYLINE,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "line_dedup": SQL_LINE_DEDUP,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -87,3 +87,34 @@ def test_snapshot_diff_matches_planted_mutations(ray_session):
     assert by.get("added", set()) == added
     assert by.get("changed", set()) == changed
     assert len(out) == len(removed) + len(added) + len(changed)
+
+
+def test_line_dedup_strips_planted_boilerplate(ray_session):
+    import gscap_ray.queries as Q
+
+    out = Q.q_line_dedup(SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = docs["text"].fillna("").str.strip().str.split()
+    # one output row per doc with >= 1 token, n_lines = ceil(len/10)
+    nz = docs.loc[toks.str.len() > 0, "doc_id"]
+    assert set(out["doc_id"]) == set(nz)
+    want = np.ceil(toks[toks.str.len() > 0].str.len() / 10).astype(int)
+    got = out.set_index("doc_id")["n_lines"]
+    assert (got.loc[nz].to_numpy() == want.to_numpy()).all()
+    # the corpus's planted duplicate docs make stripping non-vacuous
+    assert (out["n_kept"] < out["n_lines"]).any()
+    assert (out["n_kept"] <= out["n_lines"]).all()
+    # recount one stripped doc by hand: its stripped lines occur >= 3x
+    from gscap_ray.functions.text import md5_token_hash64
+    allh = {}
+    for lst in toks:
+        for j in range(0, len(lst), 10):
+            h = int(md5_token_hash64([" ".join(lst[j:j + 10])])[0] % 2**31)
+            allh[h] = allh.get(h, 0) + 1
+    row = out[out["n_kept"] < out["n_lines"]].iloc[0]
+    lst = toks.loc[docs["doc_id"] == row["doc_id"]].iloc[0]
+    n_hot = sum(1 for j in range(0, len(lst), 10)
+                if allh[int(md5_token_hash64(
+                    [" ".join(lst[j:j + 10])])[0] % 2**31)] >= 3)
+    assert row["n_lines"] - row["n_kept"] == n_hot
