@@ -377,6 +377,7 @@ def run_bench() -> dict:
     timed("pmi_bigrams", lambda: Q.q_pmi_bigrams(sf_dir))
     timed("snapshot_diff", lambda: consume(Q.q_snapshot_diff(sf_dir)))
     timed("line_dedup", lambda: consume(Q.q_line_dedup(sf_dir)))
+    timed("geohash_tiles", lambda: consume(Q.q_geohash_tiles(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -6813,6 +6813,62 @@ GROUP BY l.doc_id
 """
 
 
+def q_geohash_tiles(sf_dir: str):
+    """Per-geohash6 tile counts using the CANONICAL base-32 geohash
+    encoder (public Niemeyer spec, validated against the published test
+    vector u4pruydq) — the third fully-specified tile system beside S2
+    and the aperture-7 hex hierarchy, closing the 'external-interop tile
+    ids' gap bit-exactly (geohash needs no offline constant tables).
+
+    Scale shape: the per-batch combiner collapses points to (gh, n)
+    partials so the one exchange is O(#tiles); identical shape to the
+    s2/hex tile queries."""
+    from ray.data.aggregate import Sum
+
+    from .functions.cells import geohash_encode
+
+    def partial(t: pa.Table) -> pa.Table:
+        gh = geohash_encode(t["lat"].to_numpy(), t["lon"].to_numpy(), 6)
+        codes, cells = pd.factorize(gh)
+        n = np.bincount(codes, minlength=len(cells)).astype(np.int64)
+        return pa.table({"gh": pa.array(cells, pa.string()),
+                         "n_part": pa.array(n, pa.int64())})
+
+    out = (_points_ds(sf_dir).map_batches(partial, batch_format="pyarrow")
+           .groupby("gh").aggregate(Sum("n_part", alias_name="n_points")))
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gh": t["gh"],
+            "n_points": pa.array(
+                t["n_points"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
+def _sql_geohash_tiles() -> str:
+    """SQL twin of the canonical geohash-6 encoder: same quantization
+    floats, a generated 30-term bit interleave, and base-32 chars via
+    substr over the geohash alphabet."""
+    lx = "least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767)"
+    ly = "least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767)"
+    terms = " | ".join(
+        [f"(((lx >> {i}) & 1) << {2 * i + 1})" for i in range(15)]
+        + [f"(((ly >> {i}) & 1) << {2 * i})" for i in range(15)])
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alpha}', CAST(((v >> {5 * (5 - j)}) & 31) AS INTEGER)"
+        " + 1, 1)"
+        for j in range(6))
+    return f"""
+WITH q AS (SELECT {lx} AS lx, {ly} AS ly FROM ({_PTS_SQL})),
+z AS (SELECT ({terms}) AS v FROM q),
+g AS (SELECT {chars} AS gh FROM z)
+SELECT gh, count(*) AS n_points FROM g GROUP BY gh
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -6956,6 +7012,7 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "snapshot_diff": q_snapshot_diff,
     "line_dedup": q_line_dedup,
+    "geohash_tiles": q_geohash_tiles,
 }
 
 ORACLE_SQL = {
@@ -7033,6 +7090,7 @@ ORACLE_SQL = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "line_dedup": SQL_LINE_DEDUP,
+    "geohash_tiles": _sql_geohash_tiles(),
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

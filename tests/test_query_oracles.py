@@ -34,7 +34,7 @@ SUBSET = [
     "partition_prune", "zorder_layout", "interval_coverage",
     "balanced_ranges", "components", "hex_rollup",
     "trajectory_simplify", "skyline", "pmi_bigrams", "snapshot_diff",
-    "line_dedup",
+    "line_dedup", "geohash_tiles",
 ]
 
 
