@@ -6869,6 +6869,225 @@ SELECT gh, count(*) AS n_points FROM g GROUP BY gh
 """
 
 
+# 12 integer lattice directions in strictly increasing angular order —
+# star-polygon vertices are center + r * dir * 0.25 with r in {2,3,4}
+# (all multiples of 0.25, so every ring coordinate is an EXACT float64
+# that the SQL twin regenerates bit-identically, no trig on either side).
+_STAR_DIRS = [(4, 0), (3, 2), (2, 3), (0, 4), (-2, 3), (-3, 2),
+              (-4, 0), (-3, -2), (-2, -3), (0, -4), (2, -3), (3, -2)]
+
+
+def _star_polygons():
+    """24 deterministic NON-CONVEX star polygons (12 vertices, radii
+    cycling 2/3/4 quarter-degrees) centered on the point-cluster lattice
+    of users (k*7)%15 — users 0..14 exist at every sf, so every polygon
+    sits on an OCCUPIED cluster — with per-polygon sub-degree offsets
+    (0..0.5 lat, 0..0.75 lon) so clusters land fully inside, outside,
+    and straddling star arms (inner radius 0.5, outer 1.0 degrees)."""
+    polys = []
+    for k in range(24):
+        v = (k * 7) % 15
+        clat = float((v * 37) % 120 - 60) + 0.5 + (k % 5) * 0.125
+        clon = float((v * 91) % 300 - 150) + 0.5 + (k % 7) * 0.125
+        ring_lat, ring_lon = [], []
+        for j, (ux, uy) in enumerate(_STAR_DIRS):
+            r = 2 + (k + j) % 3
+            ring_lon.append(clon + r * ux * 0.25)
+            ring_lat.append(clat + r * uy * 0.25)
+        polys.append(dict(place_id=k, ring_lat=ring_lat, ring_lon=ring_lon))
+    return polys
+
+
+def q_pip_poly_join(sf_dir: str):
+    """J10 on GENERAL polygons: point-in-polygon join against a
+    24-star-polygon layer through the PRODUCTION PolygonIndex (grid-
+    bucketed vectorized even-odd ray cast, stages/enrich.py's enricher
+    kernel) — the rect query proves the join shape, this one proves the
+    crossing-number kernel itself on non-convex rings: the oracle
+    replays the exact same float64 crossing expression
+    ``(x2-x1)*(lat-y1)/(y2-y1)+x1`` per (point, edge) in SQL, counts
+    parity per polygon, and takes the lowest odd place_id, so every
+    boundary decision is bit-identical by construction (same IEEE
+    expression tree on both sides; horizontal edges skipped on both).
+    Reference parity: gps.py:504-562's point->place lookup, re-expressed
+    as an offline polygon-layer join (SURVEY §2.4 J10)."""
+    from .functions.pip import PolygonIndex
+
+    polys = _star_polygons()
+
+    class Assign:
+        def __init__(self):
+            self.index = PolygonIndex(polys, cell_deg=1.0)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = self.index.query(t["lat"].to_numpy(), t["lon"].to_numpy())
+            return (t.select(["event_id"])
+                    .append_column("place_id", pa.array(idx, pa.int64())))
+
+    pts = (_read(sf_dir, "events", ["event_id", "user_id"])
+           .map_batches(derive_points_batch, batch_format="pyarrow"))
+    return pts.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+
+
+SQL_PIP_POLY_JOIN = f"""
+WITH p AS (SELECT event_id, lat, lon FROM ({_PTS_SQL})),
+dirs AS (SELECT * FROM (VALUES (0,4,0),(1,3,2),(2,2,3),(3,0,4),(4,-2,3),
+                               (5,-3,2),(6,-4,0),(7,-3,-2),(8,-2,-3),
+                               (9,0,-4),(10,2,-3),(11,3,-2)) d(j, ux, uy)),
+centers AS (SELECT k AS place_id,
+                   (((k*7) % 15) * 37) % 120 - 60 + 0.5
+                     + (k % 5) * 0.125 AS clat,
+                   (((k*7) % 15) * 91) % 300 - 150 + 0.5
+                     + (k % 7) * 0.125 AS clon
+            FROM range(24) t(k)),
+verts AS (SELECT place_id, j,
+                 clon + (2 + (place_id + j) % 3) * ux * 0.25 AS vx,
+                 clat + (2 + (place_id + j) % 3) * uy * 0.25 AS vy
+          FROM centers CROSS JOIN dirs),
+edges AS (SELECT a.place_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+          FROM verts a JOIN verts b
+            ON a.place_id = b.place_id AND b.j = (a.j + 1) % 12
+          WHERE a.vy <> b.vy),
+hits AS (SELECT p.event_id, e.place_id
+         FROM p JOIN edges e
+           ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+          AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+         GROUP BY p.event_id, e.place_id
+         HAVING count(*) % 2 = 1)
+SELECT p.event_id, coalesce(min(h.place_id), -1) AS place_id
+FROM p LEFT JOIN hits h ON p.event_id = h.event_id
+GROUP BY p.event_id
+"""
+
+
+def q_convex_hull(sf_dir: str):
+    """Distributed STRICT convex hull (hull-of-hulls) over integer
+    micro-degree coordinates — exact int64 cross products end to end, so
+    the result is byte-comparable against an O(n^3) directed-edge oracle.
+
+    Scale shape: (1) a per-block argmin combiner collapses each block to
+    <= 211 candidate rows before the only exchange (groupby on the hash
+    bucket), (2) per-block monotone chains shrink every block to its own
+    hull vertices (extreme in S => extreme in the block, so nothing
+    global is lost), (3) the final chain runs over the tiny union. The
+    bucket-representative stage caps the oracle's cubic edge test at 211
+    points at ANY sf while the distributed argmin + chain path still
+    scans the full table; tests/test_hull.py additionally cross-checks
+    the full-data hull (no representative cap) against brute force."""
+    from .functions.hull import convex_hull_ints
+
+    def to_reps(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy().astype(np.int64)
+        # floor(lat*1e5): identical float64 product + floor on both sides
+        ilat = np.floor(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        ilon = np.floor(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        g = e % 211
+        order = np.lexsort((e, g))
+        first = np.ones(order.shape[0], dtype=bool)
+        first[1:] = g[order][1:] != g[order][:-1]
+        keep = order[first]
+        return pa.table({"g": pa.array(g[keep], pa.int64()),
+                         "event_id": pa.array(e[keep], pa.int64()),
+                         "ilat": pa.array(ilat[keep], pa.int64()),
+                         "ilon": pa.array(ilon[keep], pa.int64())})
+
+    def min_row(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.loc[df["event_id"].idxmin()]
+        return pd.DataFrame({"ilon": [int(r["ilon"])],
+                             "ilat": [int(r["ilat"])]})
+
+    def chain(t: pa.Table) -> pa.Table:
+        hx, hy = convex_hull_ints(t["ilon"].to_numpy(), t["ilat"].to_numpy())
+        return pa.table({"ilon": pa.array(hx, pa.int64()),
+                         "ilat": pa.array(hy, pa.int64())})
+
+    pts = (_read(sf_dir, "events", ["event_id", "user_id"])
+           .map_batches(derive_points_batch, batch_format="pyarrow"))
+    reps = (pts.map_batches(to_reps, batch_format="pyarrow")
+            .groupby("g").map_groups(min_row, batch_format="pandas"))
+    return (reps.map_batches(chain, batch_format="pyarrow")
+            .repartition(1).map_batches(chain, batch_format="pyarrow"))
+
+
+# q is on the strict hull iff it sources a directed edge (a=q, b) whose
+# right closed halfplane contains every other point, admitting collinear
+# points only STRICTLY BETWEEN the endpoints — exactly the monotone
+# chain's cross<=0 popping convention (functions/hull.py docstring).
+SQL_CONVEX_HULL = f"""
+WITH p AS (SELECT event_id, lat, lon FROM ({_PTS_SQL})),
+c AS (SELECT event_id, event_id % 211 AS g,
+             CAST(floor(lat * 100000.0) AS BIGINT) AS ilat,
+             CAST(floor(lon * 100000.0) AS BIGINT) AS ilon
+      FROM p),
+r0 AS (SELECT g, min(event_id) AS eid FROM c GROUP BY g),
+reps AS (SELECT DISTINCT c.ilon, c.ilat
+         FROM c JOIN r0 ON c.event_id = r0.eid),
+e AS (SELECT a.ilon AS ax, a.ilat AS ay
+      FROM reps a JOIN reps b
+        ON (a.ilon <> b.ilon OR a.ilat <> b.ilat)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM reps r
+        WHERE (r.ilon <> a.ilon OR r.ilat <> a.ilat)
+          AND (r.ilon <> b.ilon OR r.ilat <> b.ilat)
+          AND NOT (
+            (b.ilon - a.ilon) * (r.ilat - a.ilat)
+              - (b.ilat - a.ilat) * (r.ilon - a.ilon) < 0
+            OR ((b.ilon - a.ilon) * (r.ilat - a.ilat)
+                  - (b.ilat - a.ilat) * (r.ilon - a.ilon) = 0
+                AND (r.ilon - a.ilon) * (b.ilon - a.ilon)
+                      + (r.ilat - a.ilat) * (b.ilat - a.ilat) > 0
+                AND (r.ilon - a.ilon) * (b.ilon - a.ilon)
+                      + (r.ilat - a.ilat) * (b.ilat - a.ilat)
+                    < (b.ilon - a.ilon) * (b.ilon - a.ilon)
+                      + (b.ilat - a.ilat) * (b.ilat - a.ilat))
+          )))
+SELECT DISTINCT ax AS ilon, ay AS ilat FROM e
+"""
+
+
+def q_full_outer_join(sf_dir: str):
+    """Full outer join via Ray's native hash join (the one join type the
+    registry didn't witness yet): per-nation customer counts vs
+    per-nation supplier counts. The customer side is restricted to
+    nations < 18 so right-only rows exist at EVERY sf (suppliers are
+    sparse at small sf, so left-only rows abound too); Ray coalesces the
+    join key into the left column name on right-only rows (verified),
+    mirroring SQL's coalesce(c.k, s.k). num_partitions stays small (4):
+    the hash-join aggregator actors deadlock when they outnumber cluster
+    CPUs (BASELINE.md pitfalls)."""
+    from ray.data.aggregate import Count
+
+    c = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+         .filter(expr="c_nationkey < 18")
+         .groupby("c_nationkey").aggregate(Count(alias_name="n_cust")))
+    s = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+         .groupby("s_nationkey").aggregate(Count(alias_name="n_supp")))
+    j = c.join(s, join_type="full_outer", num_partitions=4,
+               on=("c_nationkey",), right_on=("s_nationkey",))
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_nationkey"].to_numpy(dtype=np.int64)
+        nc = df["n_cust"].to_numpy(dtype=np.float64, na_value=0.0)
+        ns = df["n_supp"].to_numpy(dtype=np.float64, na_value=0.0)
+        return pd.DataFrame({"nationkey": key,
+                             "n_cust": nc.astype(np.int64),
+                             "n_supp": ns.astype(np.int64)})
+
+    return j.map_batches(norm, batch_format="pandas")
+
+
+SQL_FULL_OUTER_JOIN = """
+WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust
+           FROM customer WHERE c_nationkey < 18 GROUP BY 1),
+s AS (SELECT s_nationkey AS k, count(*) AS n_supp
+      FROM supplier GROUP BY 1)
+SELECT coalesce(c.k, s.k) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.k = s.k
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -6919,6 +7138,7 @@ QUERIES = {
     "geocode_points": q_geocode_points,
     "velocity_bins": q_velocity_bins,
     "pip_rect_join": q_pip_rect_join,
+    "pip_poly_join": q_pip_poly_join,
     "knn_centers": q_knn_centers,
     "s2_tiles": q_s2_tiles,
     "hex_tiles": q_hex_tiles,
@@ -6933,7 +7153,6 @@ QUERIES = {
     # round-3 operators promoted into the window (their ops' other
     # witnesses — hot_cells for SRT2, pairwise_distances for M1/C7,
     # daily_* for plain grouped aggregation — stay in-window too)
-    "url_dedup": q_url_dedup,
     "dedup_clusters": q_dedup_clusters,
     # LLM-corpus curation gates (Gopher / Lee et al. / corpus stats) —
     # first-class operators, must carry a driver verdict
@@ -6950,7 +7169,10 @@ QUERIES = {
     # dedup_representatives by dedup_clusters, grid_cells/hex_parents by
     # cell_dedup + s2_tiles/hex_tiles, daily_value_stats by daily_user_metrics,
     # sampled_stats by stratified_sample, hourly_weather by weather_daily
-    # which consumes the same hourly expansion end-to-end)
+    # which consumes the same hourly expansion end-to-end, url_dedup —
+    # demoted late r4 for pip_poly_join — by exact_dedup + dedup_clusters
+    # over the same normalize+hash+group shape)
+    "url_dedup": q_url_dedup,
     "session_metrics": q_session_metrics,
     "multimodal_features": q_multimodal_features,
     "quality_scores": q_quality_scores,
@@ -7013,6 +7235,8 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "line_dedup": q_line_dedup,
     "geohash_tiles": q_geohash_tiles,
+    "convex_hull": q_convex_hull,
+    "full_outer_join": q_full_outer_join,
 }
 
 ORACLE_SQL = {
@@ -7091,6 +7315,9 @@ ORACLE_SQL = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "line_dedup": SQL_LINE_DEDUP,
     "geohash_tiles": _sql_geohash_tiles(),
+    "pip_poly_join": SQL_PIP_POLY_JOIN,
+    "convex_hull": SQL_CONVEX_HULL,
+    "full_outer_join": SQL_FULL_OUTER_JOIN,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -82,3 +82,46 @@ def test_gridnn_matches_bruteforce():
     bi, bd = nearest_neighbor(qlat, qlon, rlat, rlon, metric="euclidean_deg")
     assert np.array_equal(gi, bi)
     assert np.allclose(gd, bd)
+
+
+def test_star_polygon_layer_nonconvex_membership():
+    """The pip_poly_join layer: the vectorized grid-bucketed index must
+    agree with the scalar per-ring ray cast on probes saturating one
+    star's bbox, and the star must actually be non-convex (a bbox-inside
+    notch probe lands OUTSIDE)."""
+    from gscap_ray.functions.pip import PolygonIndex, points_in_polygon
+    from gscap_ray.queries import _star_polygons
+
+    polys = _star_polygons()
+    index = PolygonIndex(polys, cell_deg=1.0)
+
+    # dense probe grid over polygon 0's bbox (plus a margin)
+    p0 = polys[0]
+    ry = np.asarray(p0["ring_lat"]); rx = np.asarray(p0["ring_lon"])
+    lat = np.linspace(ry.min() - 0.3, ry.max() + 0.3, 101)
+    lon = np.linspace(rx.min() - 0.3, rx.max() + 0.3, 103)
+    glat, glon = np.meshgrid(lat, lon, indexing="ij")
+    glat, glon = glat.ravel(), glon.ravel()
+
+    got = index.query(glat, glon)
+    # scalar reference: lowest polygon id whose ring contains the probe
+    want = np.full(glat.shape[0], -1, dtype=np.int64)
+    for pid in range(len(polys) - 1, -1, -1):
+        p = polys[pid]
+        m = points_in_polygon(glon, glat, np.asarray(p["ring_lon"]),
+                              np.asarray(p["ring_lat"]))
+        want[m] = pid
+    assert np.array_equal(got, want)
+
+    inside = want >= 0
+    assert inside.any() and (~inside).any()
+    # non-convexity: some probe inside the bbox of ring 0 is OUTSIDE it
+    # (star notch between two arms)
+    in_bbox = ((glat > ry.min()) & (glat < ry.max())
+               & (glon > rx.min()) & (glon < rx.max()))
+    assert (in_bbox & (want != 0)).any()
+    # and the bulk of the central disc is inside
+    c_lat = (ry.min() + ry.max()) / 2
+    c_lon = (rx.min() + rx.max()) / 2
+    near = (np.abs(glat - c_lat) < 0.2) & (np.abs(glon - c_lon) < 0.2)
+    assert (want[near] == 0).all()
