@@ -7088,6 +7088,111 @@ FROM c FULL OUTER JOIN s ON c.k = s.k
 """
 
 
+def _poi_table():
+    """40 deterministic POIs on the occupied user-cluster lattice with
+    quarter-degree offsets (0..1.75 lat, 0..2.0 lon) — so with a 150 km
+    band some clusters are fully in, some out, some straddle."""
+    ks = np.arange(40, dtype=np.int64)
+    v = (ks * 11) % 15
+    plat = ((v * 37) % 120 - 60).astype(np.float64) + 0.5 + (ks % 8) * 0.25
+    plon = ((v * 91) % 300 - 150).astype(np.float64) + 0.5 + (ks % 9) * 0.25
+    return ks, plat, plon
+
+
+def q_distance_join(sf_dir: str):
+    """Distance-band spatial join, the TWO-BIG-TABLES pattern: neither
+    side is broadcast — points carry a 1-degree cell key, each POI is
+    replicated to every cell its 150 km disk can touch (conservative
+    110.5 km/deg meridian bound + cos(band max |lat|) longitude bound,
+    +0.02 deg slack), the two sides meet in ONE equi-join on the packed
+    cell key, and an exact haversine post-filter keeps true pairs. This
+    is how the engine joins points against a POI table too large to
+    ray.put: replication cost is O(#POIs x disk cells), join traffic is
+    O(points + replicas), no all-pairs anywhere. The oracle mirrors the
+    ENGINE's haversine operation order (radians per coordinate, then
+    differences — not radians-of-difference like _HAVERSINE_SQL), so the
+    float threshold decision and the floored meter output are
+    bit-identical via shared libm."""
+    from .functions.geo import haversine_m
+
+    pid, plat, plon = _poi_table()
+    R = 150000.0
+    # conservative replication window (degrees)
+    dlat = R / 110500.0 + 0.02
+    cosb = np.cos(np.radians(np.minimum(np.abs(plat) + dlat, 89.0)))
+    dlon = R / (110500.0 * cosb) + 0.02
+    rep_rows = {"cell": [], "poi_id": [], "plat": [], "plon": []}
+    for i in range(len(pid)):
+        for cy in range(int(np.floor(plat[i] - dlat)),
+                        int(np.floor(plat[i] + dlat)) + 1):
+            for cx in range(int(np.floor(plon[i] - dlon[i])),
+                            int(np.floor(plon[i] + dlon[i])) + 1):
+                rep_rows["cell"].append((cy + 90) * 720 + (cx + 180))
+                rep_rows["poi_id"].append(int(pid[i]))
+                rep_rows["plat"].append(float(plat[i]))
+                rep_rows["plon"].append(float(plon[i]))
+    import ray.data as rd
+    pois = rd.from_arrow(pa.table({
+        "cell": pa.array(rep_rows["cell"], pa.int64()),
+        "poi_id": pa.array(rep_rows["poi_id"], pa.int64()),
+        "plat": pa.array(rep_rows["plat"], pa.float64()),
+        "plon": pa.array(rep_rows["plon"], pa.float64())}))
+
+    def with_cell(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        cell = ((np.floor(lat).astype(np.int64) + 90) * 720
+                + (np.floor(lon).astype(np.int64) + 180))
+        return pa.table({"event_id": t["event_id"],
+                         "lat": t["lat"], "lon": t["lon"],
+                         "cell": pa.array(cell, pa.int64())})
+
+    pts = (_read(sf_dir, "events", ["event_id", "user_id"])
+           .map_batches(derive_points_batch, batch_format="pyarrow")
+           .map_batches(with_cell, batch_format="pyarrow"))
+    j = pts.join(pois, join_type="inner", num_partitions=4,
+                 on=("cell",))
+
+    def band(t: pa.Table) -> pa.Table:
+        d = haversine_m(t["lat"].to_numpy(), t["lon"].to_numpy(),
+                        t["plat"].to_numpy(), t["plon"].to_numpy())
+        keep = d < R
+        return pa.table({
+            "event_id": pc.filter(t["event_id"], pa.array(keep)),
+            "poi_id": pc.filter(t["poi_id"], pa.array(keep)),
+            "dist_m": pa.array(np.floor(d[keep]).astype(np.int64),
+                               pa.int64())})
+
+    return j.map_batches(band, batch_format="pyarrow")
+
+
+# engine-order haversine: radians per coordinate first, then differences
+_HAV_ENGINE_ORDER = """
+    6371000.0 * (2.0 * atan2(sqrt(
+        pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2)
+        + cos(radians({lat1})) * cos(radians({lat2}))
+          * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2)),
+      sqrt(1.0 - (
+        pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2)
+        + cos(radians({lat1})) * cos(radians({lat2}))
+          * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2)))))
+"""
+
+SQL_DISTANCE_JOIN = f"""
+WITH p AS (SELECT event_id, lat, lon FROM ({_PTS_SQL})),
+poi AS (SELECT k AS poi_id,
+               ((k*11) % 15 * 37) % 120 - 60 + 0.5 + (k % 8) * 0.25 AS plat,
+               ((k*11) % 15 * 91) % 300 - 150 + 0.5 + (k % 9) * 0.25 AS plon
+        FROM range(40) t(k)),
+d AS (SELECT p.event_id, poi.poi_id,
+             {_HAV_ENGINE_ORDER.format(lat1='p.lat', lon1='p.lon',
+                                       lat2='poi.plat', lon2='poi.plon')} AS dm
+      FROM p CROSS JOIN poi)
+SELECT event_id, poi_id, CAST(floor(dm) AS BIGINT) AS dist_m
+FROM d WHERE dm < 150000.0
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -7237,6 +7342,7 @@ QUERIES = {
     "geohash_tiles": q_geohash_tiles,
     "convex_hull": q_convex_hull,
     "full_outer_join": q_full_outer_join,
+    "distance_join": q_distance_join,
 }
 
 ORACLE_SQL = {
@@ -7318,6 +7424,7 @@ ORACLE_SQL = {
     "pip_poly_join": SQL_PIP_POLY_JOIN,
     "convex_hull": SQL_CONVEX_HULL,
     "full_outer_join": SQL_FULL_OUTER_JOIN,
+    "distance_join": SQL_DISTANCE_JOIN,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

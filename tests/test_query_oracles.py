@@ -35,6 +35,7 @@ SUBSET = [
     "balanced_ranges", "components", "hex_rollup",
     "trajectory_simplify", "skyline", "pmi_bigrams", "snapshot_diff",
     "line_dedup", "geohash_tiles",
+    "pip_poly_join", "convex_hull", "full_outer_join", "distance_join",
 ]
 
 
