@@ -378,6 +378,11 @@ def run_bench() -> dict:
     timed("snapshot_diff", lambda: consume(Q.q_snapshot_diff(sf_dir)))
     timed("line_dedup", lambda: consume(Q.q_line_dedup(sf_dir)))
     timed("geohash_tiles", lambda: consume(Q.q_geohash_tiles(sf_dir)))
+    # round-4 fourth-session family (geometry closure + join types)
+    timed("pip_poly_join", lambda: consume(Q.q_pip_poly_join(sf_dir)))
+    timed("convex_hull", lambda: consume(Q.q_convex_hull(sf_dir)))
+    timed("distance_join", lambda: consume(Q.q_distance_join(sf_dir)))
+    timed("full_outer_join", lambda: consume(Q.q_full_outer_join(sf_dir)))
 
     def finish() -> dict:
         out = {
