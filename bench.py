@@ -383,6 +383,13 @@ def run_bench() -> dict:
     timed("convex_hull", lambda: consume(Q.q_convex_hull(sf_dir)))
     timed("distance_join", lambda: consume(Q.q_distance_join(sf_dir)))
     timed("full_outer_join", lambda: consume(Q.q_full_outer_join(sf_dir)))
+    # round-4 fifth-session family (mobility analytics)
+    timed("od_flows", lambda: consume(Q.q_od_flows(sf_dir)))
+    timed("tile_stays", lambda: consume(Q.q_tile_stays(sf_dir)))
+    timed("covisit_pairs", lambda: consume(Q.q_covisit_pairs(sf_dir)))
+    timed("bearing_sectors", lambda: consume(Q.q_bearing_sectors(sf_dir)))
+    timed("moran_components", lambda: Q.q_moran_components(sf_dir))
+    timed("domain_stats", lambda: consume(Q.q_domain_stats(sf_dir)))
 
     def finish() -> dict:
         out = {

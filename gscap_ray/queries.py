@@ -7193,6 +7193,408 @@ FROM d WHERE dm < 150000.0
 """
 
 
+# ------------------------------------------------- mobility analytics (r4) --
+# The aggregate layer every mobility stack derives from the per-user ordered
+# streams the reference builds for process_velocities (gps.py:838-937):
+# tile-to-tile flows, dwell runs, co-visitation, heading mix, and spatial
+# autocorrelation. All-integer outputs — zero float-parity risk.
+
+_GRID_CELL_SQL = ("CAST(floor((lat+90)/0.1) AS BIGINT)*3600"
+                  " + CAST(floor((lon+180)/0.1) AS BIGINT)")
+
+
+def _mobility_pk(t: pa.Table) -> pa.Table:
+    """Shared prep: 0.1-deg cell + int64 ts + 64-way user part key."""
+    from .functions.cells import grid_cell_id
+
+    u = t["user_id"].to_numpy().astype(np.int64)
+    cell = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+    return pa.table({
+        "event_id": t["event_id"].cast(pa.int64()),
+        "user_id": pa.array(u, pa.int64()),
+        "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+        "cell": pa.array(cell.astype(np.int64), pa.int64()),
+        "part": pa.array(u % 64, pa.int32()),
+    })
+
+
+def _user_sorted(t: pa.Table):
+    """Partition rows lexsorted by (user, ts, event_id); returns columns."""
+    u = t["user_id"].to_numpy()
+    ts = t["ts_us"].to_numpy()
+    eid = t["event_id"].to_numpy()
+    cell = t["cell"].to_numpy()
+    o = np.lexsort((eid, ts, u))
+    return u[o], ts[o], eid[o], cell[o]
+
+
+def q_od_flows(sf_dir: str):
+    """Origin-destination flow matrix: per-user consecutive 0.1-deg
+    grid-cell transitions, counted over all users by (origin, dest).
+    Scale shape: ONE user-hash shuffle; the lag is a vectorized segment
+    scan per partition; per-partition partial counts fold the pair space
+    (bounded by distinct (o,d) pairs, not rows) BEFORE the small
+    (o,d) groupby-sum exchange. All-integer output."""
+    from ray.data.aggregate import Sum
+
+    def flows(t: pa.Table) -> pa.Table:
+        u, ts, eid, cell = _user_sorted(t)
+        n = u.shape[0]
+        if n < 2:
+            return pa.table({"o_cell": pa.array([], pa.int64()),
+                             "d_cell": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        m = (u[1:] == u[:-1]) & (cell[1:] != cell[:-1])
+        # cell ids < 2^23 at 0.1 deg — pack (o,d) into one int64 key
+        packed = (cell[:-1][m] << np.int64(32)) | cell[1:][m]
+        keys, cnt = np.unique(packed, return_counts=True)
+        return pa.table({"o_cell": pa.array(keys >> np.int64(32), pa.int64()),
+                         "d_cell": pa.array(keys & np.int64(0xFFFFFFFF), pa.int64()),
+                         "n_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(_mobility_pk, batch_format="pyarrow")
+            .groupby("part").map_groups(flows, batch_format="pyarrow")
+            .groupby(["o_cell", "d_cell"]).aggregate(Sum("n_part", alias_name="n")))
+
+
+SQL_OD_FLOWS = f"""
+WITH p AS ({_PTS_SQL}),
+c AS (SELECT user_id, ts, event_id, {_GRID_CELL_SQL} AS cell FROM p),
+l AS (SELECT cell, lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM c)
+SELECT prev AS o_cell, cell AS d_cell, count(*) AS n
+FROM l WHERE prev IS NOT NULL AND prev <> cell
+GROUP BY prev, cell
+"""
+
+
+def q_tile_stays(sf_dir: str):
+    """Stay detection (gaps-and-islands): maximal per-user runs of
+    consecutive points in the SAME 0.1-deg cell, kept when the run has
+    >= 3 points — the grid analog of the reference's cluster dwell
+    episodes (gps.py:1103-1201). One user-hash shuffle; runs found by a
+    vectorized boundary scan + reduceat per partition. All-integer."""
+    def stays(t: pa.Table) -> pa.Table:
+        u, ts, eid, cell = _user_sorted(t)
+        n = u.shape[0]
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "cell": pa.array([], pa.int64()),
+                          "enter_us": pa.array([], pa.int64()),
+                          "exit_us": pa.array([], pa.int64()),
+                          "n_pts": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (cell[1:] != cell[:-1])
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n))
+        keep = lens >= 3
+        if not keep.any():
+            return empty
+        s = starts[keep]
+        e = s + lens[keep] - 1
+        return pa.table({"user_id": pa.array(u[s], pa.int64()),
+                         "cell": pa.array(cell[s], pa.int64()),
+                         "enter_us": pa.array(ts[s], pa.int64()),
+                         "exit_us": pa.array(ts[e], pa.int64()),
+                         "n_pts": pa.array(lens[keep].astype(np.int64), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(_mobility_pk, batch_format="pyarrow")
+            .groupby("part").map_groups(stays, batch_format="pyarrow"))
+
+
+SQL_TILE_STAYS = f"""
+WITH p AS ({_PTS_SQL}),
+c AS (SELECT user_id, ts, event_id, {_GRID_CELL_SQL} AS cell FROM p),
+m AS (SELECT user_id, ts, event_id, cell,
+             CASE WHEN lag(cell) OVER w IS DISTINCT FROM cell THEN 1 ELSE 0 END AS brk
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT user_id, ts, cell,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM m)
+SELECT user_id, cell,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS enter_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS exit_us,
+       count(*) AS n_pts
+FROM r GROUP BY user_id, cell, run HAVING count(*) >= 3
+"""
+
+
+def q_covisit_pairs(sf_dir: str):
+    """Co-visitation: cell pairs visited by the same user on the same
+    day, counted over all user-days, global top-20 with a total-order
+    tiebreak. Scale shape: one user-hash shuffle; per-partition distinct
+    (user, day, cell) then fully-vectorized within-group pair generation
+    (triangular-number searchsorted — no Python loop over groups; group
+    width is a user-day's distinct-cell count, small by construction)
+    folded to partial pair counts before the tiny (a,b) groupby-sum.
+    The in-group pair budget is the quadratic the design bounds: it is
+    O(k^2) per user-day, never cross-user. All-integer output."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u, ts, eid, cell = _user_sorted(t)
+        empty = pa.table({"cell_a": pa.array([], pa.int64()),
+                          "cell_b": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())})
+        if u.shape[0] == 0:
+            return empty
+        day = ts // DAY_US
+        o = np.lexsort((cell, day, u))
+        u, day, cell = u[o], day[o], cell[o]
+        distinct = np.ones(u.shape[0], dtype=bool)
+        distinct[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1]) | (cell[1:] != cell[:-1])
+        u, day, cell = u[distinct], day[distinct], cell[distinct]
+        n = u.shape[0]
+        gb = np.ones(n, dtype=bool)
+        gb[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        starts = np.flatnonzero(gb)
+        lens = np.diff(np.append(starts, n))
+        npairs = lens * (lens - 1) // 2
+        total = int(npairs.sum())
+        if total == 0:
+            return empty
+        # within-group pair rank -> (i, j) with i < j, group-size-free via
+        # the triangular numbers: j = searchsorted(TRI, rank, 'right')
+        kmax = int(lens.max())
+        tri = np.arange(kmax, dtype=np.int64) * np.arange(1, kmax + 1) // 2
+        gidx = np.repeat(np.arange(lens.shape[0]), npairs)
+        rank = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
+        j = np.searchsorted(tri, rank, side="right")
+        i = rank - tri[j - 1]
+        base = starts[gidx]
+        a = cell[base + i]
+        b = cell[base + j]
+        packed = (a << np.int64(32)) | b  # cells sorted in-group: a < b
+        keys, cnt = np.unique(packed, return_counts=True)
+        return pa.table({"cell_a": pa.array(keys >> np.int64(32), pa.int64()),
+                         "cell_b": pa.array(keys & np.int64(0xFFFFFFFF), pa.int64()),
+                         "n_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(_mobility_pk, batch_format="pyarrow")
+            .groupby("part").map_groups(pairs, batch_format="pyarrow")
+            .groupby(["cell_a", "cell_b"]).aggregate(Sum("n_part", alias_name="n"))
+            .sort(["n", "cell_a", "cell_b"], descending=[True, False, False])
+            .limit(20))
+
+
+SQL_COVISIT_PAIRS = f"""
+WITH p AS ({_PTS_SQL}),
+c AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             {_GRID_CELL_SQL} AS cell
+      FROM p)
+SELECT a.cell AS cell_a, b.cell AS cell_b, count(*) AS n
+FROM c a JOIN c b ON a.user_id = b.user_id AND a.day = b.day AND a.cell < b.cell
+GROUP BY a.cell, b.cell
+ORDER BY n DESC, cell_a, cell_b LIMIT 20
+"""
+
+
+def q_bearing_sectors(sf_dir: str):
+    """Heading-mix profile: per-user consecutive displacement classified
+    into 8 octants by pure sign/magnitude comparisons (no atan2 — the
+    predicates are IEEE-exact and identical in numpy and SQL), counted
+    per (user, sector). One user-hash shuffle, one vectorized segment
+    scan; counts finalize in-partition (users are partition-local).
+    All-integer output."""
+    def sectors(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        o = np.lexsort((eid, ts, u))
+        u, lat, lon = u[o], lat[o], lon[o]
+        m = u[1:] == u[:-1]
+        dlat = (lat[1:] - lat[:-1])[m]
+        dlon = (lon[1:] - lon[:-1])[m]
+        uu = u[1:][m]
+        sec = ((dlat < 0).astype(np.int64) * 4
+               + (dlon < 0).astype(np.int64) * 2
+               + (np.abs(dlat) > np.abs(dlon)).astype(np.int64))
+        packed = uu * np.int64(8) + sec
+        keys, cnt = np.unique(packed, return_counts=True)
+        return pa.table({"user_id": pa.array(keys // 8, pa.int64()),
+                         "sector": pa.array(keys % 8, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "lat": t["lat"], "lon": t["lon"],
+            "part": pa.array(u % 64, pa.int32()),
+        })
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(sectors, batch_format="pyarrow"))
+
+
+SQL_BEARING_SECTORS = f"""
+WITH p AS ({_PTS_SQL}),
+l AS (SELECT user_id,
+             lat - lag(lat) OVER w AS dlat,
+             lon - lag(lon) OVER w AS dlon
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST((CASE WHEN dlat < 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN dlon < 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN abs(dlat) > abs(dlon) THEN 1 ELSE 0 END) AS BIGINT) AS sector,
+       count(*) AS n
+FROM l WHERE dlat IS NOT NULL
+GROUP BY user_id, sector
+"""
+
+
+def q_moran_components(sf_dir: str):
+    """Global spatial autocorrelation (Moran's I) over 0.1-deg occupied-
+    cell point counts with rook (east/north) neighbor weights, emitted as
+    EXACT INTEGER components — multiplying the deviations through by
+    n_cells turns Sum w_ij (x_i - mean)(x_j - mean) and Sum (x_i - mean)^2
+    into pure int64 arithmetic: num = Sum w_ij (n*x_i - S)(n*x_j - S),
+    den = Sum (n*x_i - S)^2, so I = (n/W) * num/den reconstructs exactly.
+    Scale shape: per-batch partial cell counts -> one cell groupby-sum;
+    the (small, aggregated) counts table is materialized once, scalars
+    (n, S) come from one streaming aggregate, and neighbor matching is a
+    cogroup-style union + ONE key-hash shuffle (counts tagged 0, east/
+    north probes tagged 1) with a vectorized searchsorted match per
+    partition — no broadcast of the counts table, no driver state beyond
+    64 partial rows. Longitude wrap cells (col 3599) get no east
+    neighbor, matching the SQL twin."""
+    from ray.data.aggregate import Count, Sum
+
+    NCOLS = np.int64(3600)
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        from .functions.cells import grid_cell_id
+
+        c = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        keys, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(keys.astype(np.int64), pa.int64()),
+                         "x_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = (_points_ds(sf_dir)
+              .select_columns(["lat", "lon"])
+              .map_batches(cell_partial, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("x_part", alias_name="x"))
+              .materialize())  # aggregated small side: one row per occupied cell
+    sc = counts.aggregate(Count(alias_name="n"), Sum("x", alias_name="S"))
+    n_cells = int(sc["n"])
+    S = int(sc["S"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy()
+        x = t["x"].to_numpy()
+        col = cell % NCOLS
+        east = col < NCOLS - 1
+        key = np.concatenate([cell, cell[east] + 1, cell + NCOLS])
+        val = np.concatenate([x, x[east], x])
+        tag = np.concatenate([np.zeros(cell.size, np.int8),
+                              np.ones(int(east.sum()) + cell.size, np.int8)])
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "val": pa.array(val, pa.int64()),
+                         "tag": pa.array(tag, pa.int8()),
+                         "part": pa.array(key % 64, pa.int32())})
+
+    def match(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        val = t["val"].to_numpy()
+        tag = t["tag"].to_numpy()
+        own = tag == 0
+        k0, v0 = key[own], val[own]
+        o = np.argsort(k0, kind="stable")
+        k0, v0 = k0[o], v0[o]
+        kp, vp = key[~own], val[~own]
+        pos = np.searchsorted(k0, kp)
+        pos = np.clip(pos, 0, max(k0.size - 1, 0))
+        hit = (k0.size > 0) & (k0[pos] == kp) if k0.size else np.zeros(kp.size, bool)
+        di = np.int64(n_cells) * v0 - np.int64(S)        # n*x_i - S per own cell
+        dj = np.int64(n_cells) * vp[hit] - np.int64(S)   # probe side
+        num_half = int((di[pos[hit]] * dj).sum()) if hit.any() else 0
+        return pa.table({"w_half": pa.array([int(hit.sum())], pa.int64()),
+                         "num_half": pa.array([num_half], pa.int64()),
+                         "den_part": pa.array([int((di * di).sum())], pa.int64())})
+
+    partials = (counts.map_batches(emit, batch_format="pyarrow")
+                .groupby("part").map_groups(match, batch_format="pyarrow")
+                .to_pandas())  # <= 64 rows
+    return pd.DataFrame({"n_cells": [np.int64(n_cells)],
+                         "w": [np.int64(2 * partials["w_half"].sum())],
+                         "num": [np.int64(2 * partials["num_half"].sum())],
+                         "den": [np.int64(partials["den_part"].sum())]})
+
+
+SQL_MORAN_COMPONENTS = f"""
+WITH p AS ({_PTS_SQL}),
+cl AS (SELECT {_GRID_CELL_SQL} AS cell, count(*) AS x FROM p GROUP BY 1),
+s AS (SELECT count(*) AS n, sum(x) AS S FROM cl),
+pr AS (SELECT a.x AS xa, b.x AS xb FROM cl a JOIN cl b
+       ON (b.cell = a.cell + 1 AND (a.cell % 3600) < 3599)
+          OR b.cell = a.cell + 3600),
+agg AS (SELECT count(*) AS c,
+               COALESCE(sum((s.n*xa - s.S)*(s.n*xb - s.S)), 0) AS m
+        FROM pr, s),
+denq AS (SELECT sum((s.n*x - s.S)*(s.n*x - s.S)) AS d FROM cl, s)
+SELECT CAST(s.n AS BIGINT) AS n_cells,
+       CAST(2*agg.c AS BIGINT) AS w,
+       CAST(2*agg.m AS BIGINT) AS num,
+       CAST(denq.d AS BIGINT) AS den
+FROM s, agg, denq
+"""
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain corpus profile over the pages world (the crawl-side
+    rollup every webtext pipeline starts from): host parsed from the url
+    with vectorized Arrow kernels, then pages / distinct langs / total
+    text bytes per host. Scale shape: per-batch partial (host, lang)
+    aggregation folds the stream to one row per (host, lang) per batch
+    BEFORE the single host-hash shuffle; text bytes come from
+    binary_length, the payload itself never enters the exchange.
+    All-integer measures."""
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "text", "lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        host = pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+        tl = pc.binary_length(t["text"]).cast(pa.int64())
+        df = pd.DataFrame({"host": host.to_pandas(), "lang": t["lang"].to_pandas(),
+                           "tl": tl.to_pandas()})
+        g = df.groupby(["host", "lang"], sort=False).agg(
+            n_part=("tl", "size"), chars_part=("tl", "sum")).reset_index()
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_pages": [np.int64(g["n_part"].sum())],
+            "n_langs": [np.int64(g["lang"].nunique())],
+            "total_chars": [np.int64(g["chars_part"].sum())],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("host").map_groups(final, batch_format="pandas"))
+
+
+SQL_DOMAIN_STATS = """
+WITH pg AS (SELECT split_part(url, '/', 3) AS host, lang, strlen(text) AS tl
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet'))
+SELECT host, count(*) AS n_pages, count(DISTINCT lang) AS n_langs,
+       CAST(sum(tl) AS BIGINT) AS total_chars
+FROM pg GROUP BY host
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -7248,6 +7650,10 @@ QUERIES = {
     "s2_tiles": q_s2_tiles,
     "hex_tiles": q_hex_tiles,
     "hot_cells": q_hot_cells,
+    # r4 mobility analytics — in-window witnesses for the family (the
+    # displaced pack_sequences/decontaminate stay byte-exact out-of-window)
+    "od_flows": q_od_flows,
+    "tile_stays": q_tile_stays,
     # text analysis
     "text_stats": q_text_stats,
     # quality_scores demoted r4: quality_filter (the Gopher gate over the
@@ -7343,6 +7749,11 @@ QUERIES = {
     "convex_hull": q_convex_hull,
     "full_outer_join": q_full_outer_join,
     "distance_join": q_distance_join,
+    # r4 mobility analytics tail (od_flows/tile_stays hold window slots)
+    "covisit_pairs": q_covisit_pairs,
+    "bearing_sectors": q_bearing_sectors,
+    "moran_components": q_moran_components,
+    "domain_stats": q_domain_stats,
 }
 
 ORACLE_SQL = {
@@ -7425,6 +7836,12 @@ ORACLE_SQL = {
     "convex_hull": SQL_CONVEX_HULL,
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "distance_join": SQL_DISTANCE_JOIN,
+    "od_flows": SQL_OD_FLOWS,
+    "tile_stays": SQL_TILE_STAYS,
+    "covisit_pairs": SQL_COVISIT_PAIRS,
+    "bearing_sectors": SQL_BEARING_SECTORS,
+    "moran_components": SQL_MORAN_COMPONENTS,
+    "domain_stats": SQL_DOMAIN_STATS,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -36,6 +36,8 @@ SUBSET = [
     "trajectory_simplify", "skyline", "pmi_bigrams", "snapshot_diff",
     "line_dedup", "geohash_tiles",
     "pip_poly_join", "convex_hull", "full_outer_join", "distance_join",
+    "od_flows", "tile_stays", "covisit_pairs", "bearing_sectors",
+    "moran_components", "domain_stats",
 ]
 
 
@@ -55,8 +57,9 @@ def test_query_matches_oracle(name, duck):
     from gscap_ray.queries import ORACLE_SQL, QUERIES
 
     ray_df = to_pandas(QUERIES[name](SF_DIR))
-    # flagship-dump oracles hardcode the driver's sf0.01 path; retarget
-    sql = ORACLE_SQL[name].replace("gscap_labeled_sf0.01", "gscap_labeled_sf0.001")
+    # /tmp-dump oracles (labeled/pages/emb_aug) hardcode the driver's
+    # sf0.01 path; retarget every such artifact at this module's sf
+    sql = ORACLE_SQL[name].replace("sf0.01", "sf0.001")
     sql_df = duck.sql(sql).df()
     msg = compare(name, ray_df, sql_df)
     assert msg is None, msg
