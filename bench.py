@@ -390,6 +390,12 @@ def run_bench() -> dict:
     timed("bearing_sectors", lambda: consume(Q.q_bearing_sectors(sf_dir)))
     timed("moran_components", lambda: Q.q_moran_components(sf_dir))
     timed("domain_stats", lambda: consume(Q.q_domain_stats(sf_dir)))
+    # round-4 sixth family (geometry / raster / window+set closure)
+    timed("polygon_areas", lambda: consume(Q.q_polygon_areas(sf_dir)))
+    timed("cell_smooth", lambda: consume(Q.q_cell_smooth(sf_dir)))
+    timed("snap_points", lambda: consume(Q.q_snap_points(sf_dir)))
+    timed("ntile_values", lambda: consume(Q.q_ntile_values(sf_dir)))
+    timed("set_ops", lambda: Q.q_set_ops(sf_dir))
 
     def finish() -> dict:
         out = {

@@ -7595,6 +7595,356 @@ FROM pg GROUP BY host
 """
 
 
+# ------------------------------------------- geometry / raster / closure ---
+
+def q_polygon_areas(sf_dir: str):
+    """ST_Area-style feature-table geometry metrics: signed shoelace
+    cross-sum per ring over the 24-star-polygon layer, computed from the
+    Arrow list columns with one reshape + vectorized cyclic products.
+    Vertices are exact multiples of 0.25 deg, so scaling by 4 gives
+    EXACT int64 quarter-degree coordinates on both sides (cross2_q =
+    2*area in quarter-deg^2; sign = winding). The feature table is the
+    small side here, but the kernel is the one a billion-ring layer
+    would run per batch."""
+    polys = _star_polygons()
+
+    def areas(t: pa.Table) -> pa.Table:
+        pid = t["place_id"].to_numpy().astype(np.int64)
+        lat = np.stack(t["ring_lat"].to_pandas().values)   # (n, 12)
+        lon = np.stack(t["ring_lon"].to_pandas().values)
+        x = np.rint(lon * 4.0).astype(np.int64)
+        y = np.rint(lat * 4.0).astype(np.int64)
+        xn = np.roll(x, -1, axis=1)
+        yn = np.roll(y, -1, axis=1)
+        cross2 = (x * yn - xn * y).sum(axis=1)
+        return pa.table({"place_id": pa.array(pid, pa.int64()),
+                         "n_vertices": pa.array(np.full(pid.size, 12, np.int64),
+                                                pa.int64()),
+                         "cross2_q": pa.array(cross2, pa.int64())})
+
+    return rd.from_items(polys).map_batches(areas, batch_format="pyarrow")
+
+
+SQL_POLYGON_AREAS = """
+WITH dirs AS (SELECT * FROM (VALUES (0,4,0),(1,3,2),(2,2,3),(3,0,4),(4,-2,3),
+                                    (5,-3,2),(6,-4,0),(7,-3,-2),(8,-2,-3),
+                                    (9,0,-4),(10,2,-3),(11,3,-2)) d(j, ux, uy)),
+centers AS (SELECT k AS place_id,
+                   (((k*7) % 15) * 37) % 120 - 60 + 0.5 + (k % 5) * 0.125 AS clat,
+                   (((k*7) % 15) * 91) % 300 - 150 + 0.5 + (k % 7) * 0.125 AS clon
+            FROM range(24) t(k)),
+verts AS (SELECT place_id, j,
+                 CAST(round((clon + (2 + (place_id + j) % 3) * ux * 0.25) * 4) AS BIGINT) AS x,
+                 CAST(round((clat + (2 + (place_id + j) % 3) * uy * 0.25) * 4) AS BIGINT) AS y
+          FROM centers CROSS JOIN dirs)
+SELECT a.place_id, count(*) AS n_vertices,
+       CAST(sum(a.x * b.y - b.x * a.y) AS BIGINT) AS cross2_q
+FROM verts a JOIN verts b
+  ON a.place_id = b.place_id AND b.j = (a.j + 1) % 12
+GROUP BY a.place_id
+"""
+
+
+def q_cell_smooth(sf_dir: str):
+    """Raster-style 3x3 integer-kernel convolution over the 0.1-deg cell
+    count grid (weights 4/2/1, the classic binomial smoother): per-batch
+    partial counts -> one cell groupby-sum -> each occupied cell emits
+    <= 9 weighted contributions (edge/pole cells emit fewer — longitude
+    column 0/3599 and latitude rows 0/1799 get no wrap) -> one second
+    key groupby-sum. Both exchanges carry O(#occupied cells), never
+    points. All-integer."""
+    from ray.data.aggregate import Sum
+
+    NCOLS, NROWS = np.int64(3600), np.int64(1800)
+    OFFS = [(0, 0, 4), (0, 1, 2), (0, -1, 2), (1, 0, 2), (-1, 0, 2),
+            (1, 1, 1), (1, -1, 1), (-1, 1, 1), (-1, -1, 1)]
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        from .functions.cells import grid_cell_id
+
+        c = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        keys, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(keys.astype(np.int64), pa.int64()),
+                         "x_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def contribute(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy()
+        x = t["x"].to_numpy()
+        row, col = cell // NCOLS, cell % NCOLS
+        ks, vs = [], []
+        for dr, dc, w in OFFS:
+            ok = ((row + dr >= 0) & (row + dr < NROWS)
+                  & (col + dc >= 0) & (col + dc < NCOLS))
+            ks.append(cell[ok] + dr * NCOLS + dc)
+            vs.append(x[ok] * w)
+        return pa.table({"cell": pa.array(np.concatenate(ks), pa.int64()),
+                         "c_part": pa.array(np.concatenate(vs), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .select_columns(["lat", "lon"])
+            .map_batches(cell_partial, batch_format="pyarrow")
+            .groupby("cell").aggregate(Sum("x_part", alias_name="x"))
+            .map_batches(contribute, batch_format="pyarrow")
+            .groupby("cell").aggregate(Sum("c_part", alias_name="smooth")))
+
+
+SQL_CELL_SMOOTH = f"""
+WITH p AS ({_PTS_SQL}),
+cl AS (SELECT {_GRID_CELL_SQL} AS cell, count(*) AS x FROM p GROUP BY 1),
+off AS (SELECT * FROM (VALUES (0,0,4),(0,1,2),(0,-1,2),(1,0,2),(-1,0,2),
+                              (1,1,1),(1,-1,1),(-1,1,1),(-1,-1,1)) o(dr, dc, w)),
+con AS (SELECT cell + dr*3600 + dc AS tgt, x * w AS c
+        FROM cl, off
+        WHERE cell//3600 + dr BETWEEN 0 AND 1799
+          AND cell%3600 + dc BETWEEN 0 AND 3599)
+SELECT tgt AS cell, CAST(sum(c) AS BIGINT) AS smooth FROM con GROUP BY tgt
+"""
+
+
+def q_snap_points(sf_dir: str):
+    """Nearest-road snapping (map-matching primitive): each point snaps
+    to the closest of 240 deterministic road segments, candidates bounded
+    to segments whose bbox touches the point's 1-degree cell (the layer
+    is CSR-indexed by cell and broadcast — the small side; points
+    stream). Point-to-segment distance is the classic clamped-projection
+    form; engine and SQL share the exact IEEE expression tree, so the
+    floored 1e12-scaled squared distance and the (d2, seg_id) argmin are
+    bit-identical. No degenerate segments exist by construction
+    (d_lat=0 requires s===1 (mod 21), d_lon=0 requires s===8 (mod 21)).
+    Points whose cell no segment bbox touches are dropped (inner join),
+    matching the SQL twin."""
+    s = np.arange(240, dtype=np.int64)
+    a_lat = ((s * 53) % 120 - 60 + 0.5).astype(np.float64)
+    a_lon = ((s * 97) % 300 - 150 + 0.5).astype(np.float64)
+    d_lat = (((s * 31) % 21 - 10) / 100.0).astype(np.float64)
+    d_lon = (((s * 17) % 21 - 10) / 100.0).astype(np.float64)
+    b_lat, b_lon = a_lat + d_lat, a_lon + d_lon
+    # replicate each segment to every 1-deg cell its bbox touches (<= 4)
+    lo_r = np.floor(np.minimum(a_lat, b_lat) + 90.0).astype(np.int64)
+    hi_r = np.floor(np.maximum(a_lat, b_lat) + 90.0).astype(np.int64)
+    lo_c = np.floor(np.minimum(a_lon, b_lon) + 180.0).astype(np.int64)
+    hi_c = np.floor(np.maximum(a_lon, b_lon) + 180.0).astype(np.int64)
+    keys, segs = [], []
+    for dr in (0, 1):
+        for dc in (0, 1):
+            ok = (lo_r + dr <= hi_r) & (lo_c + dc <= hi_c)
+            keys.append((lo_r[ok] + dr) * 360 + lo_c[ok] + dc)
+            segs.append(s[ok])
+    key = np.concatenate(keys)
+    seg = np.concatenate(segs)
+    o = np.lexsort((seg, key))
+    key, seg = key[o], seg[o]
+    cells_u, starts_u = np.unique(key, return_index=True)
+    ends_u = np.append(starts_u[1:], key.size)
+
+    def snap(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        pcell = (np.floor(lat + 90.0).astype(np.int64) * 360
+                 + np.floor(lon + 180.0).astype(np.int64))
+        pos = np.searchsorted(cells_u, pcell)
+        pos = np.clip(pos, 0, max(cells_u.size - 1, 0))
+        hit = cells_u[pos] == pcell if cells_u.size else np.zeros(pcell.size, bool)
+        eid, lat, lon, pos = eid[hit], lat[hit], lon[hit], pos[hit]
+        cnt = ends_u[pos] - starts_u[pos]
+        tot = int(cnt.sum())
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "seg_id": pa.array([], pa.int64()),
+                          "d2_e12": pa.array([], pa.int64())})
+        if tot == 0:
+            return empty
+        pidx = np.repeat(np.arange(eid.size), cnt)
+        within = (np.arange(tot, dtype=np.int64)
+                  - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt))
+        ci = seg[np.repeat(starts_u[pos], cnt) + within]
+        plat, plon = lat[pidx], lon[pidx]
+        tn = (plon - a_lon[ci]) * d_lon[ci] + (plat - a_lat[ci]) * d_lat[ci]
+        td = d_lon[ci] * d_lon[ci] + d_lat[ci] * d_lat[ci]
+        tt = np.minimum(np.maximum(tn / td, 0.0), 1.0)
+        cx = a_lon[ci] + tt * d_lon[ci]
+        cy = a_lat[ci] + tt * d_lat[ci]
+        d2 = (plon - cx) * (plon - cx) + (plat - cy) * (plat - cy)
+        o2 = np.lexsort((ci, d2, pidx))
+        first = np.ones(tot, dtype=bool)
+        first[1:] = pidx[o2][1:] != pidx[o2][:-1]
+        pick = o2[first]
+        return pa.table({
+            "event_id": pa.array(eid[pidx[pick]], pa.int64()),
+            "seg_id": pa.array(ci[pick], pa.int64()),
+            "d2_e12": pa.array(np.floor(d2[pick] * 1e12).astype(np.int64),
+                               pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .select_columns(["event_id", "lat", "lon"])
+            .map_batches(snap, batch_format="pyarrow"))
+
+
+SQL_SNAP_POINTS = f"""
+WITH p AS (SELECT event_id, lat, lon,
+                  CAST(floor(lat + 90) AS BIGINT)*360
+                    + CAST(floor(lon + 180) AS BIGINT) AS cell
+           FROM ({_PTS_SQL})),
+segs AS (SELECT s,
+                (s*53) % 120 - 60 + 0.5 AS a_lat,
+                (s*97) % 300 - 150 + 0.5 AS a_lon,
+                ((s*31) % 21 - 10) / 100.0 AS d_lat,
+                ((s*17) % 21 - 10) / 100.0 AS d_lon
+         FROM range(240) t(s)),
+segcells AS (SELECT s, a_lat, a_lon, d_lat, d_lon, r.r*360 + c.c AS cell
+             FROM segs,
+                  LATERAL (SELECT unnest(generate_series(
+                      CAST(floor(least(a_lat, a_lat + d_lat) + 90) AS BIGINT),
+                      CAST(floor(greatest(a_lat, a_lat + d_lat) + 90) AS BIGINT))) AS r) r,
+                  LATERAL (SELECT unnest(generate_series(
+                      CAST(floor(least(a_lon, a_lon + d_lon) + 180) AS BIGINT),
+                      CAST(floor(greatest(a_lon, a_lon + d_lon) + 180) AS BIGINT))) AS c) c),
+cand AS (SELECT p.event_id, g.s,
+                LEAST(GREATEST(((p.lon - g.a_lon) * g.d_lon
+                                + (p.lat - g.a_lat) * g.d_lat)
+                               / (g.d_lon * g.d_lon + g.d_lat * g.d_lat),
+                               0.0), 1.0) AS tt,
+                p.lat, p.lon, g.a_lat, g.a_lon, g.d_lat, g.d_lon
+         FROM p JOIN segcells g ON p.cell = g.cell),
+d AS (SELECT event_id, s,
+             (lon - (a_lon + tt * d_lon)) * (lon - (a_lon + tt * d_lon))
+           + (lat - (a_lat + tt * d_lat)) * (lat - (a_lat + tt * d_lat)) AS d2
+      FROM cand)
+SELECT event_id, s AS seg_id,
+       CAST(floor(d2 * 1e12) AS BIGINT) AS d2_e12
+FROM d
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY d2, s) = 1
+"""
+
+
+def q_ntile_values(sf_dir: str):
+    """NTILE window-function closure: per-user quartile assignment over
+    the (ts, event_id)-ordered stream, replicating SQL NTILE's exact
+    bucket-size rule (first n%k buckets get one extra row). One user-hash
+    shuffle, vectorized rank arithmetic per partition — completing the
+    window family beside running_total / lead_lag / per_group_topk.
+    All-integer output."""
+    K = 4
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array(u % 64, pa.int32()),
+        })
+
+    def tiles(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        o = np.lexsort((eid, ts, u))
+        u, eid = u[o], eid[o]
+        n = u.shape[0]
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        gb = np.ones(n, dtype=bool)
+        gb[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(gb)
+        lens = np.diff(np.append(starts, n))
+        r = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        gn = np.repeat(lens, lens)
+        big = gn % K            # buckets that get one extra row
+        size = gn // K          # base bucket size (0 when n < K)
+        cutoff = big * (size + 1)
+        tile = np.where(size == 0, r,
+                        np.where(r < cutoff, r // np.maximum(size + 1, 1),
+                                 big + (r - cutoff) // np.maximum(size, 1)))
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "tile": pa.array(tile + 1, pa.int64())})
+
+    return (_read(sf_dir, "events", ["event_id", "ts", "user_id"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(tiles, batch_format="pyarrow"))
+
+
+SQL_NTILE_VALUES = """
+SELECT event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS tile
+FROM events
+"""
+
+
+def q_set_ops(sf_dir: str):
+    """Distributed set-operation closure (EXCEPT / INTERSECT / UNION
+    with set semantics) over two derived key sets — distinct (user,
+    hour) slots with a click vs. with a purchase. One cogroup-style
+    union + ONE key-hash shuffle; per-partition membership flags fold
+    each key to 2 bits, partial counts (<= 64 rows x 3) finish on the
+    driver. The same shape computes any algebra over N tagged sets
+    without a join operator. All-integer output."""
+    HOUR_US = np.int64(3_600_000_000)
+
+    def tagged(which: str, tag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["event_type"], which)
+            tt = t.filter(m)
+            u = tt["user_id"].to_numpy().astype(np.int64)
+            hr = (tt["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+                  // HOUR_US)
+            key = np.unique(u * np.int64(1 << 24) + hr)
+            return pa.table({"key": pa.array(key, pa.int64()),
+                             "tag": pa.array(np.full(key.size, tag, np.int8),
+                                             pa.int8()),
+                             "part": pa.array(key % 64, pa.int32())})
+        return fn
+
+    def flags(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        tag = t["tag"].to_numpy().astype(np.int64)
+        o = np.argsort(key, kind="stable")
+        key, tag = key[o], tag[o]
+        gb = np.ones(key.size, dtype=bool)
+        gb[1:] = key[1:] != key[:-1]
+        gid = np.cumsum(gb) - 1
+        mask = np.zeros(int(gid[-1]) + 1 if key.size else 0, np.int64)
+        np.bitwise_or.at(mask, gid, tag)
+        n_a_only = int((mask == 1).sum())
+        n_b_only = int((mask == 2).sum())
+        n_both = int((mask == 3).sum())
+        return pa.table({"except_p": pa.array([n_a_only], pa.int64()),
+                         "intersect_p": pa.array([n_both], pa.int64()),
+                         "union_p": pa.array([n_a_only + n_b_only + n_both],
+                                             pa.int64())})
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    both = (ev.map_batches(tagged("click", 1), batch_format="pyarrow")
+            .union(ev.map_batches(tagged("purchase", 2), batch_format="pyarrow")))
+    p = (both.groupby("part").map_groups(flags, batch_format="pyarrow")
+         .to_pandas())  # <= 64 partial rows
+    return pd.DataFrame({
+        "op": ["except", "intersect", "union"],
+        "n": np.array([p["except_p"].sum(), p["intersect_p"].sum(),
+                       p["union_p"].sum()], dtype=np.int64)})
+
+
+SQL_SET_OPS = """
+WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr
+      FROM events WHERE event_type = 'purchase')
+SELECT 'except' AS op,
+       CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+            AS BIGINT) AS n
+UNION ALL
+SELECT 'intersect',
+       CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+            AS BIGINT)
+UNION ALL
+SELECT 'union',
+       CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+            AS BIGINT)
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -7754,6 +8104,12 @@ QUERIES = {
     "bearing_sectors": q_bearing_sectors,
     "moran_components": q_moran_components,
     "domain_stats": q_domain_stats,
+    # r4 sixth family: geometry / raster / window+set closure
+    "polygon_areas": q_polygon_areas,
+    "cell_smooth": q_cell_smooth,
+    "snap_points": q_snap_points,
+    "ntile_values": q_ntile_values,
+    "set_ops": q_set_ops,
 }
 
 ORACLE_SQL = {
@@ -7842,6 +8198,11 @@ ORACLE_SQL = {
     "bearing_sectors": SQL_BEARING_SECTORS,
     "moran_components": SQL_MORAN_COMPONENTS,
     "domain_stats": SQL_DOMAIN_STATS,
+    "polygon_areas": SQL_POLYGON_AREAS,
+    "cell_smooth": SQL_CELL_SMOOTH,
+    "snap_points": SQL_SNAP_POINTS,
+    "ntile_values": SQL_NTILE_VALUES,
+    "set_ops": SQL_SET_OPS,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

@@ -38,6 +38,7 @@ SUBSET = [
     "pip_poly_join", "convex_hull", "full_outer_join", "distance_join",
     "od_flows", "tile_stays", "covisit_pairs", "bearing_sectors",
     "moran_components", "domain_stats",
+    "polygon_areas", "cell_smooth", "snap_points", "ntile_values", "set_ops",
 ]
 
 
