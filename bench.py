@@ -396,6 +396,9 @@ def run_bench() -> dict:
     timed("snap_points", lambda: consume(Q.q_snap_points(sf_dir)))
     timed("ntile_values", lambda: consume(Q.q_ntile_values(sf_dir)))
     timed("set_ops", lambda: Q.q_set_ops(sf_dir))
+    timed("ols_components", lambda: consume(Q.q_ols_components(sf_dir)))
+    timed("systematic_sample",
+          lambda: consume(Q.q_systematic_sample(sf_dir)))
 
     def finish() -> dict:
         out = {

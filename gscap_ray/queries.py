@@ -7945,6 +7945,112 @@ SELECT 'union',
 """
 
 
+def q_ols_components(sf_dir: str):
+    """Distributed group-wise linear regression (value-vs-time OLS per
+    user) as EXACT INTEGER sufficient statistics — the mergeable-moments
+    pattern: x = minutes since 2024-01-01 (small, so sum(x*x) stays deep
+    inside int64 at any sf), y = integer cents; per-batch reduceat
+    partials fold to one row per (user, batch) before the single user
+    groupby-sum. slope/intercept reconstruct offline from
+    (n, sx, sy, sxx, sxy) with no float ever crossing the exchange."""
+    from ray.data.aggregate import Sum
+
+    T0_MIN = np.int64(28_401_120)  # epoch minutes of 2024-01-01T00:00Z
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        x = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+             // np.int64(60_000_000)) - T0_MIN
+        y = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        o = np.argsort(u, kind="stable")
+        u, x, y = u[o], x[o], y[o]
+        gb = np.ones(u.size, dtype=bool)
+        gb[1:] = u[1:] != u[:-1]
+        s = np.flatnonzero(gb)
+        return pa.table({
+            "user_id": pa.array(u[s], pa.int64()),
+            "n_p": pa.array(np.diff(np.append(s, u.size)), pa.int64()),
+            "sx_p": pa.array(np.add.reduceat(x, s), pa.int64()),
+            "sy_p": pa.array(np.add.reduceat(y, s), pa.int64()),
+            "sxx_p": pa.array(np.add.reduceat(x * x, s), pa.int64()),
+            "sxy_p": pa.array(np.add.reduceat(x * y, s), pa.int64()),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(
+                Sum("n_p", alias_name="n"), Sum("sx_p", alias_name="sx"),
+                Sum("sy_p", alias_name="sy"), Sum("sxx_p", alias_name="sxx"),
+                Sum("sxy_p", alias_name="sxy")))
+
+
+SQL_OLS_COMPONENTS = """
+WITH e AS (SELECT user_id,
+                  epoch_us(ts) // 60000000 - 28401120 AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y
+           FROM events)
+SELECT user_id, count(*) AS n,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+FROM e GROUP BY user_id
+"""
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic (every k-th) sampling in GLOBAL event-time order — the
+    deterministic alternative to Bernoulli sampling when the downstream
+    consumer needs uniform coverage of the timeline. Distributed shape:
+    the pack_sequences two-pass scan — day-range parts align with the
+    (ts, event_id) order, per-part counts collapse to one int per part,
+    the exclusive prefix over part totals broadcasts via ray.put, each
+    part finds its own rank-hits locally. No global sort operator, the
+    driver holds n_parts ints."""
+    import ray
+
+    K = 97
+    DAY_US = np.int64(86_400_000_000)
+
+    def pk(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "ts_us": ts,
+            "part": pa.array((ts.to_numpy() // DAY_US).astype(np.int32),
+                             pa.int32()),
+        })
+
+    from ray.data.aggregate import Count
+
+    ev = (_read(sf_dir, "events", ["event_id", "ts"])
+          .map_batches(pk, batch_format="pyarrow").materialize())
+    totals = (ev.groupby("part").aggregate(Count(alias_name="c"))
+              .to_pandas().sort_values("part"))
+    c = totals["c"].to_numpy(dtype=np.int64)
+    base = dict(zip(totals["part"].to_numpy(dtype=np.int64),
+                    np.concatenate([[0], np.cumsum(c)[:-1]])))
+    base_ref = ray.put(base)
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        b = int(ray.get(base_ref)[int(g["part"].iloc[0])])
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, ts))
+        rank = b + np.arange(eid.size, dtype=np.int64)  # 0-based global
+        hit = rank % K == 0
+        return pa.table({"event_id": pa.array(eid[o][hit], pa.int64()),
+                         "rn": pa.array(rank[hit] + 1, pa.int64())})
+
+    return ev.groupby("part").map_groups(scan, batch_format="pandas")
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events
+QUALIFY (row_number() OVER (ORDER BY ts, event_id) - 1) % 97 = 0
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -8110,6 +8216,8 @@ QUERIES = {
     "snap_points": q_snap_points,
     "ntile_values": q_ntile_values,
     "set_ops": q_set_ops,
+    "ols_components": q_ols_components,
+    "systematic_sample": q_systematic_sample,
 }
 
 ORACLE_SQL = {
@@ -8203,6 +8311,8 @@ ORACLE_SQL = {
     "snap_points": SQL_SNAP_POINTS,
     "ntile_values": SQL_NTILE_VALUES,
     "set_ops": SQL_SET_OPS,
+    "ols_components": SQL_OLS_COMPONENTS,
+    "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
