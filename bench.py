@@ -399,6 +399,8 @@ def run_bench() -> dict:
     timed("ols_components", lambda: consume(Q.q_ols_components(sf_dir)))
     timed("systematic_sample",
           lambda: consume(Q.q_systematic_sample(sf_dir)))
+    timed("knox_pairs", lambda: Q.q_knox_pairs(sf_dir))
+    timed("cell_growth", lambda: consume(Q.q_cell_growth(sf_dir)))
 
     def finish() -> dict:
         out = {

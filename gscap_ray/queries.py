@@ -8051,6 +8051,167 @@ QUALIFY (row_number() OVER (ORDER BY ts, event_id) - 1) % 97 = 0
 """
 
 
+def q_knox_pairs(sf_dir: str):
+    """Knox space-time interaction statistic: the number of event pairs
+    close in BOTH space (Chebyshev-adjacent 0.1-deg cells, no lon wrap)
+    and time (|dt| <= 1 h inclusive) — the classic epidemiology /
+    incident-clustering test. Scale shape: each point is OWNED by its
+    (cell, hour) bucket and REPLICATED as a probe to the 27 space-time
+    neighbor buckets; a pair is counted only in the smaller-event-id
+    point's own bucket, so every qualifying pair is counted exactly once
+    with no global dedup. ONE key-hash shuffle; per-partition matching is
+    a searchsorted + bounded bucket-occupancy expansion; 64 partial count
+    rows reach the driver. All-integer output."""
+    HOUR_US = np.int64(3_600_000_000)
+    NCOLS, NROWS = np.int64(3600), np.int64(1800)
+    PACK = np.int64(1 << 24)
+
+    def emit(t: pa.Table) -> pa.Table:
+        from .functions.cells import grid_cell_id
+
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        cell = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        h = ts // HOUR_US
+        row, col = cell // NCOLS, cell % NCOLS
+        ks, es, tss, tags = [], [], [], []
+        # owner row (tag 0) + 27 probe replicas (tag 1)
+        ks.append(cell * PACK + h)
+        es.append(eid); tss.append(ts)
+        tags.append(np.zeros(eid.size, np.int8))
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                for dh in (-1, 0, 1):
+                    ok = ((row + dr >= 0) & (row + dr < NROWS)
+                          & (col + dc >= 0) & (col + dc < NCOLS))
+                    ks.append((cell[ok] + dr * NCOLS + dc) * PACK + h[ok] + dh)
+                    es.append(eid[ok]); tss.append(ts[ok])
+                    tags.append(np.ones(int(ok.sum()), np.int8))
+        key = np.concatenate(ks)
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "eid": pa.array(np.concatenate(es), pa.int64()),
+                         "ts_us": pa.array(np.concatenate(tss), pa.int64()),
+                         "tag": pa.array(np.concatenate(tags), pa.int8()),
+                         "part": pa.array(key % 64, pa.int32())})
+
+    def count(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        eid = t["eid"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        tag = t["tag"].to_numpy()
+        own = tag == 0
+        ko, eo, to = key[own], eid[own], ts[own]
+        o = np.argsort(ko, kind="stable")
+        ko, eo, to = ko[o], eo[o], to[o]
+        kp, ep, tp = key[~own], eid[~own], ts[~own]
+        lo = np.searchsorted(ko, kp, side="left")
+        hi = np.searchsorted(ko, kp, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        n = 0
+        if tot:
+            pid = np.repeat(np.arange(kp.size), cnt)
+            within = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt))
+            oi = np.repeat(lo, cnt) + within
+            good = ((eo[oi] < ep[pid])
+                    & (np.abs(to[oi] - tp[pid]) <= HOUR_US))
+            n = int(good.sum())
+        return pa.table({"n_part": pa.array([n], pa.int64())})
+
+    p = (_points_ds(sf_dir)
+         .select_columns(["event_id", "ts", "lat", "lon"])
+         .map_batches(emit, batch_format="pyarrow")
+         .groupby("part").map_groups(count, batch_format="pyarrow")
+         .to_pandas())  # <= 64 partial rows
+    return pd.DataFrame({"n_pairs": [np.int64(p["n_part"].sum())]})
+
+
+SQL_KNOX_PAIRS = f"""
+WITH p AS (SELECT event_id, ts, {_GRID_CELL_SQL} AS cell,
+                  epoch_us(ts) // 3600000000 AS h
+           FROM ({_PTS_SQL})),
+off AS (SELECT * FROM (VALUES (-1,-1,-1),(-1,-1,0),(-1,-1,1),(-1,0,-1),
+        (-1,0,0),(-1,0,1),(-1,1,-1),(-1,1,0),(-1,1,1),(0,-1,-1),(0,-1,0),
+        (0,-1,1),(0,0,-1),(0,0,0),(0,0,1),(0,1,-1),(0,1,0),(0,1,1),
+        (1,-1,-1),(1,-1,0),(1,-1,1),(1,0,-1),(1,0,0),(1,0,1),(1,1,-1),
+        (1,1,0),(1,1,1)) o(dr, dc, dh)),
+rep AS (SELECT p.event_id, p.ts,
+               (p.cell + dr*3600 + dc) * 16777216 + p.h + dh AS key
+        FROM p, off
+        WHERE p.cell//3600 + dr BETWEEN 0 AND 1799
+          AND p.cell%3600 + dc BETWEEN 0 AND 3599)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT event_id, ts, cell * 16777216 + h AS key FROM p) a
+JOIN rep b ON a.key = b.key
+WHERE a.event_id < b.event_id
+  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+"""
+
+
+def q_cell_growth(sf_dir: str):
+    """Per-cell day-over-day activity delta (the tile time-series every
+    monitoring stack derives): counts per (cell, day), then the change vs
+    the cell's previous OBSERVED day. Two exchanges, both O(#occupied
+    cell-days): per-batch partial counts -> (cell, day) groupby-sum ->
+    cell-hash partitions -> vectorized lexsort + segment shift.
+    All-integer output."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def cd_partial(t: pa.Table) -> pa.Table:
+        from .functions.cells import grid_cell_id
+
+        cell = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        day = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+               // DAY_US)
+        packed = cell * np.int64(1 << 20) + day
+        keys, cnt = np.unique(packed, return_counts=True)
+        return pa.table({"cell": pa.array(keys >> np.int64(20), pa.int64()),
+                         "day": pa.array(keys & np.int64((1 << 20) - 1), pa.int64()),
+                         "n_p": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def deltas(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy()
+        day = t["day"].to_numpy()
+        n = t["n"].to_numpy()
+        o = np.lexsort((day, cell))
+        cell, day, n = cell[o], day[o], n[o]
+        prev = np.zeros(cell.size, dtype=bool)
+        prev[1:] = cell[1:] == cell[:-1]
+        d = np.empty(cell.size, np.int64)
+        d[1:] = n[1:] - n[:-1]
+        return pa.table({"cell": pa.array(cell[prev], pa.int64()),
+                         "day": pa.array(day[prev], pa.int64()),
+                         "n": pa.array(n[prev], pa.int64()),
+                         "delta": pa.array(d[prev], pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        return t.append_column("part", pa.array(
+            (t["cell"].to_numpy() % 64).astype(np.int32), pa.int32()))
+
+    return (_points_ds(sf_dir)
+            .select_columns(["ts", "lat", "lon"])
+            .map_batches(cd_partial, batch_format="pyarrow")
+            .groupby(["cell", "day"]).aggregate(Sum("n_p", alias_name="n"))
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(deltas, batch_format="pyarrow"))
+
+
+SQL_CELL_GROWTH = f"""
+WITH p AS ({_PTS_SQL}),
+cd AS (SELECT {_GRID_CELL_SQL} AS cell,
+              epoch_us(ts) // 86400000000 AS day, count(*) AS n
+       FROM p GROUP BY 1, 2),
+l AS (SELECT cell, day, n,
+             lag(n) OVER (PARTITION BY cell ORDER BY day) AS pn
+      FROM cd)
+SELECT cell, day, n, CAST(n - pn AS BIGINT) AS delta
+FROM l WHERE pn IS NOT NULL
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -8218,6 +8379,8 @@ QUERIES = {
     "set_ops": q_set_ops,
     "ols_components": q_ols_components,
     "systematic_sample": q_systematic_sample,
+    "knox_pairs": q_knox_pairs,
+    "cell_growth": q_cell_growth,
 }
 
 ORACLE_SQL = {
@@ -8313,6 +8476,8 @@ ORACLE_SQL = {
     "set_ops": SQL_SET_OPS,
     "ols_components": SQL_OLS_COMPONENTS,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
+    "knox_pairs": SQL_KNOX_PAIRS,
+    "cell_growth": SQL_CELL_GROWTH,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

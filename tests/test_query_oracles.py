@@ -39,7 +39,7 @@ SUBSET = [
     "od_flows", "tile_stays", "covisit_pairs", "bearing_sectors",
     "moran_components", "domain_stats",
     "polygon_areas", "cell_smooth", "snap_points", "ntile_values", "set_ops",
-    "ols_components", "systematic_sample",
+    "ols_components", "systematic_sample", "knox_pairs", "cell_growth",
 ]
 
 
