@@ -8056,15 +8056,22 @@ def q_knox_pairs(sf_dir: str):
     close in BOTH space (Chebyshev-adjacent 0.1-deg cells, no lon wrap)
     and time (|dt| <= 1 h inclusive) — the classic epidemiology /
     incident-clustering test. Scale shape: each point is OWNED by its
-    (cell, hour) bucket and REPLICATED as a probe to the 27 space-time
-    neighbor buckets; a pair is counted only in the smaller-event-id
-    point's own bucket, so every qualifying pair is counted exactly once
-    with no global dedup. ONE key-hash shuffle; per-partition matching is
-    a searchsorted + bounded bucket-occupancy expansion; 64 partial count
-    rows reach the driver. All-integer output."""
+    (cell, hour) bucket and probes only the 13 lattice-NEGATIVE
+    space-time neighbor offsets plus its own bucket (the half stencil —
+    2x less exchange volume than the full 27): a cross-bucket pair is
+    found exactly once in the lexicographically-smaller bucket, a
+    same-bucket pair exactly once via event-id order, so no global
+    dedup. ONE key-hash shuffle carrying 3 ints + a tag per emission;
+    per-partition matching is a searchsorted + bounded bucket-occupancy
+    expansion; 64 partial count rows reach the driver. All-integer
+    output."""
     HOUR_US = np.int64(3_600_000_000)
     NCOLS, NROWS = np.int64(3600), np.int64(1800)
     PACK = np.int64(1 << 24)
+    # the 13 (dr, dc, dh) offsets lexicographically below (0, 0, 0)
+    HALF = [(dr, dc, dh)
+            for dr in (-1, 0, 1) for dc in (-1, 0, 1) for dh in (-1, 0, 1)
+            if (dr, dc, dh) < (0, 0, 0)]
 
     def emit(t: pa.Table) -> pa.Table:
         from .functions.cells import grid_cell_id
@@ -8075,18 +8082,17 @@ def q_knox_pairs(sf_dir: str):
         h = ts // HOUR_US
         row, col = cell // NCOLS, cell % NCOLS
         ks, es, tss, tags = [], [], [], []
-        # owner row (tag 0) + 27 probe replicas (tag 1)
+        # tag 0: owner + same-bucket probe (pair resolved by eid order);
+        # tag 1: cross-bucket probe toward the 13 smaller buckets
         ks.append(cell * PACK + h)
         es.append(eid); tss.append(ts)
         tags.append(np.zeros(eid.size, np.int8))
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                for dh in (-1, 0, 1):
-                    ok = ((row + dr >= 0) & (row + dr < NROWS)
-                          & (col + dc >= 0) & (col + dc < NCOLS))
-                    ks.append((cell[ok] + dr * NCOLS + dc) * PACK + h[ok] + dh)
-                    es.append(eid[ok]); tss.append(ts[ok])
-                    tags.append(np.ones(int(ok.sum()), np.int8))
+        for dr, dc, dh in HALF:
+            ok = ((row + dr >= 0) & (row + dr < NROWS)
+                  & (col + dc >= 0) & (col + dc < NCOLS))
+            ks.append((cell[ok] + dr * NCOLS + dc) * PACK + h[ok] + dh)
+            es.append(eid[ok]); tss.append(ts[ok])
+            tags.append(np.ones(int(ok.sum()), np.int8))
         key = np.concatenate(ks)
         return pa.table({"key": pa.array(key, pa.int64()),
                          "eid": pa.array(np.concatenate(es), pa.int64()),
@@ -8103,20 +8109,41 @@ def q_knox_pairs(sf_dir: str):
         ko, eo, to = key[own], eid[own], ts[own]
         o = np.argsort(ko, kind="stable")
         ko, eo, to = ko[o], eo[o], to[o]
-        kp, ep, tp = key[~own], eid[~own], ts[~own]
+        kp, tp = key[~own], ts[~own]
         lo = np.searchsorted(ko, kp, side="left")
         hi = np.searchsorted(ko, kp, side="right")
         cnt = hi - lo
         tot = int(cnt.sum())
         n = 0
         if tot:
+            # cross-bucket: the pair's unique offset vector lands the
+            # probe in the smaller bucket exactly once — time predicate
+            # only, no id ordering needed
             pid = np.repeat(np.arange(kp.size), cnt)
             within = (np.arange(tot, dtype=np.int64)
                       - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt))
             oi = np.repeat(lo, cnt) + within
-            good = ((eo[oi] < ep[pid])
-                    & (np.abs(to[oi] - tp[pid]) <= HOUR_US))
-            n = int(good.sum())
+            n = int((np.abs(to[oi] - tp[pid]) <= HOUR_US).sum())
+        # same-bucket: owners pair among themselves once via (i < j) over
+        # the bucket run — vectorized triangular-number pair generation,
+        # bucket occupancy is small by construction
+        if ko.size:
+            run = np.ones(ko.size, dtype=bool)
+            run[1:] = ko[1:] != ko[:-1]
+            starts = np.flatnonzero(run)
+            lens = np.diff(np.append(starts, ko.size))
+            npairs = lens * (lens - 1) // 2
+            ptot = int(npairs.sum())
+            if ptot:
+                kmax = int(lens.max())
+                tri = np.arange(kmax, dtype=np.int64) * np.arange(1, kmax + 1) // 2
+                gidx = np.repeat(np.arange(lens.shape[0]), npairs)
+                rank = np.arange(ptot, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
+                j = np.searchsorted(tri, rank, side="right")
+                i = rank - tri[j - 1]
+                base = starts[gidx]
+                n += int((np.abs(to[base + i] - to[base + j]) <= HOUR_US).sum())
         return pa.table({"n_part": pa.array([n], pa.int64())})
 
     p = (_points_ds(sf_dir)
