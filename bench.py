@@ -401,6 +401,7 @@ def run_bench() -> dict:
           lambda: consume(Q.q_systematic_sample(sf_dir)))
     timed("knox_pairs", lambda: Q.q_knox_pairs(sf_dir))
     timed("cell_growth", lambda: consume(Q.q_cell_growth(sf_dir)))
+    timed("kmeans_rounds", lambda: Q.q_kmeans_rounds(sf_dir))
 
     def finish() -> dict:
         out = {

@@ -8239,6 +8239,130 @@ FROM l WHERE pn IS NOT NULL
 """
 
 
+def q_kmeans_rounds(sf_dir: str):
+    """Iterative ML as deterministic dataflow: two Lloyd k-means rounds
+    (K=8) over integer micro-degree coordinates, fully SQL-replicable —
+    init centers are the per-hash-bucket argmin points (the distributed-
+    argmin pattern), assignment is an exact int64 squared-distance argmin
+    with a center-id tiebreak, and new centers are INTEGER centroids
+    (floor-divided component sums), so every round is exact on both
+    sides. Scale shape per round: the K-row center table lives in the
+    map closure (O(K) driver state), assignment + per-batch partial sums
+    are one vectorized map_batches, and one K-group aggregate closes the
+    round — Lloyd's at 100 TB is exactly this loop. Output: per-center
+    integer sufficient statistics after round 2."""
+    from ray.data.aggregate import Count, Sum
+
+    K = 8
+    MULT = np.int64(2654435761)
+    MOD = np.int64(1 << 32)
+
+    def to_int_pts(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ilat = np.floor(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        ilon = np.floor(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "ilat": pa.array(ilat, pa.int64()),
+                         "ilon": pa.array(ilon, pa.int64())})
+
+    pts = (_points_ds(sf_dir)
+           .select_columns(["event_id", "lat", "lon"])
+           .map_batches(to_int_pts, batch_format="pyarrow")
+           .materialize())  # 3 ints/row, reused across rounds
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        h = (eid * MULT) % MOD
+        b = h % K
+        o = np.lexsort((eid, h, b))
+        first = np.ones(o.size, dtype=bool)
+        first[1:] = b[o][1:] != b[o][:-1]
+        keep = o[first]
+        return pa.table({"b": pa.array(b[keep], pa.int64()),
+                         "h": pa.array(h[keep], pa.int64()),
+                         "event_id": pa.array(eid[keep], pa.int64()),
+                         "ilat": t["ilat"].take(pa.array(keep)),
+                         "ilon": t["ilon"].take(pa.array(keep))})
+
+    def seed_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"], kind="stable").iloc[:1]
+        return g[["b", "ilat", "ilon"]]
+
+    seeds = (pts.map_batches(seed_partial, batch_format="pyarrow")
+             .groupby("b").map_groups(seed_final, batch_format="pandas")
+             .to_pandas().sort_values("b"))  # K rows
+    clat = seeds["ilat"].to_numpy(dtype=np.int64)
+    clon = seeds["ilon"].to_numpy(dtype=np.int64)
+
+    def round_stats(ids, cla, clo):
+        # ids is sorted ascending, so argmin-first == lowest-cid tiebreak
+        def assign(t: pa.Table) -> pa.Table:
+            ilat = t["ilat"].to_numpy()
+            ilon = t["ilon"].to_numpy()
+            dla = ilat[:, None] - cla[None, :]
+            dlo = ilon[:, None] - clo[None, :]
+            d2 = dla * dla + dlo * dlo
+            cid = ids[np.argmin(d2, axis=1)]  # ties -> lowest center id
+            o = np.argsort(cid, kind="stable")
+            cs, il, io = cid[o], ilat[o], ilon[o]
+            gb = np.ones(cs.size, dtype=bool)
+            gb[1:] = cs[1:] != cs[:-1]
+            s = np.flatnonzero(gb)
+            return pa.table({
+                "cid": pa.array(cs[s], pa.int64()),
+                "n_p": pa.array(np.diff(np.append(s, cs.size)), pa.int64()),
+                "sla_p": pa.array(np.add.reduceat(il, s), pa.int64()),
+                "slo_p": pa.array(np.add.reduceat(io, s), pa.int64())})
+
+        return (pts.map_batches(assign, batch_format="pyarrow")
+                .groupby("cid").aggregate(
+                    Sum("n_p", alias_name="n"), Sum("sla_p", alias_name="sla"),
+                    Sum("slo_p", alias_name="slo"),
+                    Count(alias_name="_parts"))
+                .to_pandas().sort_values("cid"))  # <= K rows per round
+
+    r1 = round_stats(seeds["b"].to_numpy(dtype=np.int64), clat, clon)
+    # integer centroids: floor-divided component sums (exact both sides);
+    # a center that attracted nothing in round 1 simply has no row and
+    # drops out of round 2, exactly like the SQL twin's c2 CTE
+    cids = r1["cid"].to_numpy(dtype=np.int64)
+    c2la = r1["sla"].to_numpy(dtype=np.int64) // r1["n"].to_numpy(dtype=np.int64)
+    c2lo = r1["slo"].to_numpy(dtype=np.int64) // r1["n"].to_numpy(dtype=np.int64)
+    r2 = round_stats(cids, c2la, c2lo)
+    return pd.DataFrame({"cid": r2["cid"].to_numpy(dtype=np.int64),
+                         "n": r2["n"].to_numpy(dtype=np.int64),
+                         "sla": r2["sla"].to_numpy(dtype=np.int64),
+                         "slo": r2["slo"].to_numpy(dtype=np.int64)})
+
+
+SQL_KMEANS_ROUNDS = f"""
+WITH p AS (SELECT event_id,
+                  CAST(floor(lat * 100000.0) AS BIGINT) AS ilat,
+                  CAST(floor(lon * 100000.0) AS BIGINT) AS ilon
+           FROM ({_PTS_SQL})),
+h AS (SELECT *, (event_id * 2654435761) % 4294967296 AS hh FROM p),
+seeds AS (SELECT hh % 8 AS b, ilat AS cla, ilon AS clo
+          FROM h QUALIFY row_number() OVER (PARTITION BY hh % 8
+                                            ORDER BY hh, event_id) = 1),
+a1 AS (SELECT p.event_id, p.ilat, p.ilon, s.b AS cid
+       FROM p CROSS JOIN seeds s
+       QUALIFY row_number() OVER (PARTITION BY p.event_id
+           ORDER BY (p.ilat - s.cla)*(p.ilat - s.cla)
+                  + (p.ilon - s.clo)*(p.ilon - s.clo), s.b) = 1),
+c2 AS (SELECT cid, CAST(sum(ilat) AS BIGINT) // count(*) AS cla,
+              CAST(sum(ilon) AS BIGINT) // count(*) AS clo
+       FROM a1 GROUP BY cid),
+a2 AS (SELECT p.event_id, p.ilat, p.ilon, c.cid
+       FROM p CROSS JOIN c2 c
+       QUALIFY row_number() OVER (PARTITION BY p.event_id
+           ORDER BY (p.ilat - c.cla)*(p.ilat - c.cla)
+                  + (p.ilon - c.clo)*(p.ilon - c.clo), c.cid) = 1)
+SELECT cid, count(*) AS n, CAST(sum(ilat) AS BIGINT) AS sla,
+       CAST(sum(ilon) AS BIGINT) AS slo
+FROM a2 GROUP BY cid
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -8408,6 +8532,7 @@ QUERIES = {
     "systematic_sample": q_systematic_sample,
     "knox_pairs": q_knox_pairs,
     "cell_growth": q_cell_growth,
+    "kmeans_rounds": q_kmeans_rounds,
 }
 
 ORACLE_SQL = {
@@ -8505,6 +8630,7 @@ ORACLE_SQL = {
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
     "knox_pairs": SQL_KNOX_PAIRS,
     "cell_growth": SQL_CELL_GROWTH,
+    "kmeans_rounds": SQL_KMEANS_ROUNDS,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
