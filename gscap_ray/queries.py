@@ -7218,6 +7218,28 @@ def _mobility_pk(t: pa.Table) -> pa.Table:
     })
 
 
+def _tri_pair_indices(starts: np.ndarray, lens: np.ndarray):
+    """Fully-vectorized within-segment (i < j) pair enumeration: for
+    segments of sizes ``lens`` starting at ``starts``, returns absolute
+    row indices (ia, ib) of every unordered in-segment pair — the rank ->
+    (i, j) map is group-size-free via the triangular numbers (j =
+    searchsorted(TRI, rank)), so there is no Python loop over segments.
+    Returns (None, None) when no segment has 2+ rows."""
+    npairs = lens * (lens - 1) // 2
+    tot = int(npairs.sum())
+    if tot == 0:
+        return None, None
+    kmax = int(lens.max())
+    tri = np.arange(kmax, dtype=np.int64) * np.arange(1, kmax + 1) // 2
+    gidx = np.repeat(np.arange(lens.shape[0]), npairs)
+    rank = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
+    j = np.searchsorted(tri, rank, side="right")
+    i = rank - tri[j - 1]
+    base = starts[gidx]
+    return base + i, base + j
+
+
 def _user_sorted(t: pa.Table):
     """Partition rows lexsorted by (user, ts, event_id); returns columns."""
     u = t["user_id"].to_numpy()
@@ -7355,22 +7377,11 @@ def q_covisit_pairs(sf_dir: str):
         gb[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
         starts = np.flatnonzero(gb)
         lens = np.diff(np.append(starts, n))
-        npairs = lens * (lens - 1) // 2
-        total = int(npairs.sum())
-        if total == 0:
+        ia, ib = _tri_pair_indices(starts, lens)
+        if ia is None:
             return empty
-        # within-group pair rank -> (i, j) with i < j, group-size-free via
-        # the triangular numbers: j = searchsorted(TRI, rank, 'right')
-        kmax = int(lens.max())
-        tri = np.arange(kmax, dtype=np.int64) * np.arange(1, kmax + 1) // 2
-        gidx = np.repeat(np.arange(lens.shape[0]), npairs)
-        rank = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
-        j = np.searchsorted(tri, rank, side="right")
-        i = rank - tri[j - 1]
-        base = starts[gidx]
-        a = cell[base + i]
-        b = cell[base + j]
+        a = cell[ia]
+        b = cell[ib]
         packed = (a << np.int64(32)) | b  # cells sorted in-group: a < b
         keys, cnt = np.unique(packed, return_counts=True)
         return pa.table({"cell_a": pa.array(keys >> np.int64(32), pa.int64()),
@@ -8132,18 +8143,9 @@ def q_knox_pairs(sf_dir: str):
             run[1:] = ko[1:] != ko[:-1]
             starts = np.flatnonzero(run)
             lens = np.diff(np.append(starts, ko.size))
-            npairs = lens * (lens - 1) // 2
-            ptot = int(npairs.sum())
-            if ptot:
-                kmax = int(lens.max())
-                tri = np.arange(kmax, dtype=np.int64) * np.arange(1, kmax + 1) // 2
-                gidx = np.repeat(np.arange(lens.shape[0]), npairs)
-                rank = np.arange(ptot, dtype=np.int64) - np.repeat(
-                    np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
-                j = np.searchsorted(tri, rank, side="right")
-                i = rank - tri[j - 1]
-                base = starts[gidx]
-                n += int((np.abs(to[base + i] - to[base + j]) <= HOUR_US).sum())
+            ia, ib = _tri_pair_indices(starts, lens)
+            if ia is not None:
+                n += int((np.abs(to[ia] - to[ib]) <= HOUR_US).sum())
         return pa.table({"n_part": pa.array([n], pa.int64())})
 
     p = (_points_ds(sf_dir)
