@@ -402,6 +402,9 @@ def run_bench() -> dict:
     timed("knox_pairs", lambda: Q.q_knox_pairs(sf_dir))
     timed("cell_growth", lambda: consume(Q.q_cell_growth(sf_dir)))
     timed("kmeans_rounds", lambda: Q.q_kmeans_rounds(sf_dir))
+    timed("radius_gyration", lambda: consume(Q.q_radius_gyration(sf_dir)))
+    timed("exploration_curve",
+          lambda: consume(Q.q_exploration_curve(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -8365,6 +8365,112 @@ FROM a2 GROUP BY cid
 """
 
 
+def q_radius_gyration(sf_dir: str):
+    """Radius of gyration per user (Gonzalez et al. 2008, the canonical
+    human-mobility scale metric) as EXACT INTEGER second-moment
+    components over micro-degree coordinates: r_g^2 = Sxx/n - (Sx/n)^2
+    (+ lat term) reconstructs offline from (n, sla, slo, slaa, sloo) with
+    no float crossing the exchange. Same mergeable-moments shape as
+    ols_components: per-batch reduceat partials, ONE user groupby-sum.
+    Coordinates carry a fixed +90/+180 deg offset so ilat/ilon are
+    non-negative and sum(ilat^2) stays < 2^63 up to ~7e6 points per
+    user (shard a hotter user by day first)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ilat = np.floor((t["lat"].to_numpy() + 90.0) * 100000.0).astype(np.int64)
+        ilon = np.floor((t["lon"].to_numpy() + 180.0) * 100000.0).astype(np.int64)
+        o = np.argsort(u, kind="stable")
+        u, ilat, ilon = u[o], ilat[o], ilon[o]
+        gb = np.ones(u.size, dtype=bool)
+        gb[1:] = u[1:] != u[:-1]
+        s = np.flatnonzero(gb)
+        return pa.table({
+            "user_id": pa.array(u[s], pa.int64()),
+            "n_p": pa.array(np.diff(np.append(s, u.size)), pa.int64()),
+            "sla_p": pa.array(np.add.reduceat(ilat, s), pa.int64()),
+            "slo_p": pa.array(np.add.reduceat(ilon, s), pa.int64()),
+            "slaa_p": pa.array(np.add.reduceat(ilat * ilat, s), pa.int64()),
+            "sloo_p": pa.array(np.add.reduceat(ilon * ilon, s), pa.int64()),
+        })
+
+    return (_points_ds(sf_dir)
+            .select_columns(["user_id", "lat", "lon"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(
+                Sum("n_p", alias_name="n"), Sum("sla_p", alias_name="sla"),
+                Sum("slo_p", alias_name="slo"), Sum("slaa_p", alias_name="slaa"),
+                Sum("sloo_p", alias_name="sloo")))
+
+
+SQL_RADIUS_GYRATION = f"""
+WITH p AS (SELECT user_id,
+                  CAST(floor((lat + 90.0) * 100000.0) AS BIGINT) AS ilat,
+                  CAST(floor((lon + 180.0) * 100000.0) AS BIGINT) AS ilon
+           FROM ({_PTS_SQL}))
+SELECT user_id, count(*) AS n,
+       CAST(sum(ilat) AS BIGINT) AS sla, CAST(sum(ilon) AS BIGINT) AS slo,
+       CAST(sum(ilat*ilat) AS BIGINT) AS slaa,
+       CAST(sum(ilon*ilon) AS BIGINT) AS sloo
+FROM p GROUP BY user_id
+"""
+
+
+def q_exploration_curve(sf_dir: str):
+    """Location-discovery curve S(t) (the exploration half of the
+    exploration-vs-return dichotomy in human mobility): per user per
+    day, the number of 0.1-deg cells visited for the FIRST time that
+    day. Scale shape: per-batch distinct (user, cell, day-min) partials
+    -> one (user, cell) groupby-min (first-visit day) -> per-batch
+    partial (user, day) counts -> one tiny groupby-sum. Every exchange
+    carries O(distinct user-cells). All-integer output."""
+    from ray.data.aggregate import Min, Sum
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def ucd_partial(t: pa.Table) -> pa.Table:
+        from .functions.cells import grid_cell_id
+
+        u = t["user_id"].to_numpy().astype(np.int64)
+        cell = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        day = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+               // DAY_US)
+        o = np.lexsort((day, cell, u))
+        u, cell, day = u[o], cell[o], day[o]
+        first = np.ones(u.size, dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (cell[1:] != cell[:-1])
+        return pa.table({"user_id": pa.array(u[first], pa.int64()),
+                         "cell": pa.array(cell[first], pa.int64()),
+                         "d_p": pa.array(day[first], pa.int64())})
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        d = t["first_day"].to_numpy()
+        packed = u * np.int64(1 << 20) + d
+        keys, cnt = np.unique(packed, return_counts=True)
+        return pa.table({"user_id": pa.array(keys >> np.int64(20), pa.int64()),
+                         "day": pa.array(keys & np.int64((1 << 20) - 1), pa.int64()),
+                         "nc_p": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .select_columns(["user_id", "ts", "lat", "lon"])
+            .map_batches(ucd_partial, batch_format="pyarrow")
+            .groupby(["user_id", "cell"]).aggregate(Min("d_p", alias_name="first_day"))
+            .map_batches(day_counts, batch_format="pyarrow")
+            .groupby(["user_id", "day"]).aggregate(Sum("nc_p", alias_name="new_cells")))
+
+
+SQL_EXPLORATION_CURVE = f"""
+WITH p AS ({_PTS_SQL}),
+fc AS (SELECT user_id, {_GRID_CELL_SQL} AS cell,
+              min(epoch_us(ts) // 86400000000) AS first_day
+       FROM p GROUP BY 1, 2)
+SELECT user_id, first_day AS day, count(*) AS new_cells
+FROM fc GROUP BY user_id, first_day
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -8535,6 +8641,8 @@ QUERIES = {
     "knox_pairs": q_knox_pairs,
     "cell_growth": q_cell_growth,
     "kmeans_rounds": q_kmeans_rounds,
+    "radius_gyration": q_radius_gyration,
+    "exploration_curve": q_exploration_curve,
 }
 
 ORACLE_SQL = {
@@ -8633,6 +8741,8 @@ ORACLE_SQL = {
     "knox_pairs": SQL_KNOX_PAIRS,
     "cell_growth": SQL_CELL_GROWTH,
     "kmeans_rounds": SQL_KMEANS_ROUNDS,
+    "radius_gyration": SQL_RADIUS_GYRATION,
+    "exploration_curve": SQL_EXPLORATION_CURVE,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,

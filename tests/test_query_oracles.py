@@ -40,7 +40,7 @@ SUBSET = [
     "moran_components", "domain_stats",
     "polygon_areas", "cell_smooth", "snap_points", "ntile_values", "set_ops",
     "ols_components", "systematic_sample", "knox_pairs", "cell_growth",
-    "kmeans_rounds",
+    "kmeans_rounds", "radius_gyration", "exploration_curve",
 ]
 
 
