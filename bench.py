@@ -405,6 +405,8 @@ def run_bench() -> dict:
     timed("radius_gyration", lambda: consume(Q.q_radius_gyration(sf_dir)))
     timed("exploration_curve",
           lambda: consume(Q.q_exploration_curve(sf_dir)))
+    timed("time_weighted_avg",
+          lambda: consume(Q.q_time_weighted_avg(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -8471,6 +8471,69 @@ FROM fc GROUP BY user_id, first_day
 """
 
 
+def q_time_weighted_avg(sf_dir: str):
+    """Time-weighted averaging (the IoT / finance resampling primitive):
+    per user, the step-function integral of value over the observed
+    span — numerator Sum value_i * (t_{i+1} - t_i) in exact cents *
+    microseconds and the total covered duration, so TWA = num/dur
+    reconstructs offline with no float in the exchange. One user-hash
+    shuffle; the integral is a vectorized lag segment scan; int64 is
+    safe to ~10^14 cents*us per user-month. All-integer output."""
+    def integrate(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        c = t["cents"].to_numpy()
+        o = np.lexsort((eid, ts, u))
+        u, ts, c = u[o], ts[o], c[o]
+        m = np.zeros(u.size, dtype=bool)
+        m[:-1] = u[:-1] == u[1:]
+        dt = np.zeros(u.size, np.int64)
+        dt[:-1] = ts[1:] - ts[:-1]
+        seg = c * dt * m  # value holds until the next observation
+        gb = np.ones(u.size, dtype=bool)
+        gb[1:] = u[1:] != u[:-1]
+        s = np.flatnonzero(gb)
+        return pa.table({
+            "user_id": pa.array(u[s], pa.int64()),
+            "num_p": pa.array(np.add.reduceat(seg, s) if u.size else
+                              np.array([], np.int64), pa.int64()),
+            "dur_p": pa.array(np.add.reduceat(dt * m, s) if u.size else
+                              np.array([], np.int64), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(np.round(t["value"].to_numpy() * 100).astype(np.int64),
+                              pa.int64()),
+            "part": pa.array(u % 64, pa.int32()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(integrate, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("num_p", alias_name="num"),
+                                          Sum("dur_p", alias_name="dur")))
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+l AS (SELECT user_id, c,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(sum(c * dt) AS BIGINT) AS num,
+       CAST(sum(dt) AS BIGINT) AS dur
+FROM l WHERE dt IS NOT NULL GROUP BY user_id
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -8643,6 +8706,7 @@ QUERIES = {
     "kmeans_rounds": q_kmeans_rounds,
     "radius_gyration": q_radius_gyration,
     "exploration_curve": q_exploration_curve,
+    "time_weighted_avg": q_time_weighted_avg,
 }
 
 ORACLE_SQL = {
@@ -8743,6 +8807,7 @@ ORACLE_SQL = {
     "kmeans_rounds": SQL_KMEANS_ROUNDS,
     "radius_gyration": SQL_RADIUS_GYRATION,
     "exploration_curve": SQL_EXPLORATION_CURVE,
+    "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
