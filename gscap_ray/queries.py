@@ -8593,6 +8593,11 @@ QUERIES = {
     # displaced pack_sequences/decontaminate stay byte-exact out-of-window)
     "od_flows": q_od_flows,
     "tile_stays": q_tile_stays,
+    # r4 fifth-session window additions: the iterative-ML witness and the
+    # space-time interaction statistic (displaced vocab_topk /
+    # stratified_sample stay byte-exact out-of-window, suite-verified)
+    "kmeans_rounds": q_kmeans_rounds,
+    "knox_pairs": q_knox_pairs,
     # text analysis
     "text_stats": q_text_stats,
     # quality_scores demoted r4: quality_filter (the Gopher gate over the
@@ -8701,9 +8706,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "ols_components": q_ols_components,
     "systematic_sample": q_systematic_sample,
-    "knox_pairs": q_knox_pairs,
     "cell_growth": q_cell_growth,
-    "kmeans_rounds": q_kmeans_rounds,
     "radius_gyration": q_radius_gyration,
     "exploration_curve": q_exploration_curve,
     "time_weighted_avg": q_time_weighted_avg,
