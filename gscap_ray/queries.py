@@ -19,6 +19,7 @@ DuckDB sequential) vanish.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -3343,9 +3344,9 @@ SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize
 def q_multimodal_features(sf_dir: str):
     """Multimodal binary-column pipeline: html payload -> actor-pool feature
     extraction (stub decode over an md5 payload hash, real Ray plumbing) ->
-    per-lang mean feature norm — oracle-checked (the payload derives from
-    ``text``, so SQL reconstructs the bytes, hashes with md5_number_lower
-    and replicates the float32 feature rounding via FLOAT casts)."""
+    per-lang mean feature norm — oracle-checked (DuckDB decodes the SAME
+    html bytes from the parquet, hashes with md5_number_lower and
+    replicates the float32 feature rounding via FLOAT casts)."""
     from ray.data.aggregate import Count, Mean
 
     from .stages.multimodal import BinaryFeatureExtractor
@@ -3374,7 +3375,7 @@ def sql_multimodal_features(
         f" * CAST(((h >> {4 * k}) & 15) / 15.0 AS FLOAT)"
         for k in range(1, 16))
     return f"""
-WITH pg AS (SELECT lang, '<html><body>' || text || '</body></html>' AS html
+WITH pg AS (SELECT lang, decode(html) AS html
             FROM read_parquet('{path}')),
 hh AS (SELECT lang, md5_number_lower(html) AS h, strlen(html) AS sz FROM pg),
 f AS (SELECT lang,
@@ -6612,6 +6613,195 @@ WHERE bc.cab >= 5
 """
 
 
+def _bigram_tables(t: pa.Table):
+    """Shared tokenizer for the LM-scoring family: whitespace tokens per
+    document, adjacent same-document bigram arrays plus the batch-local
+    row index of each bigram. Returns (row_idx, tok1, tok2, n_rows)."""
+    s = (pd.Series(t["text"].to_numpy(zero_copy_only=False))
+         .fillna("").str.strip())
+    ex = s[s != ""].str.split().explode()
+    flat = ex.to_numpy(dtype=object)
+    did = ex.index.to_numpy()
+    if flat.size:
+        same = did[:-1] == did[1:]
+        return did[:-1][same], flat[:-1][same], flat[1:][same], len(s)
+    return (np.empty(0, np.int64), np.empty(0, object),
+            np.empty(0, object), len(s))
+
+
+def _bigram_model(sf_dir: str, min_count: int = 2):
+    """Pass 1 of the CCNet-style LM scorer: corpus bigram counts, pruned
+    to count >= min_count — the 'trained language model' the scoring pass
+    broadcasts. Scale shape: per-batch partial counts collapse each batch
+    to its distinct bigrams before one (tok1, tok2) shuffle; at corpus
+    scale the model would additionally be capped to the top-M grams
+    (CCNet trains on a Wikipedia-sized sample, not the crawl itself).
+    Returns (sorted key array 'tok1 tok2', aligned int64 counts)."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, t1, t2, _ = _bigram_tables(t)
+        bc = (pd.DataFrame({"tok1": t1, "tok2": t2})
+              .value_counts().rename("cnt").reset_index())
+        return pa.table({"tok1": pa.array(bc["tok1"].to_numpy(object), pa.string()),
+                         "tok2": pa.array(bc["tok2"].to_numpy(object), pa.string()),
+                         "cnt": pa.array(bc["cnt"].to_numpy(np.int64), pa.int64())})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby(["tok1", "tok2"]).aggregate(Sum("cnt", alias_name="n"))
+           .to_pandas())
+    agg = agg[agg["n"] >= min_count]
+    keys = (agg["tok1"] + " " + agg["tok2"]).to_numpy(object)
+    order = np.argsort(keys)
+    return keys[order], agg["n"].to_numpy(np.int64)[order]
+
+
+def _lm_scored(sf_dir: str) -> rd.Dataset:
+    """Pass 2 of the LM scorer: per-document integer LM familiarity —
+    n_bigrams, lm_hits (bigrams present in the model) and lm_score (sum
+    of model counts over the doc's bigram occurrences). The model rides
+    in the object store (ray.put once, read per task); the probe is one
+    searchsorted per batch — no shuffle at all in this pass."""
+    import ray
+
+    keys, counts = _bigram_model(sf_dir)
+    ref = ray.put((keys, counts))
+
+    def score(t: pa.Table) -> pa.Table:
+        k, c = ray.get(ref)
+        row, t1, t2, n = _bigram_tables(t)
+        if len(t1):
+            bg = pd.Series(t1).str.cat(pd.Series(t2), sep=" ").to_numpy(object)
+            pos = np.searchsorted(k, bg)
+            safe = np.minimum(pos, max(len(k) - 1, 0))
+            hit = (pos < len(k)) & (k[safe] == bg) if len(k) else np.zeros(len(bg), bool)
+            val = np.where(hit, c[safe], 0).astype(np.int64)
+        else:
+            hit = np.zeros(0, bool)
+            val = np.zeros(0, np.int64)
+        g = (pd.DataFrame({"i": row if len(t1) else np.empty(0, np.int64),
+                           "hit": hit.astype(np.int64), "val": val})
+             .groupby("i").agg(nb=("hit", "size"), hits=("hit", "sum"),
+                               score=("val", "sum"))
+             .reindex(range(n), fill_value=0))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": pa.array(g["nb"].to_numpy(np.int64), pa.int64()),
+            "lm_hits": pa.array(g["hits"].to_numpy(np.int64), pa.int64()),
+            "lm_score": pa.array(g["score"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow"))
+
+
+def q_bigram_lm_scores(sf_dir: str):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): pass 1 trains
+    a bigram count model over the corpus, pass 2 scores every document by
+    how familiar its bigrams are to the model. All-integer outputs (raw
+    count sums, no logs) so there is zero float-parity risk; the real
+    pipeline's log-perplexity is a monotone transform of the same
+    sufficient statistics."""
+    return _lm_scored(sf_dir)
+
+
+_SQL_LM_SCORED = """
+d AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> toks[i])) AS tok1,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> toks[i + 1])) AS tok2
+      FROM d),
+model AS (SELECT tok1, tok2, count(*) AS cab FROM b GROUP BY 1, 2
+          HAVING count(*) >= 2),
+occ AS (SELECT b.doc_id, m.cab FROM b
+        LEFT JOIN model m ON m.tok1 = b.tok1 AND m.tok2 = b.tok2),
+per AS (SELECT doc_id, count(*) AS nb, count(cab) AS hits,
+               CAST(coalesce(sum(cab), 0) AS BIGINT) AS score
+        FROM occ GROUP BY doc_id),
+scored AS (SELECT d.doc_id,
+                  coalesce(per.nb, 0) AS n_bigrams,
+                  coalesce(per.hits, 0) AS lm_hits,
+                  coalesce(per.score, 0) AS lm_score
+           FROM d LEFT JOIN per ON per.doc_id = d.doc_id)
+"""
+
+SQL_BIGRAM_LM_SCORES = f"""
+WITH {_SQL_LM_SCORED}
+SELECT doc_id, n_bigrams, lm_hits, lm_score FROM scored
+"""
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail bucketing: documents ranked by their
+    integer milli-score lm_score*1000 // max(n_bigrams,1) and split at
+    the exact 1/3 and 2/3 order statistics (k-th smallest VALUE — ties
+    collapse into the lower bucket on both sides, so the cut is
+    order-independent). Scale shape: the thresholds come from a
+    groupby(score).count() histogram (distinct-score-sized, tiny), never
+    a global sort of the documents; the bucket label is then a pure
+    per-batch comparison. Output: per-bucket doc count + total chars."""
+    from ray.data.aggregate import Count, Sum
+
+    scored = _lm_scored(sf_dir).materialize()
+
+    def milli(t: pa.Table) -> pa.Table:
+        sc = t["lm_score"].to_numpy().astype(np.int64)
+        nb = np.maximum(t["n_bigrams"].to_numpy().astype(np.int64), 1)
+        return pa.table({"doc_id": t["doc_id"],
+                         "v": pa.array(sc * 1000 // nb, pa.int64())})
+
+    sv = scored.map_batches(milli, batch_format="pyarrow").materialize()
+    hist = (sv.groupby("v").aggregate(Count(alias_name="c"))
+            .to_pandas().sort_values("v"))
+    n = int(hist["c"].sum())
+    cum = hist["c"].cumsum().to_numpy()
+    vals = hist["v"].to_numpy(np.int64)
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    t1 = int(vals[np.searchsorted(cum, k1)])
+    t2 = int(vals[np.searchsorted(cum, k2)])
+
+    chars = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        lab = np.where(v <= t1, "tail", np.where(v <= t2, "middle", "head"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "bucket": pa.array(lab.astype(object), pa.string())})
+
+    lab = sv.map_batches(bucket, batch_format="pyarrow")
+    joined = lab.join(chars, "inner", 4, on=("doc_id",))
+    return (joined.groupby("bucket")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH {_SQL_LM_SCORED},
+sv AS (SELECT doc_id, lm_score * 1000 // greatest(n_bigrams, 1) AS v
+       FROM scored),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                  count(*) OVER () AS n
+           FROM sv),
+th AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN v END) AS t1,
+              max(CASE WHEN rn = (2 * n + 2) // 3 THEN v END) AS t2
+       FROM ranked),
+lab AS (SELECT sv.doc_id,
+               CASE WHEN v <= t1 THEN 'tail'
+                    WHEN v <= t2 THEN 'middle' ELSE 'head' END AS bucket
+        FROM sv CROSS JOIN th)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(doc.n_chars) AS BIGINT) AS total_chars
+FROM lab JOIN documents doc ON doc.doc_id = lab.doc_id
+GROUP BY bucket
+"""
+
+
 def q_snapshot_diff(sf_dir: str):
     """Change-data-capture diff of two table snapshots: snapshot A is
     orders; snapshot B is a deterministic mutation of it (keys % 97 == 0
@@ -7603,6 +7793,51 @@ WITH pg AS (SELECT split_part(url, '/', 3) AS host, lang, strlen(text) AS tl
 SELECT host, count(*) AS n_pages, count(DISTINCT lang) AS n_langs,
        CAST(sum(tl) AS BIGINT) AS total_chars
 FROM pg GROUP BY host
+"""
+
+
+def q_html_links(sf_dir: str):
+    """Outlink extraction over the raw html payload — the WARC-to-link-graph
+    step every web-corpus pipeline runs (WAT extraction): hrefs parsed from
+    the html bytes with one compiled regex per batch (pandas str.findall —
+    the C-level re loop, no interpreter loop in our code), rolled up to a
+    host-level link table. Scale shape: the html payload never enters the
+    exchange — each batch folds its links to distinct (target, source,
+    count) partials before the single target-hash shuffle, so exchange
+    volume is O(distinct host pairs), not O(links). All-integer measures."""
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+    href_re = re.compile(r'href="([^"]+)"')
+
+    def links(t: pa.Table) -> pd.DataFrame:
+        src = pc.list_element(pc.split_pattern(t["url"], "/"), 2).to_pandas()
+        html = t["html"].to_pandas().str.decode("utf-8")
+        df = pd.DataFrame({"src": src, "href": html.str.findall(href_re)})
+        df = df.explode("href", ignore_index=True).dropna(subset=["href"])
+        df["tgt"] = df["href"].str.extract(r"https://([^/]+)", expand=False)
+        return (df.groupby(["tgt", "src"], sort=False).size()
+                .reset_index(name="n_part"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "target_host": [g["tgt"].iloc[0]],
+            "n_links": [np.int64(g["n_part"].sum())],
+            "n_source_hosts": [np.int64(g["src"].nunique())],
+        })
+
+    return (ds.map_batches(links, batch_format="pyarrow")
+            .groupby("tgt").map_groups(final, batch_format="pandas")
+            .select_columns(["target_host", "n_links", "n_source_hosts"]))
+
+
+SQL_HTML_LINKS = """
+WITH pg AS (SELECT split_part(url, '/', 3) AS src, decode(html) AS h
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT src, unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+t AS (SELECT src, split_part(href, '/', 3) AS tgt FROM l)
+SELECT tgt AS target_host, count(*) AS n_links,
+       count(DISTINCT src) AS n_source_hosts
+FROM t GROUP BY tgt
 """
 
 
@@ -8603,6 +8838,7 @@ QUERIES = {
     # quality_scores demoted r4: quality_filter (the Gopher gate over the
     # same per-doc quality metrics) + text_stats witness it in-window
     "lang_id": q_lang_id,
+    "html_links": q_html_links,
     "fingerprints": q_fingerprints,
     "place_normalize": q_place_normalize,
     # round-3 operators promoted into the window (their ops' other
@@ -8687,6 +8923,8 @@ QUERIES = {
     "trajectory_simplify": q_trajectory_simplify,
     "skyline": q_skyline,
     "pmi_bigrams": q_pmi_bigrams,
+    "bigram_lm_scores": q_bigram_lm_scores,
+    "ccnet_buckets": q_ccnet_buckets,
     "snapshot_diff": q_snapshot_diff,
     "line_dedup": q_line_dedup,
     "geohash_tiles": q_geohash_tiles,
@@ -8785,6 +9023,8 @@ ORACLE_SQL = {
     "trajectory_simplify": SQL_TRAJECTORY_SIMPLIFY,
     "skyline": SQL_SKYLINE,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "bigram_lm_scores": SQL_BIGRAM_LM_SCORES,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "line_dedup": SQL_LINE_DEDUP,
     "geohash_tiles": _sql_geohash_tiles(),
@@ -8813,6 +9053,7 @@ ORACLE_SQL = {
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "video_frames": SQL_VIDEO_FRAMES,
     "lang_id": SQL_LANG_ID,
+    "html_links": SQL_HTML_LINKS,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
     "sampled_stats": SQL_SAMPLED_STATS,

@@ -175,7 +175,20 @@ def generate_pages_table(n_pages: int, n_hosts: int = 50, days: int = 6,
     widx = np.stack([( uh >> np.uint64(4 * k) ).astype(np.int64) % nw for k in range(12)], axis=1)
     words = _WORDS[widx]
     text = np.array([" ".join(row) + f" #{u:016x}" for row, u in zip(words, uh)], dtype=object)
-    html = np.array([f"<html><body>{t}</body></html>".encode() for t in text], dtype=object)
+    # v4: three deterministic outlinks per page (hash nibbles 12-14 pick the
+    # target host index 0-15) so link-extraction operators see a real,
+    # skewed host link graph; anchors live only in html — `text` stays the
+    # byte-identity invariant column
+    l0 = ((uh >> np.uint64(48)) & np.uint64(15)).astype(np.int64)
+    l1 = ((uh >> np.uint64(52)) & np.uint64(15)).astype(np.int64)
+    l2 = ((uh >> np.uint64(56)) & np.uint64(15)).astype(np.int64)
+    html = np.array([
+        (f'<html><body><a href="https://h{seed}-{a}.example.com/">o0</a>'
+         f'<a href="https://h{seed}-{b}.example.com/">o1</a>'
+         f'<a href="https://h{seed}-{c}.example.com/">o2</a>'
+         f'<p>{t}</p></body></html>').encode()
+        for a, b, c, t in zip(l0, l1, l2, text)
+    ], dtype=object)
     lang = LANGS[(uh % np.uint64(5)).astype(np.int64)]
 
     from .schema import PAGES
@@ -196,7 +209,7 @@ def ensure_pages(out_dir: str, n_pages: int, n_hosts: int = 50, days: int = 6,
     """
     marker = os.path.join(out_dir, "_DONE")
     hot = f" hot={hot_frac}" if hot_frac > 0.0 else ""
-    stamp = f"v3 rows={n_pages} hosts={n_hosts} days={days} seed={seed}{hot}\n"
+    stamp = f"v4 rows={n_pages} hosts={n_hosts} days={days} seed={seed}{hot}\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == stamp:

@@ -41,7 +41,7 @@ SUBSET = [
     "polygon_areas", "cell_smooth", "snap_points", "ntile_values", "set_ops",
     "ols_components", "systematic_sample", "knox_pairs", "cell_growth",
     "kmeans_rounds", "radius_gyration", "exploration_curve",
-    "time_weighted_avg",
+    "time_weighted_avg", "html_links",
 ]
 
 
