@@ -7755,6 +7755,196 @@ FROM s, agg, denq
 """
 
 
+def q_getis_ord_components(sf_dir: str):
+    """Local hot-spot statistic (Getis-Ord Gi*) over 0.1-deg occupied-cell
+    counts with rook neighbors + self: per cell, the EXACT INTEGER
+    sufficient statistics — w_i (occupied neighbors incl. self) and
+    local_sum (own + neighbor counts) — plus the global scalars
+    (n_cells, s_sum, q_sum = sum x^2) as constant columns, from which
+    Gi* = (local_sum - w_i*mean) / (sd * sqrt(...)) reconstructs exactly.
+    Scale shape: same exchange as moran_components — one cell groupby,
+    then a tagged union (own rows tag 0, four direction probes tag 1)
+    through ONE key-hash shuffle with a searchsorted + np.add.at gather
+    per partition; no broadcast, no driver state. East/west probes are
+    wrap-guarded; north/south ids off the lattice never match an
+    occupied cell."""
+    from ray.data.aggregate import Count, Sum
+
+    NCOLS = np.int64(3600)
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        from .functions.cells import grid_cell_id
+
+        c = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.1)
+        keys, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(keys.astype(np.int64), pa.int64()),
+                         "x_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = (_points_ds(sf_dir)
+              .select_columns(["lat", "lon"])
+              .map_batches(cell_partial, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("x_part", alias_name="x"))
+              .materialize())
+
+    def with_sq(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        return t.append_column("x2", pa.array(x * x, pa.int64()))
+
+    sc = (counts.map_batches(with_sq, batch_format="pyarrow")
+          .aggregate(Count(alias_name="n"), Sum("x", alias_name="S"),
+                     Sum("x2", alias_name="Q")))
+    n_cells, S, Q = int(sc["n"]), int(sc["S"]), int(sc["Q"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy()
+        x = t["x"].to_numpy()
+        col = cell % NCOLS
+        east, west = col < NCOLS - 1, col > 0
+        key = np.concatenate([cell, cell[east] + 1, cell[west] - 1,
+                              cell + NCOLS, cell - NCOLS])
+        val = np.concatenate([x, x[east], x[west], x, x])
+        tag = np.concatenate([np.zeros(cell.size, np.int8),
+                              np.ones(key.size - cell.size, np.int8)])
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "val": pa.array(val, pa.int64()),
+                         "tag": pa.array(tag, pa.int8()),
+                         "part": pa.array(key % 64, pa.int32())})
+
+    def match(t: pa.Table) -> pa.Table:
+        key, val, tag = (t["key"].to_numpy(), t["val"].to_numpy(),
+                         t["tag"].to_numpy())
+        own = tag == 0
+        k0, v0 = key[own], val[own]
+        o = np.argsort(k0, kind="stable")
+        k0, v0 = k0[o], v0[o]
+        kp, vp = key[~own], val[~own]
+        pos = np.searchsorted(k0, kp)
+        pos = np.clip(pos, 0, max(k0.size - 1, 0))
+        hit = (k0[pos] == kp) if k0.size else np.zeros(kp.size, bool)
+        w = np.zeros(k0.size, np.int64)
+        s = np.zeros(k0.size, np.int64)
+        np.add.at(w, pos[hit], 1)
+        np.add.at(s, pos[hit], vp[hit])
+        return pa.table({"cell": pa.array(k0, pa.int64()),
+                         "w_i": pa.array(w + 1, pa.int64()),
+                         "local_sum": pa.array(v0 + s, pa.int64())})
+
+    def constify(t: pa.Table) -> pa.Table:
+        k = t.num_rows
+        return (t.append_column("n_cells", pa.array(np.full(k, n_cells), pa.int64()))
+                 .append_column("s_sum", pa.array(np.full(k, S), pa.int64()))
+                 .append_column("q_sum", pa.array(np.full(k, Q), pa.int64())))
+
+    return (counts.map_batches(emit, batch_format="pyarrow")
+            .groupby("part").map_groups(match, batch_format="pyarrow")
+            .map_batches(constify, batch_format="pyarrow"))
+
+
+SQL_GETIS_ORD_COMPONENTS = f"""
+WITH p AS ({_PTS_SQL}),
+cl AS (SELECT {_GRID_CELL_SQL} AS cell, count(*) AS x FROM p GROUP BY 1),
+s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sm,
+             CAST(sum(x*x) AS BIGINT) AS qm FROM cl),
+nb AS (SELECT a.cell, b.x FROM cl a JOIN cl b ON
+          (b.cell = a.cell + 1 AND (a.cell % 3600) < 3599)
+       OR (b.cell = a.cell - 1 AND (a.cell % 3600) > 0)
+       OR b.cell = a.cell + 3600 OR b.cell = a.cell - 3600),
+g AS (SELECT cl.cell, cl.x, count(nb.x) AS wn,
+             CAST(COALESCE(sum(nb.x), 0) AS BIGINT) AS ns
+      FROM cl LEFT JOIN nb ON nb.cell = cl.cell GROUP BY cl.cell, cl.x)
+SELECT g.cell, CAST(g.wn + 1 AS BIGINT) AS w_i,
+       CAST(g.x + g.ns AS BIGINT) AS local_sum,
+       CAST(s.n AS BIGINT) AS n_cells, s.sm AS s_sum, s.qm AS q_sum
+FROM g, s
+"""
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/valid/test assignment — the split step every
+    training-data pipeline ends with: split = md5(doc_id) % 1000 against
+    980/990 cutoffs (bit-identical in SQL via md5_number_lower), so the
+    assignment is stable under reshuffles, re-runs and backfills. Pure
+    per-batch map, zero shuffle; at scale the same column keys the
+    partitioned parquet layout (write_parquet partition_cols) so each
+    split lands in its own directory tree."""
+    from .functions.text import md5_token_hash64
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = md5_token_hash64([str(i) for i in ids]) % np.uint64(1000)
+        lab = np.where(h < 980, "train", np.where(h < 990, "valid", "test"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": pa.array(lab.astype(object), pa.string())})
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 980
+            THEN 'train'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 990
+            THEN 'valid' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional Bernoulli sampling (size-biased, the corpus
+    rebalancing primitive): keep a document with probability
+    n_chars/1024 via the integer test md5(doc_id) % 1024 < n_chars —
+    deterministic, join-free, identical arithmetic in SQL, and the
+    SAMPLE ITSELF is byte-compared (not just its size). Pure per-batch
+    filter, zero shuffle."""
+    from .functions.text import md5_token_hash64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = md5_token_hash64([str(i) for i in ids]) % np.uint64(1024)
+        m = h.astype(np.int64) < t["n_chars"].to_numpy()
+        return t.filter(pa.array(m))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1024 < n_chars
+"""
+
+
+def q_url_blocklist_filter(sf_dir: str):
+    """URL-level curation gate (RefinedWeb/UT1-style): drop pages whose
+    host is on a blocklist or whose path matches a banned pattern
+    (here: page numbers ending '00' — the stand-in for the regex rules
+    real blocklists carry). The blocklist is a broadcast-sized constant
+    (real ones are ~4M domains — still ray.put-able); the pattern gate
+    is one vectorized regex per batch. Pure per-batch filter, zero
+    shuffle; output is the kept (url, lang) rows, byte-compared."""
+    blocked = {"h42-1.example.com", "h42-5.example.com", "h42-11.example.com"}
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+        ok_host = pc.invert(pc.is_in(host, value_set=pa.array(sorted(blocked))))
+        ok_path = pc.invert(pc.match_substring_regex(t["url"], "00$"))
+        return t.filter(pc.and_(ok_host, ok_path))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_URL_BLOCKLIST_FILTER = """
+SELECT url, lang FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')
+WHERE split_part(url, '/', 3) NOT IN
+      ('h42-1.example.com', 'h42-5.example.com', 'h42-11.example.com')
+  AND NOT regexp_matches(url, '00$')
+"""
+
+
 def q_domain_stats(sf_dir: str):
     """Per-domain corpus profile over the pages world (the crawl-side
     rollup every webtext pipeline starts from): host parsed from the url
@@ -8935,6 +9125,10 @@ QUERIES = {
     "covisit_pairs": q_covisit_pairs,
     "bearing_sectors": q_bearing_sectors,
     "moran_components": q_moran_components,
+    "getis_ord_components": q_getis_ord_components,
+    "dataset_split": q_dataset_split,
+    "weighted_sample": q_weighted_sample,
+    "url_blocklist_filter": q_url_blocklist_filter,
     "domain_stats": q_domain_stats,
     # r4 sixth family: geometry / raster / window+set closure
     "polygon_areas": q_polygon_areas,
@@ -9037,6 +9231,10 @@ ORACLE_SQL = {
     "covisit_pairs": SQL_COVISIT_PAIRS,
     "bearing_sectors": SQL_BEARING_SECTORS,
     "moran_components": SQL_MORAN_COMPONENTS,
+    "getis_ord_components": SQL_GETIS_ORD_COMPONENTS,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
     "domain_stats": SQL_DOMAIN_STATS,
     "polygon_areas": SQL_POLYGON_AREAS,
     "cell_smooth": SQL_CELL_SMOOTH,

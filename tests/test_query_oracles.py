@@ -41,7 +41,9 @@ SUBSET = [
     "polygon_areas", "cell_smooth", "snap_points", "ntile_values", "set_ops",
     "ols_components", "systematic_sample", "knox_pairs", "cell_growth",
     "kmeans_rounds", "radius_gyration", "exploration_curve",
-    "time_weighted_avg", "html_links",
+    "time_weighted_avg", "html_links", "bigram_lm_scores", "ccnet_buckets",
+    "getis_ord_components", "dataset_split", "weighted_sample",
+    "url_blocklist_filter",
 ]
 
 
