@@ -4602,6 +4602,165 @@ FROM m GROUP BY event_type
 """
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values) distinct-user sketch per event type, k=64 —
+    the mergeable bottom-k cousin of the HLL path (theta-sketch family):
+    keep the k smallest distinct md5 hashes per group; the estimator
+    (k-1) * DOM // kth_min is EXACT INTEGER arithmetic on both sides
+    (hashes reduced mod 2^62 so they stay in int64/BIGINT). KMV's merge
+    is 'union then re-take bottom-k', so per-batch partials collapse each
+    batch to <= k rows per group BEFORE the shuffle — exchange volume is
+    O(groups x k) regardless of input size. Exact count returned when a
+    group has fewer than k distinct hashes (standard KMV fallback)."""
+    from .functions.text import md5_token_hash64
+
+    K = 64
+    DOM = np.int64(1) << np.int64(62)
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy()
+        u_vals, inv = np.unique(uid, return_inverse=True)
+        h = (md5_token_hash64([str(int(x)) for x in u_vals])
+             % np.uint64(DOM)).astype(np.int64)[inv]
+        df = (pd.DataFrame({"event_type": et, "h": h})
+              .drop_duplicates()
+              .sort_values(["event_type", "h"], kind="stable")
+              .groupby("event_type", sort=False).head(K))
+        return pa.table({"event_type": pa.array(df["event_type"].to_numpy(object),
+                                                pa.string()),
+                         "h": pa.array(df["h"].to_numpy(np.int64), pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["h"].to_numpy(np.int64))[:K]
+        n_kept = int(hs.size)
+        kth = int(hs[-1])
+        est = n_kept if n_kept < K else (K - 1) * int(DOM) // kth
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_kept": [np.int64(n_kept)],
+                             "kth_min": [np.int64(kth)],
+                             "est_distinct": [np.int64(est)]})
+
+    return (_read(sf_dir, "events", ["event_type", "user_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(fold, batch_format="pandas"))
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (SELECT DISTINCT event_type,
+                  CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+                       % 4611686018427387904 AS BIGINT) AS hv
+           FROM events),
+rk AS (SELECT event_type, hv,
+              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       FROM h)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(hv) AS BIGINT) AS kth_min,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                 ELSE (63 * 4611686018427387904::HUGEINT) // max(hv)
+            END AS BIGINT) AS est_distinct
+FROM rk WHERE rn <= 64 GROUP BY event_type
+"""
+
+
+def q_unpivot_measures(sf_dir: str):
+    """UNPIVOT/melt (the inverse of pivot_events): lineitem's four money
+    measures go long — one (key, measure, value_cents) row per measure —
+    the layout change feeding generic measure-agnostic aggregation.
+    Pure per-batch reshape (np column concat), zero shuffle, integer
+    cents exact on both sides."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber"] + cols)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        vals = np.concatenate([
+            np.rint(t[c].to_numpy() * 100).astype(np.int64) for c in cols])
+        return pa.table({
+            "l_orderkey": pa.array(np.tile(ok, len(cols)), pa.int64()),
+            "l_linenumber": pa.array(np.tile(ln, len(cols)), pa.int64()),
+            "measure": pa.array(np.repeat(np.array(cols, object), n),
+                                pa.string()),
+            "value_cents": pa.array(vals, pa.int64()),
+        })
+
+    return li.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_MEASURES = """
+SELECT l_orderkey, l_linenumber, m.measure,
+       CAST(round(CASE m.measure
+                  WHEN 'l_quantity' THEN l_quantity
+                  WHEN 'l_extendedprice' THEN l_extendedprice
+                  WHEN 'l_discount' THEN l_discount
+                  ELSE l_tax END * 100) AS BIGINT) AS value_cents
+FROM lineitem
+CROSS JOIN (VALUES ('l_quantity'), ('l_extendedprice'),
+                   ('l_discount'), ('l_tax')) m(measure)
+"""
+
+
+def q_late_data_drop(sf_dir: str):
+    """Streaming watermark semantics: arrival order is event_id; each
+    event's EVENT TIME is its ts minus a deterministic per-event network
+    delay (md5(event_id) % 300 s — the raw events arrive in perfect ts
+    order, so the delay is what creates genuine late data); watermark =
+    (running max event time seen so far) - 120 s allowed lateness. An
+    event whose event time falls behind the watermark at its arrival
+    position is LATE and dropped — the output is the dropped rows with
+    their integer lateness in µs, the dead-letter audit a streaming sink
+    keeps. Scale shape: one user-hash shuffle, then a vectorized
+    per-user exclusive running max — the same ordered-stream kernel
+    family as sessionize."""
+    from .functions.text import md5_token_hash64
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        eid = g["event_id"].to_numpy(np.int64)
+        delay = (md5_token_hash64([str(int(i)) for i in eid])
+                 % np.uint64(300)).astype(np.int64) * 1_000_000
+        et = g["ts"].to_numpy("datetime64[us]").astype(np.int64) - delay
+        prev_max = np.concatenate(([np.int64(0)],
+                                   np.maximum.accumulate(et)[:-1]))
+        wm = prev_max - 120_000_000
+        wm[0] = np.iinfo(np.int64).min  # no watermark before the first arrival
+        late = et < wm
+        return pd.DataFrame({
+            "event_id": eid[late],
+            "user_id": g["user_id"].to_numpy(np.int64)[late],
+            "late_us": (wm - et)[late],
+        })
+
+    out = (ev.groupby("user_id").map_groups(drops, batch_format="pandas")
+           .to_pandas())
+    if out.empty:  # all-empty map_groups output loses its schema (Ray 2.49)
+        out = pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                            "user_id": pd.Series([], dtype=np.int64),
+                            "late_us": pd.Series([], dtype=np.int64)})
+    return out
+
+
+SQL_LATE_DATA_DROP = """
+WITH e AS (SELECT event_id, user_id,
+                  epoch_us(ts) - CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+                                      % 300 AS BIGINT) * 1000000 AS et
+           FROM events),
+w AS (SELECT event_id, user_id, et,
+             max(et) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+      FROM e)
+SELECT event_id, user_id,
+       CAST(prev_max - 120000000 - et AS BIGINT) AS late_us
+FROM w WHERE et < prev_max - 120000000
+"""
+
+
 def q_range_join(sf_dir: str):
     """Interval/range join, bucketed (ray_guide as-of/range-join pattern):
     for each 'purchase' event, the number of same-user events in the
@@ -8999,6 +9158,9 @@ QUERIES = {
     # sibling-witness demotion rule); the HLL sketch is a new operator
     # CLASS and deserves the driver verdict
     "hll_distinct": q_hll_distinct,
+    "kmv_distinct": q_kmv_distinct,
+    "unpivot_measures": q_unpivot_measures,
+    "late_data_drop": q_late_data_drop,
     "daily_user_metrics": q_daily_user_metrics,
     "daily_value_quantiles": q_daily_value_quantiles,
     "sliding_window": q_sliding_window,
@@ -9188,6 +9350,9 @@ ORACLE_SQL = {
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "unpivot_measures": SQL_UNPIVOT_MEASURES,
+    "late_data_drop": SQL_LATE_DATA_DROP,
     "range_join": SQL_RANGE_JOIN,
     "pagerank": SQL_PAGERANK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,

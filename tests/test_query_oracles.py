@@ -43,7 +43,8 @@ SUBSET = [
     "kmeans_rounds", "radius_gyration", "exploration_curve",
     "time_weighted_avg", "html_links", "bigram_lm_scores", "ccnet_buckets",
     "getis_ord_components", "dataset_split", "weighted_sample",
-    "url_blocklist_filter",
+    "url_blocklist_filter", "kmv_distinct", "unpivot_measures",
+    "late_data_drop",
 ]
 
 
