@@ -7640,6 +7640,94 @@ GROUP BY prev, cell
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's ordered
+    event stream (src event_type -> dst event_type, self-transitions
+    included) — the behavioural-model fit the reference's per-stream
+    ordering machinery (gps.py:838-937 ordered scans) would feed.
+    Scale shape: od_flows' exchange — one user-hash shuffle, vectorized
+    lag segment scan per partition, per-partition partial counts fold to
+    the (src, dst) pair space before the tiny final groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def trans(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": (t["ts"].to_numpy(zero_copy_only=False)
+                   .astype("datetime64[us]").astype(np.int64)),
+            "e": t["event_id"].to_numpy(),
+            "y": t["event_type"].to_numpy(zero_copy_only=False),
+        }).sort_values(["u", "ts", "e"], kind="stable")
+        u = df["u"].to_numpy()
+        y = df["y"].to_numpy(object)
+        if u.size < 2:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        m = u[1:] == u[:-1]
+        bc = (pd.DataFrame({"src": y[:-1][m], "dst": y[1:][m]})
+              .value_counts().rename("n_part").reset_index())
+        return pa.table({"src": pa.array(bc["src"].to_numpy(object), pa.string()),
+                         "dst": pa.array(bc["dst"].to_numpy(object), pa.string()),
+                         "n_part": pa.array(bc["n_part"].to_numpy(np.int64),
+                                            pa.int64())})
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(trans, batch_format="pyarrow")
+            .groupby(["src", "dst"]).aggregate(Sum("n_part", alias_name="n")))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH l AS (SELECT event_type AS dst,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS src
+           FROM events)
+SELECT src, dst, count(*) AS n FROM l WHERE src IS NOT NULL
+GROUP BY src, dst
+"""
+
+
+def q_corpus_grep(sf_dir: str):
+    """Distributed grep: literal pattern search across the corpus with
+    per-document match count and first byte offset (-1 sentinel = header
+    row semantics dodged; only matching docs are returned). Counting is
+    the replace-length identity (strlen - strlen(replace)) / patlen on
+    BOTH sides, so there is no regex-engine parity surface at all. Pure
+    per-batch map + filter, zero shuffle."""
+    PAT = "query"
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grep(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        n = ((s.str.len() - s.str.replace(PAT, "", regex=False).str.len())
+             // len(PAT)).to_numpy(np.int64)
+        off = s.str.find(PAT).to_numpy(np.int64)
+        keep = n > 0
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy()[keep], pa.int64()),
+            "n_matches": pa.array(n[keep], pa.int64()),
+            "first_off": pa.array(off[keep], pa.int64()),
+        })
+
+    return docs.map_batches(grep, batch_format="pyarrow")
+
+
+SQL_CORPUS_GREP = """
+SELECT doc_id,
+       CAST((strlen(text) - strlen(replace(text, 'query', ''))) / 5
+            AS BIGINT) AS n_matches,
+       CAST(strpos(text, 'query') - 1 AS BIGINT) AS first_off
+FROM documents
+WHERE strpos(text, 'query') > 0
+"""
+
+
 def q_tile_stays(sf_dir: str):
     """Stay detection (gaps-and-islands): maximal per-user runs of
     consecutive points in the SAME 0.1-deg cell, kept when the run has
@@ -9288,6 +9376,8 @@ QUERIES = {
     "bearing_sectors": q_bearing_sectors,
     "moran_components": q_moran_components,
     "getis_ord_components": q_getis_ord_components,
+    "event_transitions": q_event_transitions,
+    "corpus_grep": q_corpus_grep,
     "dataset_split": q_dataset_split,
     "weighted_sample": q_weighted_sample,
     "url_blocklist_filter": q_url_blocklist_filter,
@@ -9397,6 +9487,8 @@ ORACLE_SQL = {
     "bearing_sectors": SQL_BEARING_SECTORS,
     "moran_components": SQL_MORAN_COMPONENTS,
     "getis_ord_components": SQL_GETIS_ORD_COMPONENTS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "corpus_grep": SQL_CORPUS_GREP,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

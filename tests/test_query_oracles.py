@@ -44,7 +44,7 @@ SUBSET = [
     "time_weighted_avg", "html_links", "bigram_lm_scores", "ccnet_buckets",
     "getis_ord_components", "dataset_split", "weighted_sample",
     "url_blocklist_filter", "kmv_distinct", "unpivot_measures",
-    "late_data_drop",
+    "late_data_drop", "event_transitions", "corpus_grep",
 ]
 
 
