@@ -407,6 +407,25 @@ def run_bench() -> dict:
           lambda: consume(Q.q_exploration_curve(sf_dir)))
     timed("time_weighted_avg",
           lambda: consume(Q.q_time_weighted_avg(sf_dir)))
+    # round-4 session-6 family (web link graph / LM curation / split /
+    # sketch + streaming closure)
+    timed("html_links", lambda: consume(Q.q_html_links(sf_dir)))
+    timed("bigram_lm_scores",
+          lambda: consume(Q.q_bigram_lm_scores(sf_dir)))
+    timed("ccnet_buckets", lambda: consume(Q.q_ccnet_buckets(sf_dir)))
+    timed("getis_ord_components",
+          lambda: consume(Q.q_getis_ord_components(sf_dir)))
+    timed("dataset_split", lambda: consume(Q.q_dataset_split(sf_dir)))
+    timed("weighted_sample", lambda: consume(Q.q_weighted_sample(sf_dir)))
+    timed("url_blocklist_filter",
+          lambda: consume(Q.q_url_blocklist_filter(sf_dir)))
+    timed("kmv_distinct", lambda: consume(Q.q_kmv_distinct(sf_dir)))
+    timed("unpivot_measures",
+          lambda: consume(Q.q_unpivot_measures(sf_dir)))
+    timed("late_data_drop", lambda: Q.q_late_data_drop(sf_dir))
+    timed("event_transitions",
+          lambda: consume(Q.q_event_transitions(sf_dir)))
+    timed("corpus_grep", lambda: consume(Q.q_corpus_grep(sf_dir)))
 
     def finish() -> dict:
         out = {
