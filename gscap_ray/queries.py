@@ -6933,8 +6933,14 @@ def q_ccnet_buckets(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"],
                          "bucket": pa.array(lab.astype(object), pa.string())})
 
+    import ray as _ray
+
     lab = sv.map_batches(bucket, batch_format="pyarrow")
-    joined = lab.join(chars, "inner", 4, on=("doc_id",))
+    # join partitions sized to the cluster (the minhash 4-CPU deadlock
+    # lesson, BASELINE.md): each hash-shuffle join spawns num_partitions
+    # aggregator actors
+    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = lab.join(chars, "inner", jp, on=("doc_id",))
     return (joined.groupby("bucket")
             .aggregate(Count(alias_name="n_docs"),
                        Sum("n_chars", alias_name="total_chars")))
