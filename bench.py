@@ -426,6 +426,9 @@ def run_bench() -> dict:
     timed("event_transitions",
           lambda: consume(Q.q_event_transitions(sf_dir)))
     timed("corpus_grep", lambda: consume(Q.q_corpus_grep(sf_dir)))
+    timed("embedding_centroids",
+          lambda: consume(Q.q_embedding_centroids(sf_dir)))
+    timed("session_path_topk", lambda: Q.q_session_path_topk(sf_dir))
 
     def finish() -> dict:
         out = {

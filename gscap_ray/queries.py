@@ -7699,6 +7699,114 @@ GROUP BY src, dst
 """
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Vector aggregation: per-label embedding centroid as EXACT integer
+    sufficient statistics — each float32 coordinate is widened to float64
+    (exact) and quantized floor(e * 2^20) to int64, then summed per
+    (label, dim); centroid = qsum / (n_vecs * 2^20) reconstructs to
+    quantization precision. Scale shape: per-batch np.add.at folds each
+    batch to (labels x dims) partial rows before the shuffle — exchange
+    volume is O(labels x dims), independent of corpus size; this is the
+    k-means-M-step / class-prototype kernel."""
+    from ray.data.aggregate import Sum
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    SCALE = 1048576.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy().astype(np.int64)
+        mat = np.stack(t["embedding"].to_pandas().values).astype(np.float64)
+        q = np.floor(mat * SCALE).astype(np.int64)
+        codes, keys = pd.factorize(lab)
+        d = q.shape[1]
+        qsum = np.zeros((len(keys), d), np.int64)
+        np.add.at(qsum, codes, q)
+        cnt = np.bincount(codes, minlength=len(keys)).astype(np.int64)
+        g = np.repeat(keys, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), len(keys))
+        return pa.table({
+            "label": pa.array(g, pa.int64()),
+            "dim": pa.array(dim, pa.int64()),
+            "qsum_part": pa.array(qsum.ravel(), pa.int64()),
+            "n_part": pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    return (emb.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("qsum_part", alias_name="qsum"),
+                       Sum("n_part", alias_name="n_vecs")))
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+                  generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding) AS e
+           FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT))
+            AS BIGINT) AS qsum,
+       count(*) AS n_vecs
+FROM x GROUP BY label, dim
+"""
+
+
+def q_session_path_topk(sf_dir: str):
+    """Sequence mining: the top-10 most frequent event-type trigrams
+    across all per-user ordered streams (ties broken by path string) —
+    the path-analysis rollup product analytics runs. Scale shape: the
+    event_transitions exchange plus a per-partition partial count fold;
+    the global top-k runs over the (tiny) distinct-trigram space."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def tris(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": (t["ts"].to_numpy(zero_copy_only=False)
+                   .astype("datetime64[us]").astype(np.int64)),
+            "e": t["event_id"].to_numpy(),
+            "y": t["event_type"].to_numpy(zero_copy_only=False),
+        }).sort_values(["u", "ts", "e"], kind="stable")
+        u = df["u"].to_numpy()
+        y = df["y"].to_numpy(object)
+        if u.size < 3:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        m = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        paths = pd.Series(y[:-2][m]).str.cat(
+            [pd.Series(y[1:-1][m]), pd.Series(y[2:][m])], sep=">")
+        vc = paths.value_counts()
+        return pa.table({"path": pa.array(vc.index.to_numpy(object),
+                                          pa.string()),
+                         "n_part": pa.array(vc.to_numpy(np.int64),
+                                            pa.int64())})
+
+    agg = (ev.map_batches(pk, batch_format="pyarrow")
+           .groupby("part").map_groups(tris, batch_format="pyarrow")
+           .groupby("path").aggregate(Sum("n_part", alias_name="n"))
+           .to_pandas())
+    return (agg.sort_values(["n", "path"], ascending=[False, True],
+                            kind="stable")
+            .head(10).reset_index(drop=True))
+
+
+SQL_SESSION_PATH_TOPK = """
+WITH l AS (SELECT event_type AS c,
+                  lag(event_type, 1) OVER w AS b,
+                  lag(event_type, 2) OVER w AS a
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+FROM l WHERE a IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+"""
+
+
 def q_corpus_grep(sf_dir: str):
     """Distributed grep: literal pattern search across the corpus with
     per-document match count and first byte offset (-1 sentinel = header
@@ -9384,6 +9492,8 @@ QUERIES = {
     "getis_ord_components": q_getis_ord_components,
     "event_transitions": q_event_transitions,
     "corpus_grep": q_corpus_grep,
+    "embedding_centroids": q_embedding_centroids,
+    "session_path_topk": q_session_path_topk,
     "dataset_split": q_dataset_split,
     "weighted_sample": q_weighted_sample,
     "url_blocklist_filter": q_url_blocklist_filter,
@@ -9495,6 +9605,8 @@ ORACLE_SQL = {
     "getis_ord_components": SQL_GETIS_ORD_COMPONENTS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "corpus_grep": SQL_CORPUS_GREP,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "session_path_topk": SQL_SESSION_PATH_TOPK,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
