@@ -7750,6 +7750,77 @@ FROM x GROUP BY label, dim
 """
 
 
+def q_table_profile(sf_dir: str):
+    """Data profiling — the first pass every warehouse/lakehouse runs on
+    an unknown table: per-column row count, null count and EXACT distinct
+    count over all 11 lineitem columns in ONE data pass. Each batch folds
+    every column to its batch-distinct canonical keys (ints/strings as-is,
+    2-dp money as integer cents, timestamps as epoch-µs — injective on the
+    domain, so distinct-of-canonical = distinct-of-value) plus one meta
+    row of counts; a single col-hash shuffle then merges. Exchange volume
+    is O(sum of per-column distincts), never O(rows x cols); at 100 TB the
+    high-cardinality columns would ride the KMV sketch (kmv_distinct)
+    instead of exact keys — same pipeline shape."""
+    INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    MONEY_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    STR_COLS = ["l_returnflag", "l_linestatus"]
+    TS_COLS = ["l_shipdate"]
+    li = _read(sf_dir, "lineitem")
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, vals, tags, n_rows, n_nulls = [], [], [], [], []
+
+        def emit(col: str, canon: np.ndarray, nulls: int) -> None:
+            u = np.unique(canon)
+            names.extend([col] * (u.size + 1))
+            vals.extend([""] + list(u))
+            tags.extend([0] + [1] * u.size)
+            n_rows.extend([t.num_rows] + [0] * u.size)
+            n_nulls.extend([nulls] + [0] * u.size)
+
+        for c in INT_COLS:
+            a = t[c].to_numpy(zero_copy_only=False)
+            emit(c, np.array([str(int(x)) for x in np.unique(a)], object), 0)
+        for c in MONEY_COLS:
+            a = np.rint(t[c].to_numpy() * 100).astype(np.int64)
+            emit(c, np.array([str(int(x)) for x in np.unique(a)], object), 0)
+        for c in STR_COLS:
+            a = t[c].to_numpy(zero_copy_only=False)
+            emit(c, np.unique(a.astype(object)), 0)
+        for c in TS_COLS:
+            a = (t[c].to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
+            emit(c, np.array([str(int(x)) for x in np.unique(a)], object), 0)
+        return pa.table({"col_name": pa.array(names, pa.string()),
+                         "val": pa.array(vals, pa.string()),
+                         "tag": pa.array(np.array(tags, np.int8), pa.int8()),
+                         "rows_part": pa.array(np.array(n_rows, np.int64),
+                                               pa.int64()),
+                         "nulls_part": pa.array(np.array(n_nulls, np.int64),
+                                                pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        meta = g[g["tag"] == 0]
+        return pd.DataFrame({
+            "col_name": [g["col_name"].iloc[0]],
+            "n_rows": [np.int64(meta["rows_part"].sum())],
+            "n_nulls": [np.int64(meta["nulls_part"].sum())],
+            "n_distinct": [np.int64(g.loc[g["tag"] == 1, "val"].nunique())],
+        })
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("col_name").map_groups(fold, batch_format="pandas"))
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+    f" count(*) - count({c}) AS n_nulls,"
+    f" count(DISTINCT {c}) AS n_distinct FROM lineitem"
+    for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+              "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+              "l_returnflag", "l_linestatus", "l_shipdate"])
+
+
 def q_session_path_topk(sf_dir: str):
     """Sequence mining: the top-10 most frequent event-type trigrams
     across all per-user ordered streams (ties broken by path string) —
@@ -9494,6 +9565,7 @@ QUERIES = {
     "corpus_grep": q_corpus_grep,
     "embedding_centroids": q_embedding_centroids,
     "session_path_topk": q_session_path_topk,
+    "table_profile": q_table_profile,
     "dataset_split": q_dataset_split,
     "weighted_sample": q_weighted_sample,
     "url_blocklist_filter": q_url_blocklist_filter,
@@ -9607,6 +9679,7 @@ ORACLE_SQL = {
     "corpus_grep": SQL_CORPUS_GREP,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "session_path_topk": SQL_SESSION_PATH_TOPK,
+    "table_profile": SQL_TABLE_PROFILE,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

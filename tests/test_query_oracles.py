@@ -45,7 +45,7 @@ SUBSET = [
     "getis_ord_components", "dataset_split", "weighted_sample",
     "url_blocklist_filter", "kmv_distinct", "unpivot_measures",
     "late_data_drop", "event_transitions", "corpus_grep",
-    "embedding_centroids", "session_path_topk",
+    "embedding_centroids", "session_path_topk", "table_profile",
 ]
 
 
