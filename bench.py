@@ -430,6 +430,7 @@ def run_bench() -> dict:
           lambda: consume(Q.q_embedding_centroids(sf_dir)))
     timed("session_path_topk", lambda: Q.q_session_path_topk(sf_dir))
     timed("table_profile", lambda: consume(Q.q_table_profile(sf_dir)))
+    timed("link_pagerank", lambda: Q.q_link_pagerank(sf_dir))
 
     def finish() -> dict:
         out = {

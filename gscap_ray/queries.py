@@ -4847,16 +4847,25 @@ def q_pagerank(sf_dir: str):
     are broadcast per round via ray.put — stated partitioning assumption:
     the node table fits worker memory (10^8 hosts x 16 B = 1.6 GB); past
     that the broadcast becomes a keyed join against a ranks dataset."""
+    edges, U = _event_graph(sf_dir)  # materialized once, reused per round
+    rank = _pagerank_rounds(edges, U, rounds=3)
+    return pd.DataFrame({"user_id": np.arange(U, dtype=np.int64),
+                         "pr_micro": rank})
+
+
+def _pagerank_rounds(edges, U: int, rounds: int = 3) -> np.ndarray:
+    """The shared integer fixed-point PageRank loop (see q_pagerank for
+    the design notes): edges is a materialized (src, dst) int64 Dataset
+    with outdeg > 0 for every src; returns the micro-unit rank array."""
     import ray as _ray
     from ray.data.aggregate import Count, Sum
 
-    edges, U = _event_graph(sf_dir)  # materialized once, reused per round
     deg = edges.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
     outdeg = np.zeros(U, np.int64)
     outdeg[deg["src"].to_numpy()] = deg["d"].to_numpy()
     rank = np.full(U, 1_000_000, dtype=np.int64)
 
-    for _ in range(3):
+    for _ in range(rounds):
         ref = _ray.put((rank, outdeg))
 
         def contrib(t: pa.Table, _ref=ref) -> pa.Table:
@@ -4875,9 +4884,82 @@ def q_pagerank(sf_dir: str):
                .to_pandas())
         rank = np.full(U, 150_000, dtype=np.int64)
         rank[agg["dst"].to_numpy()] += agg["s"].to_numpy().astype(np.int64)
+    return rank
 
-    return pd.DataFrame({"user_id": np.arange(U, dtype=np.int64),
+
+def q_link_pagerank(sf_dir: str):
+    """PageRank over the REAL extracted web link graph (html_links'
+    edges, not a synthetic one): hosts are nodes, the v4 outlinks are
+    edges (self-loops dropped, edges deduped per batch then globally),
+    3 integer fixed-point rounds — the full WAT-extract -> link-graph ->
+    rank chain a crawl pipeline runs. The html payload is parsed once;
+    the iterate loop touches only the deduped int64 edge set."""
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+    href_re = re.compile(r'href="([^"]+)"')
+    idx_re = re.compile(r"-(\d+)\.example\.com")
+
+    def edges_part(t: pa.Table) -> pd.DataFrame:
+        src_host = pc.list_element(pc.split_pattern(t["url"], "/"), 2).to_pandas()
+        src = src_host.str.extract(idx_re, expand=False).astype(np.int64)
+        html = t["html"].to_pandas().str.decode("utf-8")
+        df = pd.DataFrame({"src": src, "href": html.str.findall(href_re)})
+        df = df.explode("href", ignore_index=True).dropna(subset=["href"])
+        df["dst"] = (df["href"].str.extract(idx_re, expand=False)
+                     .astype(np.int64))
+        df = df[df["src"] != df["dst"]][["src", "dst"]].drop_duplicates()
+        return df
+
+    from ray.data.aggregate import Count, Max
+
+    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="n"))
+             .select_columns(["src", "dst"]).materialize())
+    m = edges.aggregate(Max("src"), Max("dst"))
+    U = int(max(m["max(src)"], m["max(dst)"])) + 1
+    rank = _pagerank_rounds(edges, U, rounds=3)
+    return pd.DataFrame({"host_idx": np.arange(U, dtype=np.int64),
                          "pr_micro": rank})
+
+
+SQL_LINK_PAGERANK = """
+WITH pg AS (SELECT url, decode(html) AS h
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+g AS (SELECT src, dst FROM e WHERE src != dst),
+n AS (SELECT unnest(generate_series(
+          0, (SELECT greatest(max(src), max(dst)) FROM g))) AS uid),
+d AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+r0 AS (SELECT uid, 1000000::BIGINT AS pr FROM n),
+r1 AS (SELECT n.uid,
+              CAST(150000 + COALESCE(sum((r0.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r0 ON r0.uid = g.src
+       GROUP BY n.uid),
+r2 AS (SELECT n.uid,
+              CAST(150000 + COALESCE(sum((r1.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r1 ON r1.uid = g.src
+       GROUP BY n.uid),
+r3 AS (SELECT n.uid,
+              CAST(150000 + COALESCE(sum((r2.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r2 ON r2.uid = g.src
+       GROUP BY n.uid)
+SELECT uid AS host_idx, pr AS pr_micro FROM r3
+"""
 
 
 SQL_PAGERANK = """
@@ -9566,6 +9648,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "session_path_topk": q_session_path_topk,
     "table_profile": q_table_profile,
+    "link_pagerank": q_link_pagerank,
     "dataset_split": q_dataset_split,
     "weighted_sample": q_weighted_sample,
     "url_blocklist_filter": q_url_blocklist_filter,
@@ -9680,6 +9763,7 @@ ORACLE_SQL = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "session_path_topk": SQL_SESSION_PATH_TOPK,
     "table_profile": SQL_TABLE_PROFILE,
+    "link_pagerank": SQL_LINK_PAGERANK,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
