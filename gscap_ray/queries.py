@@ -9473,6 +9473,226 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# --------------------------------------------- graph: truss / core peeling ---
+
+def _link_graph_und(sf_dir: str):
+    """Undirected host-level link graph from the REAL html outlinks (the
+    same WAT-style extraction as q_html_links / q_link_pagerank): hrefs
+    parsed per batch with one compiled regex, host indices canonicalized
+    to (lo, hi), self-loops dropped, per-batch then global dedup. The
+    html payload never enters the exchange — each batch folds to distinct
+    int64 pairs first. Returns (edges Dataset[lo, hi], U) with
+    U = max host index + 1 over the edge set."""
+    from ray.data.aggregate import Count, Max
+
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+    href_re = re.compile(r'href="([^"]+)"')
+    idx_re = re.compile(r"-(\d+)\.example\.com")
+
+    def edges_part(t: pa.Table) -> pa.Table:
+        src_host = pc.list_element(pc.split_pattern(t["url"], "/"), 2).to_pandas()
+        src = src_host.str.extract(idx_re, expand=False).astype(np.int64)
+        html = t["html"].to_pandas().str.decode("utf-8")
+        df = pd.DataFrame({"src": src, "href": html.str.findall(href_re)})
+        df = df.explode("href", ignore_index=True).dropna(subset=["href"])
+        dst = df["href"].str.extract(idx_re, expand=False).astype(np.int64)
+        s = df["src"].to_numpy()
+        d = dst.to_numpy()
+        keep = s != d
+        lo = np.minimum(s[keep], d[keep])
+        hi = np.maximum(s[keep], d[keep])
+        big = int(max(hi.max(), 0)) + 1 if hi.size else 1
+        key = np.unique(lo * big + hi)
+        return pa.table({"lo": pa.array(key // big, pa.int64()),
+                         "hi": pa.array(key % big, pa.int64())})
+
+    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
+             .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["lo", "hi"]).materialize())
+    m = edges.aggregate(Max("lo"), Max("hi"))
+    U = int(max(m["max(lo)"], m["max(hi)"])) + 1
+    return edges, U
+
+
+# Shared SQL prefix: canonical undirected host edge set + symmetric
+# adjacency over the v4 html outlinks (matches _link_graph_und).
+_SQL_LINK_UND = """
+pg AS (SELECT url, decode(html) AS h
+       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM e WHERE src != dst),
+adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
+"""
+
+
+def q_edge_support(sf_dir: str):
+    """Per-edge triangle support — the k-truss primitive (reference's
+    density-grouping family taken to the link graph): for every
+    undirected host edge, the number of triangles it participates in
+    (= |N(u) ∩ N(v)|). Same degree-oriented DAG as q_triangle_count
+    (out-degree bounded by O(sqrt(m)) even on power-law graphs); each
+    closed wedge (a→b, b→c, a→c) scatter-adds 1 to all THREE of its
+    undirected edges as per-batch (lo, hi, s_part) partials, unioned
+    with a zero baseline over the edge set and folded by one
+    (lo, hi)-hash groupby — the wedge table itself never exchanges.
+    Broadcast CSR under the q_triangle_count gate; beyond it the same
+    partials fall out of that operator's two-join wedge path.
+    All-integer output."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    und, U = _link_graph_und(sf_dir)
+
+    # undirected degrees (dense, O(nodes) — the q_pagerank broadcast
+    # assumption) for the degree orientation
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t["lo"].to_numpy(), t["hi"].to_numpy()])
+        un, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(un, pa.int64()),
+                         "d": pa.array(c.astype(np.int64), pa.int64())})
+
+    degs = (und.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+    deg = np.zeros(U, np.int64)
+    deg[degs["node"].to_numpy()] = degs["d"].to_numpy().astype(np.int64)
+
+    et = pa.concat_tables(_ray.get(und.to_arrow_refs()))
+    lo_a = et["lo"].to_numpy().astype(np.int64)
+    hi_a = et["hi"].to_numpy().astype(np.int64)
+    fwd = (deg[lo_a] < deg[hi_a]) | ((deg[lo_a] == deg[hi_a]) & (lo_a < hi_a))
+    a = np.where(fwd, lo_a, hi_a)
+    b = np.where(fwd, hi_a, lo_a)
+    o = np.lexsort((b, a))
+    a_s, b_s = a[o], b[o]
+    indptr = np.searchsorted(a_s, np.arange(U + 1, dtype=np.int64))
+    keys = a_s * U + b_s
+    csr_ref = _ray.put((indptr, b_s, keys, deg))
+
+    def support_part(t: pa.Table) -> pa.Table:
+        indptr, adj, keys, deg = _ray.get(csr_ref)
+        lo_t = t["lo"].to_numpy().astype(np.int64)
+        hi_t = t["hi"].to_numpy().astype(np.int64)
+        f = (deg[lo_t] < deg[hi_t]) | ((deg[lo_t] == deg[hi_t]) & (lo_t < hi_t))
+        aa = np.where(f, lo_t, hi_t)
+        bb = np.where(f, hi_t, lo_t)
+        cnt = indptr[bb + 1] - indptr[bb]
+        tot = int(cnt.sum())
+        base = pa.table({"lo": t["lo"], "hi": t["hi"],
+                         "s_part": pa.array(np.zeros(lo_t.size, np.int64),
+                                            pa.int64())})
+        if tot == 0:
+            return base
+        seg = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(seg, cnt)
+        cs = adj[np.repeat(indptr[bb], cnt) + within]
+        aa_e = np.repeat(aa, cnt)
+        bb_e = np.repeat(bb, cnt)
+        pk = aa_e * U + cs
+        pos = np.searchsorted(keys, pk)
+        ok = pos < keys.shape[0]
+        m = np.zeros(tot, dtype=bool)
+        m[ok] = keys[pos[ok]] == pk[ok]
+        ta, tb, tc = aa_e[m], bb_e[m], cs[m]
+        eu = np.concatenate([np.minimum(ta, tb), np.minimum(tb, tc),
+                             np.minimum(ta, tc)])
+        ev = np.concatenate([np.maximum(ta, tb), np.maximum(tb, tc),
+                             np.maximum(ta, tc)])
+        key, c = np.unique(eu * U + ev, return_counts=True)
+        part = pa.table({"lo": pa.array(key // U, pa.int64()),
+                         "hi": pa.array(key % U, pa.int64()),
+                         "s_part": pa.array(c.astype(np.int64), pa.int64())})
+        return pa.concat_tables([base, part])
+
+    return (und.map_batches(support_part, batch_format="pyarrow")
+            .groupby(["lo", "hi"]).aggregate(Sum("s_part", alias_name="support")))
+
+
+SQL_EDGE_SUPPORT = f"""
+WITH {_SQL_LINK_UND}
+SELECT u.lo, u.hi, CAST(count(y.b) AS BIGINT) AS support
+FROM u LEFT JOIN adj x ON x.a = u.lo
+       LEFT JOIN adj y ON y.a = u.hi AND y.b = x.b
+GROUP BY u.lo, u.hi
+"""
+
+
+def q_k_core_rounds(sf_dir: str):
+    """Fixed-round 3-core peeling over the link graph — the iterative
+    subgraph-refinement pattern (label-prop / core decomposition) as
+    deterministic dataflow: each round recomputes induced degrees with a
+    map_batches partial + one node-hash groupby, masks edges against the
+    broadcast alive vector (O(nodes), the q_pagerank assumption), and
+    drops nodes below k=3. Three rounds unrolled so the oracle is three
+    chained CTEs; at scale the loop body is identical per round and the
+    edge set streams — only the O(nodes) degree fold returns to the
+    driver. Output: per host the degree seen at each round and the
+    final core membership, all int64."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    und, U = _link_graph_und(sf_dir)
+    K = 3
+    alive = np.ones(U, dtype=bool)
+    rounds = []
+    for _ in range(3):
+        alive_ref = _ray.put(alive)
+
+        def dpart(t: pa.Table, _ref=alive_ref) -> pa.Table:
+            av = _ray.get(_ref)
+            lo_t = t["lo"].to_numpy().astype(np.int64)
+            hi_t = t["hi"].to_numpy().astype(np.int64)
+            m = av[lo_t] & av[hi_t]
+            ids = np.concatenate([lo_t[m], hi_t[m]])
+            un, c = np.unique(ids, return_counts=True)
+            return pa.table({"node": pa.array(un, pa.int64()),
+                             "d": pa.array(c.astype(np.int64), pa.int64())})
+
+        dp = (und.map_batches(dpart, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+        dense = np.zeros(U, np.int64)
+        if len(dp):
+            dense[dp["node"].to_numpy()] = dp["d"].to_numpy().astype(np.int64)
+        dense[~alive] = 0
+        rounds.append(dense)
+        alive = alive & (dense >= K)
+    return pd.DataFrame({
+        "host_idx": np.arange(U, dtype=np.int64),
+        "deg0": rounds[0], "deg1": rounds[1], "deg2": rounds[2],
+        "in_core": alive.astype(np.int64)})
+
+
+SQL_K_CORE_ROUNDS = f"""
+WITH {_SQL_LINK_UND},
+n AS (SELECT unnest(generate_series(
+          0, (SELECT max(hi) FROM u))) AS v),
+d0 AS (SELECT n.v, CAST(count(adj.b) AS BIGINT) AS d
+       FROM n LEFT JOIN adj ON adj.a = n.v GROUP BY n.v),
+a1 AS (SELECT v FROM d0 WHERE d >= 3),
+i1 AS (SELECT adj.a, adj.b FROM adj
+       JOIN a1 p ON p.v = adj.a JOIN a1 q ON q.v = adj.b),
+d1 AS (SELECT n.v, CAST(count(i1.b) AS BIGINT) AS d
+       FROM n LEFT JOIN i1 ON i1.a = n.v GROUP BY n.v),
+a2 AS (SELECT d1.v FROM d1 JOIN a1 ON a1.v = d1.v WHERE d1.d >= 3),
+i2 AS (SELECT adj.a, adj.b FROM adj
+       JOIN a2 p ON p.v = adj.a JOIN a2 q ON q.v = adj.b),
+d2 AS (SELECT n.v, CAST(count(i2.b) AS BIGINT) AS d
+       FROM n LEFT JOIN i2 ON i2.a = n.v GROUP BY n.v),
+a3 AS (SELECT d2.v FROM d2 JOIN a2 ON a2.v = d2.v WHERE d2.d >= 3)
+SELECT n.v AS host_idx, d0.d AS deg0, d1.d AS deg1, d2.d AS deg2,
+       CAST(CASE WHEN a3.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+FROM n JOIN d0 ON d0.v = n.v JOIN d1 ON d1.v = n.v JOIN d2 ON d2.v = n.v
+       LEFT JOIN a3 ON a3.v = n.v
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -9665,6 +9885,9 @@ QUERIES = {
     "radius_gyration": q_radius_gyration,
     "exploration_curve": q_exploration_curve,
     "time_weighted_avg": q_time_weighted_avg,
+    # session-7 family
+    "edge_support": q_edge_support,
+    "k_core_rounds": q_k_core_rounds,
 }
 
 ORACLE_SQL = {
@@ -9764,6 +9987,8 @@ ORACLE_SQL = {
     "session_path_topk": SQL_SESSION_PATH_TOPK,
     "table_profile": SQL_TABLE_PROFILE,
     "link_pagerank": SQL_LINK_PAGERANK,
+    "edge_support": SQL_EDGE_SUPPORT,
+    "k_core_rounds": SQL_K_CORE_ROUNDS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

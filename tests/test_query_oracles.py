@@ -46,7 +46,7 @@ SUBSET = [
     "url_blocklist_filter", "kmv_distinct", "unpivot_measures",
     "late_data_drop", "event_transitions", "corpus_grep",
     "embedding_centroids", "session_path_topk", "table_profile",
-    "link_pagerank",
+    "link_pagerank", "edge_support", "k_core_rounds",
 ]
 
 
