@@ -9473,6 +9473,135 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# ------------------------------------------------ layout: hilbert / quadkey ---
+
+def q_hilbert_layout(sf_dir: str):
+    """Hilbert-curve file layout — the locality-optimal sibling of
+    q_zorder_layout: quantize points to the 8-bit (qx, qy) grid, fold to
+    per-cell counts (ONE cell-hash groupby of per-batch partials — the
+    points never exchange), then compute the Hilbert index per DISTINCT
+    cell and the 1024-cell run each key lands in. Sorting files by hkey
+    gives key ranges whose cells are always edge-adjacent (see
+    functions/cells.py::hilbert_key), i.e. tighter per-file min/max
+    bounds than Z-order for the same run length. All-integer output."""
+    from ray.data.aggregate import Sum
+
+    from .functions.cells import hilbert_key
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        qx = np.floor(((lon + 180.0) / 360.0) * 256.0).astype(np.int64)
+        qy = np.floor(((lat + 90.0) / 180.0) * 256.0).astype(np.int64)
+        key, c = np.unique(qx * 256 + qy, return_counts=True)
+        return pa.table({"qx": pa.array(key // 256, pa.int64()),
+                         "qy": pa.array(key % 256, pa.int64()),
+                         "n_p": pa.array(c.astype(np.int64), pa.int64())})
+
+    def encode(t: pa.Table) -> pa.Table:
+        qx = t["qx"].to_numpy().astype(np.int64)
+        qy = t["qy"].to_numpy().astype(np.int64)
+        hk = hilbert_key(qx, qy, order=8)
+        return pa.table({"qx": t["qx"], "qy": t["qy"],
+                         "hkey": pa.array(hk, pa.int64()),
+                         "run_id": pa.array(hk // 64, pa.int64()),
+                         "n": t["n"]})
+
+    return (_points_ds(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["qx", "qy"]).aggregate(Sum("n_p", alias_name="n"))
+            .map_batches(encode, batch_format="pyarrow"))
+
+
+def _hilbert_sql_cte() -> str:
+    """Unrolled per-level Hilbert xy2d as chained CTEs (mirrors
+    functions/cells.py::hilbert_key order 8, all-integer)."""
+    parts = ["c0 AS (SELECT qx, qy, n, qx AS x, qy AS y, "
+             "CAST(0 AS BIGINT) AS d FROM cells)"]
+    prev = "c0"
+    for i, s in enumerate((128, 64, 32, 16, 8, 4, 2, 1), 1):
+        parts.append(f"""c{i} AS (SELECT qx, qy, n,
+  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END)
+       ELSE x END AS x,
+  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END)
+       ELSE y END AS y,
+  d + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1
+                      WHEN ry = 0 THEN 3 ELSE 2 END) AS d
+  FROM (SELECT qx, qy, n, x, y, d,
+               (x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry FROM {prev}) t)""")
+        prev = f"c{i}"
+    return ",\n".join(parts), prev
+
+
+_HILBERT_CTES, _HILBERT_LAST = _hilbert_sql_cte()
+
+SQL_HILBERT_LAYOUT = f"""
+WITH p AS ({_PTS_SQL}),
+cells AS (SELECT CAST(floor(((lon + 180.0) / 360.0) * 256.0) AS BIGINT) AS qx,
+                 CAST(floor(((lat + 90.0) / 180.0) * 256.0) AS BIGINT) AS qy,
+                 count(*) AS n
+          FROM p GROUP BY 1, 2),
+{_HILBERT_CTES}
+SELECT qx, qy, d AS hkey, d // 64 AS run_id, n FROM {_HILBERT_LAST}
+"""
+
+
+def q_quadkey_tiles(sf_dir: str):
+    """Bing-maps-style quadkey tiling at zoom 8 (the web-map tile
+    addressing scheme: one base-4 digit per zoom level, MSB first, so a
+    string PREFIX is exactly an ancestor tile): quantize to the 256-grid
+    (linear lat/lon quantizer — same integer-parity family as the
+    geohash/zorder encoders; true Bing uses Web-Mercator y), derive the
+    8 digits with integer shifts, pack base-10 and zfill to the
+    canonical 8-char key. Per-batch fold to distinct (tile, user)
+    partials before the single tile-hash shuffle; n_users is an exact
+    distinct. Integer measures + fixed-width string key."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        qx = np.floor(((lon + 180.0) / 360.0) * 256.0).astype(np.int64)
+        qy = np.floor(((lat + 90.0) / 180.0) * 256.0).astype(np.int64)
+        packed = np.zeros(qx.size, np.int64)
+        for i in range(8):  # 8 fixed zoom levels, vectorized over rows
+            digit = ((qy >> (7 - i)) & 1) * 2 + ((qx >> (7 - i)) & 1)
+            packed = packed * 10 + digit
+        df = (pd.DataFrame({"qk": packed, "user_id": uid})
+              .groupby(["qk", "user_id"], sort=False).size()
+              .reset_index(name="n_p"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "quadkey": [str(int(g["qk"].iloc[0])).zfill(8)],
+            "n": [np.int64(g["n_p"].sum())],
+            "n_users": [np.int64(g["user_id"].nunique())]})
+
+    return (_points_ds(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("qk").map_groups(fold, batch_format="pandas")
+            .select_columns(["quadkey", "n", "n_users"]))
+
+
+SQL_QUADKEY_TILES = f"""
+WITH p AS ({_PTS_SQL}),
+q AS (SELECT user_id,
+             CAST(floor(((lon + 180.0) / 360.0) * 256.0) AS BIGINT) AS qx,
+             CAST(floor(((lat + 90.0) / 180.0) * 256.0) AS BIGINT) AS qy
+      FROM p),
+k AS (SELECT user_id,
+             {" + ".join(f"(((qy // {1 << (7 - i)}) % 2) * 2"
+                         f" + (qx // {1 << (7 - i)}) % 2) * {10 ** (7 - i)}"
+                         for i in range(8))} AS packed
+      FROM q)
+SELECT lpad(CAST(packed AS VARCHAR), 8, '0') AS quadkey,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM k GROUP BY packed
+"""
+
+
 # --------------------------------------------- graph: truss / core peeling ---
 
 def _link_graph_und(sf_dir: str):
@@ -9888,6 +10017,8 @@ QUERIES = {
     # session-7 family
     "edge_support": q_edge_support,
     "k_core_rounds": q_k_core_rounds,
+    "hilbert_layout": q_hilbert_layout,
+    "quadkey_tiles": q_quadkey_tiles,
 }
 
 ORACLE_SQL = {
@@ -9989,6 +10120,8 @@ ORACLE_SQL = {
     "link_pagerank": SQL_LINK_PAGERANK,
     "edge_support": SQL_EDGE_SUPPORT,
     "k_core_rounds": SQL_K_CORE_ROUNDS,
+    "hilbert_layout": SQL_HILBERT_LAYOUT,
+    "quadkey_tiles": SQL_QUADKEY_TILES,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

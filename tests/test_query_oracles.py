@@ -47,6 +47,7 @@ SUBSET = [
     "late_data_drop", "event_transitions", "corpus_grep",
     "embedding_centroids", "session_path_topk", "table_profile",
     "link_pagerank", "edge_support", "k_core_rounds",
+    "hilbert_layout", "quadkey_tiles",
 ]
 
 
