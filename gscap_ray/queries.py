@@ -9473,6 +9473,198 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# ------------------------------------------- window analytics: ranks/drift ---
+
+def _events_cents_parts(sf_dir: str):
+    """Shared read for the window-analytics family: events projected to
+    (event_id, user_id, ts_us, cents, part) with part = user_id % 64 —
+    ONE user-hash shuffle key reused by every member, values exact int64
+    cents so ranks/prefix sums/lag products match SQL bit-for-bit."""
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(np.round(t["value"].to_numpy() * 100)
+                              .astype(np.int64), pa.int64()),
+            "part": pa.array(u % 64, pa.int32()),
+        })
+
+    return (_read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+            .map_batches(pk, batch_format="pyarrow"))
+
+
+def _user_group_offsets(sorted_users: np.ndarray):
+    """Start mask + per-row group-start index for a user-sorted lane."""
+    n = sorted_users.size
+    start = np.ones(n, dtype=bool)
+    start[1:] = sorted_users[1:] != sorted_users[:-1]
+    sidx = np.flatnonzero(start)
+    offs = np.repeat(sidx, np.diff(np.append(sidx, n)))
+    return start, sidx, offs
+
+
+def q_dense_rank_windows(sf_dir: str):
+    """SQL window-function triple (row_number / dense_rank / peer count)
+    as a distributed per-key kernel: ONE user-hash shuffle
+    (part = user_id % 64), then each partition computes all three ranks
+    with two lexsorts + cumulative group arithmetic — no per-user Python
+    loop, no per-row window state. The classic 'rank inside map_groups'
+    pattern every feature pipeline needs (dedup by recency, percentile
+    features); output one int row per event."""
+    def ranks(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts_us"].to_numpy().astype(np.int64)
+        c = t["cents"].to_numpy().astype(np.int64)
+        n = u.size
+        # row_number over (ts, event_id) within user
+        o1 = np.lexsort((eid, ts, u))
+        _, _, offs1 = _user_group_offsets(u[o1])
+        rn = np.arange(n, dtype=np.int64) - offs1 + 1
+        rn_row = np.empty(n, np.int64)
+        rn_row[o1] = rn
+        # dense_rank over cents within user + peer count per (user, cents)
+        o2 = np.lexsort((c, u))
+        u2, c2 = u[o2], c[o2]
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1])
+        gid = np.cumsum(newg) - 1
+        _, sidx2, offs2 = _user_group_offsets(u2)
+        dr = gid - gid[offs2] + 1
+        nt = np.bincount(gid)[gid]
+        dr_row = np.empty(n, np.int64)
+        nt_row = np.empty(n, np.int64)
+        dr_row[o2] = dr
+        nt_row[o2] = nt.astype(np.int64)
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(u, pa.int64()),
+                         "rn": pa.array(rn_row, pa.int64()),
+                         "drank": pa.array(dr_row, pa.int64()),
+                         "nties": pa.array(nt_row, pa.int64())})
+
+    return (_events_cents_parts(sf_dir)
+            .groupby("part").map_groups(ranks, batch_format="pyarrow")
+            .select_columns(["event_id", "user_id", "rn", "drank", "nties"]))
+
+
+SQL_DENSE_RANK_WINDOWS = """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS rn,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY c) AS BIGINT)
+           AS drank,
+       CAST(count(*) OVER (PARTITION BY user_id, c) AS BIGINT) AS nties
+FROM e
+"""
+
+
+def q_prefix_drift(sf_dir: str):
+    """Per-user running-sum envelope (the CUSUM/drawdown primitive):
+    order each user's stream by (ts, event_id), take the prefix sum of
+    exact cents, and report its max / min / final value — max drift =
+    max_prefix - min_prefix is the standard changepoint test statistic.
+    One user-hash shuffle; inside a partition the envelope is one global
+    cumsum + segmented reduceat, no per-user loop. All-integer output."""
+    def drift(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts_us"].to_numpy().astype(np.int64)
+        c = t["cents"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, ts, u))
+        u, c = u[o], c[o]
+        _, sidx, offs = _user_group_offsets(u)
+        gs = np.cumsum(c)
+        base = np.where(sidx > 0, gs[sidx - 1], 0)
+        ps = gs - np.repeat(base, np.diff(np.append(sidx, u.size)))
+        return pa.table({
+            "user_id": pa.array(u[sidx], pa.int64()),
+            "n": pa.array(np.diff(np.append(sidx, u.size)).astype(np.int64),
+                          pa.int64()),
+            "max_prefix": pa.array(np.maximum.reduceat(ps, sidx), pa.int64()),
+            "min_prefix": pa.array(np.minimum.reduceat(ps, sidx), pa.int64()),
+            "total": pa.array(np.add.reduceat(c, sidx), pa.int64())})
+
+    return (_events_cents_parts(sf_dir)
+            .groupby("part").map_groups(drift, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "max_prefix", "min_prefix",
+                             "total"]))
+
+
+SQL_PREFIX_DRIFT = """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS ps
+      FROM e)
+SELECT user_id, count(*) AS n,
+       CAST(max(ps) AS BIGINT) AS max_prefix,
+       CAST(min(ps) AS BIGINT) AS min_prefix,
+       CAST(sum(c) AS BIGINT) AS total
+FROM r GROUP BY user_id
+"""
+
+
+def q_autocorr_components(sf_dir: str):
+    """Lag-1 autocorrelation as exact integer moment components: per
+    user, over ts-ordered consecutive pairs (x_i, x_{i+1}) of cents —
+    n_pairs, Σx, Σy, Σxy, Σx², Σy² — so r = (nΣxy−ΣxΣy)/√(...)
+    reconstructs offline with no float in the exchange (the
+    ols_components pattern applied to the series' own lag). One
+    user-hash shuffle; pairs come from a shifted-slice compare, no
+    loop. All-integer output."""
+    def comps(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts_us"].to_numpy().astype(np.int64)
+        c = t["cents"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, ts, u))
+        u, c = u[o], c[o]
+        n = u.size
+        m = np.zeros(n, dtype=bool)
+        m[:-1] = u[:-1] == u[1:]          # row i pairs with i+1
+        x = np.where(m, c, 0)
+        y = np.roll(c, -1)
+        y = np.where(m, y, 0)
+        _, sidx, _ = _user_group_offsets(u)
+        red = lambda v: np.add.reduceat(v, sidx).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u[sidx], pa.int64()),
+            "npairs": pa.array(red(m.astype(np.int64)), pa.int64()),
+            "sx": pa.array(red(x), pa.int64()),
+            "sy": pa.array(red(y), pa.int64()),
+            "sxy": pa.array(red(x * y), pa.int64()),
+            "sxx": pa.array(red(x * x), pa.int64()),
+            "syy": pa.array(red(y * y), pa.int64())})
+
+    return (_events_cents_parts(sf_dir)
+            .groupby("part").map_groups(comps, batch_format="pyarrow")
+            .select_columns(["user_id", "npairs", "sx", "sy", "sxy",
+                             "sxx", "syy"]))
+
+
+SQL_AUTOCORR_COMPONENTS = """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+l AS (SELECT user_id, c AS x,
+             lead(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM e)
+SELECT user_id,
+       CAST(count(y) AS BIGINT) AS npairs,
+       CAST(COALESCE(sum(x) FILTER (WHERE y IS NOT NULL), 0) AS BIGINT) AS sx,
+       CAST(COALESCE(sum(y), 0) AS BIGINT) AS sy,
+       CAST(COALESCE(sum(x * y), 0) AS BIGINT) AS sxy,
+       CAST(COALESCE(sum(x * x) FILTER (WHERE y IS NOT NULL), 0) AS BIGINT)
+           AS sxx,
+       CAST(COALESCE(sum(y * y), 0) AS BIGINT) AS syy
+FROM l GROUP BY user_id
+"""
+
+
 # ------------------------------------------------ layout: hilbert / quadkey ---
 
 def q_hilbert_layout(sf_dir: str):
@@ -10019,6 +10211,9 @@ QUERIES = {
     "k_core_rounds": q_k_core_rounds,
     "hilbert_layout": q_hilbert_layout,
     "quadkey_tiles": q_quadkey_tiles,
+    "dense_rank_windows": q_dense_rank_windows,
+    "prefix_drift": q_prefix_drift,
+    "autocorr_components": q_autocorr_components,
 }
 
 ORACLE_SQL = {
@@ -10122,6 +10317,9 @@ ORACLE_SQL = {
     "k_core_rounds": SQL_K_CORE_ROUNDS,
     "hilbert_layout": SQL_HILBERT_LAYOUT,
     "quadkey_tiles": SQL_QUADKEY_TILES,
+    "dense_rank_windows": SQL_DENSE_RANK_WINDOWS,
+    "prefix_drift": SQL_PREFIX_DRIFT,
+    "autocorr_components": SQL_AUTOCORR_COMPONENTS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -47,7 +47,8 @@ SUBSET = [
     "late_data_drop", "event_transitions", "corpus_grep",
     "embedding_centroids", "session_path_topk", "table_profile",
     "link_pagerank", "edge_support", "k_core_rounds",
-    "hilbert_layout", "quadkey_tiles",
+    "hilbert_layout", "quadkey_tiles", "dense_rank_windows",
+    "prefix_drift", "autocorr_components",
 ]
 
 
