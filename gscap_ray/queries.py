@@ -9473,6 +9473,119 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# ----------------------------------------------- relational: cube / robust ---
+
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(event_type, dow) — all four grouping sets from ONE
+    fine-grained shuffle: per-batch (type, dow) partials fold first, the
+    single exchange carries only distinct fine cells, and the cube
+    expansion (x4 masked keys) + refold run over that already-tiny
+    aggregate. Rolled-up coordinates use in-band sentinels
+    ('_all_' / -1) so the output is a plain table. The pattern that
+    replaces 4 separate scans in a reporting pipeline. All-integer."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].to_pandas()
+        dow = ((t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+                // 86_400_000_000 + 4) % 7).astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        df = (pd.DataFrame({"event_type": ty, "dow": dow, "c": c})
+              .groupby(["event_type", "dow"], sort=False)
+              .agg(n_p=("c", "size"), c_p=("c", "sum")).reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def expand(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].to_pandas().to_numpy()
+        dow = t["dow"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        c = t["c"].to_numpy().astype(np.int64)
+        k = ty.size
+        all_ty = np.full(k, "_all_", dtype=object)
+        all_dow = np.full(k, -1, np.int64)
+        return pa.table({
+            "event_type": pa.array(np.concatenate([ty, ty, all_ty, all_ty]),
+                                   pa.string()),
+            "dow": pa.array(np.concatenate([dow, all_dow, dow, all_dow]),
+                            pa.int64()),
+            "n_p": pa.array(np.tile(n, 4), pa.int64()),
+            "c_p": pa.array(np.tile(c, 4), pa.int64())})
+
+    fine = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n_p", alias_name="n"), Sum("c_p", alias_name="c")))
+    return (fine.map_batches(expand, batch_format="pyarrow")
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n_p", alias_name="n"),
+                       Sum("c_p", alias_name="sum_cents")))
+
+
+SQL_CUBE_COUNTS = """
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000 + 4) % 7 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+SELECT COALESCE(event_type, '_all_') AS event_type,
+       CAST(COALESCE(d, -1) AS BIGINT) AS dow,
+       count(*) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM e GROUP BY CUBE(event_type, d)
+"""
+
+
+def q_mad_values(sf_dir: str):
+    """Robust-statistics kernel: per event_type the LOWER median of exact
+    cents (sorted index (n-1)//2 — the discrete convention both engines
+    share bit-for-bit) and the median absolute deviation around it, the
+    outlier scale estimator that, unlike stddev, a single corrupt row
+    cannot blow up. One type-hash shuffle; each group is two
+    np.sort passes. All-integer output."""
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g["c"].to_numpy())
+        med = c[(c.size - 1) // 2]
+        dev = np.sort(np.abs(c - med))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(c.size)],
+            "med_cents": [np.int64(med)],
+            "mad_cents": [np.int64(dev[(dev.size - 1) // 2])]})
+
+    def pk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": pa.array(np.round(t["value"].to_numpy() * 100)
+                          .astype(np.int64), pa.int64())})
+
+    return (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("event_type").map_groups(mad, batch_format="pandas"))
+
+
+SQL_MAD_VALUES = """
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) - 1 AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+m AS (SELECT event_type, max(n) AS n,
+             CAST(max(CASE WHEN rk = (n - 1) // 2 THEN c END) AS BIGINT)
+                 AS med
+      FROM r GROUP BY event_type),
+d AS (SELECT e.event_type, abs(e.c - m.med) AS ad, m.n, m.med
+      FROM e JOIN m ON m.event_type = e.event_type),
+dr AS (SELECT event_type, ad, n, med,
+              row_number() OVER (PARTITION BY event_type ORDER BY ad) - 1
+                  AS rk
+       FROM d)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(med) AS BIGINT) AS med_cents,
+       CAST(max(CASE WHEN rk = (n - 1) // 2 THEN ad END) AS BIGINT)
+           AS mad_cents
+FROM dr GROUP BY event_type
+"""
+
+
 # ------------------------------------------- window analytics: ranks/drift ---
 
 def _events_cents_parts(sf_dir: str):
@@ -10214,6 +10327,8 @@ QUERIES = {
     "dense_rank_windows": q_dense_rank_windows,
     "prefix_drift": q_prefix_drift,
     "autocorr_components": q_autocorr_components,
+    "cube_counts": q_cube_counts,
+    "mad_values": q_mad_values,
 }
 
 ORACLE_SQL = {
@@ -10320,6 +10435,8 @@ ORACLE_SQL = {
     "dense_rank_windows": SQL_DENSE_RANK_WINDOWS,
     "prefix_drift": SQL_PREFIX_DRIFT,
     "autocorr_components": SQL_AUTOCORR_COMPONENTS,
+    "cube_counts": SQL_CUBE_COUNTS,
+    "mad_values": SQL_MAD_VALUES,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

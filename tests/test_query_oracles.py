@@ -48,7 +48,7 @@ SUBSET = [
     "embedding_centroids", "session_path_topk", "table_profile",
     "link_pagerank", "edge_support", "k_core_rounds",
     "hilbert_layout", "quadkey_tiles", "dense_rank_windows",
-    "prefix_drift", "autocorr_components",
+    "prefix_drift", "autocorr_components", "cube_counts", "mad_values",
 ]
 
 
