@@ -9473,6 +9473,220 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# -------------------------------------------------- IR: bm25 / phrase / bitmap
+
+_BM25_TERMS = ("join", "hash", "scan", "window", "stream")
+
+
+def q_bm25_topk(sf_dir: str):
+    """Ranked retrieval: top-5 documents per query term under BM25 with
+    k1=6/5, b=3/4 — every factor kept RATIONAL so both engines rank the
+    exact same float64s: the tf saturation term scales to
+    44·tf·L / (20·tf·L + 6·L + 18·dl·D) and the idf to
+    (2D−2df+1)/(2df+1) (the classic (N−df+.5)/(df+.5) form, cleared of
+    halves), so score = int64_num / int64_den in ONE division — no
+    transcendentals, no summation-order drift (the q_tfidf_topterms
+    trick extended to full BM25). Corpus stats (D docs, L total tokens)
+    come from one streaming aggregate; candidate postings collapse to
+    per-(term, doc) rows inside each batch; df + the top-5 fold is one
+    term-hash map_groups. Output: term, rank, doc_id, tf, df, dl,
+    score."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        dl = s.str.strip().str.split().str.len().fillna(0).astype(np.int64)
+        return pa.table({"n_p": pa.array([len(s)], pa.int64()),
+                         "l_p": pa.array([int(dl.sum())], pa.int64())})
+
+    st = (docs.map_batches(stats, batch_format="pyarrow")
+          .aggregate(Sum("n_p"), Sum("l_p")))
+    D, L = int(st["sum(n_p)"]), int(st["sum(l_p)"])
+
+    def postings(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        toks = s.str.strip().str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        d = pd.DataFrame({"doc_id": np.repeat(ids, n),
+                          "dl": np.repeat(n, n),
+                          "token": np.concatenate(
+                              [x for x in toks if x] or [[]])})
+        d = d[d["token"].isin(_BM25_TERMS)]
+        g = (d.groupby(["token", "doc_id", "dl"], sort=False).size()
+             .reset_index(name="tf"))
+        return g
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        df_ = np.int64(len(g))               # rows are per-(term, doc)
+        tf = g["tf"].to_numpy(np.int64)
+        dl = g["dl"].to_numpy(np.int64)
+        num = (44 * tf * L) * (2 * D - 2 * df_ + 1)
+        den = (20 * tf * L + 6 * L + 18 * dl * D) * (2 * df_ + 1)
+        score = num.astype(np.float64) / den.astype(np.float64)
+        out = g.assign(df=df_, score=score)
+        out = out.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="stable").head(5)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["token", "rank", "doc_id", "tf", "df", "dl", "score"]]
+
+    return (docs.map_batches(postings, batch_format="pyarrow")
+            .groupby("token").map_groups(top5, batch_format="pandas")
+            .select_columns(["token", "rank", "doc_id", "tf", "df", "dl",
+                             "score"]))
+
+
+SQL_BM25_TOPK = f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+')
+                  END AS toks
+           FROM documents),
+c AS (SELECT count(*) AS d_docs, CAST(sum(len(toks)) AS BIGINT) AS l_tot
+      FROM t),
+p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t),
+tf AS (SELECT token, doc_id, CAST(max(dl) AS BIGINT) AS dl,
+              count(*) AS tf
+       FROM p WHERE token IN {tuple(_BM25_TERMS)}
+       GROUP BY token, doc_id),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+s AS (SELECT tf.token, tf.doc_id, tf.tf, df.df, tf.dl,
+             CAST((44 * tf.tf * c.l_tot) * (2 * c.d_docs - 2 * df.df + 1)
+                  AS DOUBLE)
+             / CAST((20 * tf.tf * c.l_tot + 6 * c.l_tot
+                     + 18 * tf.dl * c.d_docs) * (2 * df.df + 1) AS DOUBLE)
+                 AS score
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (PARTITION BY token
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM s)
+SELECT token, CAST(rank AS BIGINT) AS rank, doc_id, tf, CAST(df AS BIGINT)
+           AS df, dl, score
+FROM r WHERE rank <= 5
+"""
+
+
+_PHRASES = ("batch batch", "merge data", "sort table")
+
+
+def q_phrase_search(sf_dir: str):
+    """Phrase query via positional adjacency — the positional-inverted-
+    index semantics (w2 at position p+1 of w1, OVERLAPPING occurrences
+    counted, which substring regex scans get wrong on runs like 'batch
+    batch batch'): each batch lays its docs out as one concatenated
+    token lane and finds adjacent (w1, w2) pairs with a shifted-slice
+    compare — no per-doc loop, no index materialization. Per-batch
+    (phrase, n_docs, hits) partials fold in one tiny groupby.
+    All-integer output."""
+    from ray.data.aggregate import Sum
+
+    pairs = [p.split() for p in _PHRASES]
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        toks = s.str.strip().str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        lane = np.concatenate([x for x in toks if x] or [[]]).astype(object)
+        doc = np.repeat(ids, n)
+        rows = {"phrase": [], "docs_p": [], "hits_p": []}
+        same = doc[:-1] == doc[1:] if lane.size else np.array([], bool)
+        for (w1, w2), name in zip(pairs, _PHRASES):
+            m = same & (lane[:-1] == w1) & (lane[1:] == w2) \
+                if lane.size else np.array([], bool)
+            rows["phrase"].append(name)
+            rows["hits_p"].append(np.int64(m.sum()))
+            rows["docs_p"].append(np.int64(np.unique(doc[:-1][m]).size))
+        return pa.table({"phrase": pa.array(rows["phrase"], pa.string()),
+                         "docs_p": pa.array(rows["docs_p"], pa.int64()),
+                         "hits_p": pa.array(rows["hits_p"], pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(scan, batch_format="pyarrow")
+            .groupby("phrase").aggregate(Sum("docs_p", alias_name="n_docs"),
+                                         Sum("hits_p", alias_name="hits")))
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+')
+                  END AS toks
+           FROM documents),
+ph AS (SELECT unnest(ARRAY{list(_PHRASES)}) AS phrase),
+m AS (SELECT ph.phrase, t.doc_id,
+             len(list_filter(range(1, len(t.toks)),
+                             i -> t.toks[i] = split_part(ph.phrase, ' ', 1)
+                              AND t.toks[i + 1] =
+                                  split_part(ph.phrase, ' ', 2))) AS k
+      FROM ph CROSS JOIN t)
+SELECT phrase,
+       CAST(count(*) FILTER (WHERE k > 0) AS BIGINT) AS n_docs,
+       CAST(sum(k) AS BIGINT) AS hits
+FROM m GROUP BY phrase
+"""
+
+
+def q_day_bitmask(sf_dir: str):
+    """Bitmap-index aggregation (the roaring-bitmap pattern at column
+    granularity): per user a 7-bit weekday-presence mask — OR of
+    1<<dow — plus the exact count of distinct active days. ONE exchange
+    of per-batch-distinct (user, epoch_day) pairs (≤ days/user rows;
+    dow derives from the day, so no second shuffle); the mask is a
+    segmented sum of distinct powers of two — OR of distinct one-hot
+    bits IS their sum. All-integer output."""
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        day = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        big = int(day.max()) + 1 if day.size else 1
+        key = np.unique(u * big + day)
+        uu, dd = key // big, key % big
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "day": pa.array(dd, pa.int64()),
+                         "part": pa.array(uu % 64, pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        key = np.unique(u * (day.max() + 1) + day)     # global distinct
+        u, day = key // (day.max() + 1), key % (day.max() + 1)
+        dow = ((day + 4) % 7).astype(np.int64)
+        # distinct (user, dow) → mask = Σ 2^dow over distinct bits
+        ukey = np.unique(u * 7 + dow)
+        mu, mdow = ukey // 7, ukey % 7
+        _, sidx, _ = _user_group_offsets(mu)
+        mask = np.add.reduceat(np.int64(1) << mdow, sidx)
+        _, didx, _ = _user_group_offsets(u)
+        ndays = np.diff(np.append(didx, u.size))
+        return pd.DataFrame({"user_id": mu[sidx],
+                             "dow_mask": mask.astype(np.int64),
+                             "n_dows": np.diff(np.append(sidx, mu.size))
+                             .astype(np.int64),
+                             "n_days": ndays.astype(np.int64)})
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["user_id", "dow_mask", "n_dows", "n_days"]))
+
+
+SQL_DAY_BITMASK = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+w AS (SELECT DISTINCT user_id, (day + 4) % 7 AS dow FROM d),
+m AS (SELECT user_id, CAST(sum(1 << dow) AS BIGINT) AS dow_mask,
+             count(*) AS n_dows
+      FROM w GROUP BY user_id),
+n AS (SELECT user_id, count(*) AS n_days FROM d GROUP BY user_id)
+SELECT m.user_id, m.dow_mask, m.n_dows, n.n_days
+FROM m JOIN n ON n.user_id = m.user_id
+"""
+
+
 # ----------------------------------------------- relational: cube / robust ---
 
 def q_cube_counts(sf_dir: str):
@@ -10329,6 +10543,9 @@ QUERIES = {
     "autocorr_components": q_autocorr_components,
     "cube_counts": q_cube_counts,
     "mad_values": q_mad_values,
+    "bm25_topk": q_bm25_topk,
+    "phrase_search": q_phrase_search,
+    "day_bitmask": q_day_bitmask,
 }
 
 ORACLE_SQL = {
@@ -10437,6 +10654,9 @@ ORACLE_SQL = {
     "autocorr_components": SQL_AUTOCORR_COMPONENTS,
     "cube_counts": SQL_CUBE_COUNTS,
     "mad_values": SQL_MAD_VALUES,
+    "bm25_topk": SQL_BM25_TOPK,
+    "phrase_search": SQL_PHRASE_SEARCH,
+    "day_bitmask": SQL_DAY_BITMASK,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

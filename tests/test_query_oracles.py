@@ -49,6 +49,7 @@ SUBSET = [
     "link_pagerank", "edge_support", "k_core_rounds",
     "hilbert_layout", "quadkey_tiles", "dense_rank_windows",
     "prefix_drift", "autocorr_components", "cube_counts", "mad_values",
+    "bm25_topk", "phrase_search", "day_bitmask",
 ]
 
 
