@@ -9473,6 +9473,209 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# --------------------------------------- BFS / gram kernel / fuzzy matching ---
+
+# Shared SQL prefix: canonical undirected host edge set + symmetric
+# adjacency over the v4 html outlinks (matches _link_graph_und).
+_SQL_LINK_UND = """
+pg AS (SELECT url, decode(html) AS h
+       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM e WHERE src != dst),
+adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
+"""
+
+
+
+def q_link_bfs_hops(sf_dir: str):
+    """BFS hop distance from host 0 over the undirected link graph —
+    the frontier-expansion iteration (the crawl-depth / reachability
+    primitive): 6 rounds, each a map_batches over the materialized edge
+    set probing the broadcast distance vector (O(nodes), the q_pagerank
+    assumption) for frontier-incident edges; newly reached nodes fold
+    through one small groupby per round, and rounds stop early when a
+    frontier empties. The oracle is a recursive CTE whose UNION dedup
+    keeps the working set at O(V) rows per round — same algorithm,
+    declarative spelling. Output: (host_idx, hops) for nodes reached
+    within 6 hops, all int64."""
+    import ray as _ray
+    from ray.data.aggregate import Min
+
+    und, U = _link_graph_und(sf_dir)
+    dist = np.full(U, -1, np.int64)
+    dist[0] = 0
+    frontier = np.array([0], np.int64)
+    for hop in range(1, 7):
+        if frontier.size == 0:
+            break
+        state_ref = _ray.put((dist >= 0, frontier))
+
+        def expand(t: pa.Table, _ref=state_ref) -> pa.Table:
+            visited, fr = _ray.get(_ref)
+            fs = np.zeros(visited.size, dtype=bool)
+            fs[fr] = True
+            lo_t = t["lo"].to_numpy().astype(np.int64)
+            hi_t = t["hi"].to_numpy().astype(np.int64)
+            new = np.concatenate([hi_t[fs[lo_t] & ~visited[hi_t]],
+                                  lo_t[fs[hi_t] & ~visited[lo_t]]])
+            return pa.table({"node": pa.array(np.unique(new), pa.int64())})
+
+        nxt = (und.map_batches(expand, batch_format="pyarrow")
+               .groupby("node").aggregate(Min("node", alias_name="_m"))
+               .to_pandas())
+        frontier = nxt["node"].to_numpy().astype(np.int64) if len(nxt) \
+            else np.array([], np.int64)
+        frontier = frontier[dist[frontier] < 0]
+        dist[frontier] = hop
+    reached = np.flatnonzero(dist >= 0)
+    return pd.DataFrame({"host_idx": reached.astype(np.int64),
+                         "hops": dist[reached]})
+
+
+SQL_LINK_BFS_HOPS = f"""
+WITH RECURSIVE {_SQL_LINK_UND},
+bfs(v, hop) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT adj.b, bfs.hop + 1
+    FROM bfs JOIN adj ON adj.a = bfs.v
+    WHERE bfs.hop < 6)
+SELECT v AS host_idx, CAST(min(hop) AS BIGINT) AS hops
+FROM bfs GROUP BY v
+"""
+
+
+def q_embedding_gram(sf_dir: str):
+    """The covariance/PCA building block at scale: the Gram matrix of
+    the first 8 embedding dimensions, quantized to exact milli-units
+    (round(x*1000) — the integer-output oracle trick applied to a
+    LINEAR-ALGEBRA kernel). Each batch computes its int64 Qᵀ Q with one
+    numpy matmul — the only exchange is 36 (i, j, partial) rows per
+    batch, the textbook one-pass distributed covariance. Output: upper
+    triangle (dim_i ≤ dim_j, 1-indexed), n vectors, exact Σ qᵢqⱼ."""
+    from ray.data.aggregate import Sum
+
+    K = 8
+
+    def gram(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_pandas().to_numpy())[:, :K]
+        q = np.round(m.astype(np.float64) * 1000.0).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(K)
+        return pa.table({
+            "dim_i": pa.array(iu.astype(np.int64) + 1, pa.int64()),
+            "dim_j": pa.array(ju.astype(np.int64) + 1, pa.int64()),
+            "n_p": pa.array(np.full(iu.size, len(t), np.int64), pa.int64()),
+            "s_p": pa.array(g[iu, ju], pa.int64())})
+
+    return (_read(sf_dir, "embeddings", ["embedding"])
+            .map_batches(gram, batch_format="pyarrow")
+            .groupby(["dim_i", "dim_j"])
+            .aggregate(Sum("n_p", alias_name="n"),
+                       Sum("s_p", alias_name="s")))
+
+
+SQL_EMBEDDING_GRAM = """
+WITH q AS (SELECT a.i AS dim_i, b.j AS dim_j,
+                  CAST(round(embedding[CAST(a.i AS INT)] * 1000) AS BIGINT)
+                  * CAST(round(embedding[CAST(b.j AS INT)] * 1000) AS BIGINT)
+                      AS p
+           FROM embeddings
+           CROSS JOIN range(1, 9) a(i) CROSS JOIN range(1, 9) b(j)
+           WHERE b.j >= a.i)
+SELECT dim_i, dim_j, count(*) AS n, CAST(sum(p) AS BIGINT) AS s
+FROM q GROUP BY dim_i, dim_j
+"""
+
+
+def q_typo_pairs(sf_dir: str):
+    """SymSpell-style fuzzy vocabulary matching: every distinct token
+    pair at edit distance EXACTLY 1, found by the deletion-neighborhood
+    blocking join (Garbe's SymSpell) instead of the O(V²) cross
+    product: each token emits its identity key and its |t| delete-one
+    variants tagged with the deleted position; inside one variant-hash
+    partition, identity×delete collisions are insert/delete pairs and
+    delete×delete collisions at the SAME position are substitutions —
+    both provably distance 1, NO DP verification pass needed (del@i ×
+    del@j with i≠j is distance 2, dropped by construction). Exchange
+    is O(Σ|token|) keys, never the pair matrix; the oracle is the
+    brute-force levenshtein cross join. The vocabulary is the corpus
+    token set plus each long token's 4-char truncation — the dirty
+    search-log shape (typos + cut-off queries) SymSpell exists for."""
+    def keys(t: pa.Table) -> pd.DataFrame:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        toks = pd.unique(np.concatenate(
+            s.str.strip().str.split().to_numpy()
+            if len(s) else [np.array([], object)]))
+        toks = pd.unique(np.concatenate(
+            [toks, np.array([x[:4] for x in toks if len(x) > 4], object)]))
+        rows_k, rows_t, rows_p = [], [], []
+        for tok in toks:                      # vocab-sized, not corpus-sized
+            rows_k.append(tok)
+            rows_t.append(tok)
+            rows_p.append(-1)                 # identity key
+            for i in range(len(tok)):
+                rows_k.append(tok[:i] + tok[i + 1:])
+                rows_t.append(tok)
+                rows_p.append(i)
+        return pd.DataFrame({"key": rows_k, "token": rows_t, "pos": rows_p})
+
+    def collide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["key", "token", "pos"])
+        out_a, out_b = [], []
+        for _, grp in g.groupby("key", sort=False):
+            toks = grp["token"].to_numpy()
+            pos = grp["pos"].to_numpy()
+            for x in range(len(toks)):
+                for y in range(x + 1, len(toks)):
+                    if toks[x] == toks[y]:
+                        continue
+                    px, py = pos[x], pos[y]
+                    ok = ((px == -1) != (py == -1)) or \
+                         (px == py and px >= 0 and
+                          len(toks[x]) == len(toks[y]))
+                    if ok:
+                        a, b = sorted((toks[x], toks[y]))
+                        out_a.append(a)
+                        out_b.append(b)
+        return pa.table({"tok_a": pa.array(out_a, pa.string()),
+                         "tok_b": pa.array(out_b, pa.string())})
+
+    def spart(df: pd.DataFrame) -> pd.DataFrame:
+        df["kpart"] = (pd.util.hash_array(df["key"].to_numpy(dtype=object))
+                       % 64).astype(np.int32)
+        return df
+
+    ds = (_read(sf_dir, "documents", ["text"])
+          .map_batches(lambda t: spart(keys(t)), batch_format="pyarrow")
+          .groupby("kpart").map_groups(
+              lambda g: collide(g.drop(columns=["kpart"])),
+              batch_format="pandas"))
+
+    out = ds.to_pandas().drop_duplicates(["tok_a", "tok_b"])
+    return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+SQL_TYPO_PAIRS = """
+WITH t0 AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                AS tok
+            FROM documents WHERE trim(text) != ''),
+v AS (SELECT tok FROM t0
+      UNION SELECT left(tok, 4) FROM t0 WHERE len(tok) > 4)
+SELECT a.tok AS tok_a, b.tok AS tok_b
+FROM v a JOIN v b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) = 1
+"""
+
+
 # -------------------------------------------------- IR: bm25 / phrase / bitmap
 
 _BM25_TERMS = ("join", "hash", "scan", "window", "stream")
@@ -10162,25 +10365,6 @@ def _link_graph_und(sf_dir: str):
     return edges, U
 
 
-# Shared SQL prefix: canonical undirected host edge set + symmetric
-# adjacency over the v4 html outlinks (matches _link_graph_und).
-_SQL_LINK_UND = """
-pg AS (SELECT url, decode(html) AS h
-       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
-l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
-                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
-             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
-      FROM pg),
-e AS (SELECT DISTINCT src,
-             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
-                  AS BIGINT) AS dst
-      FROM l),
-u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
-      FROM e WHERE src != dst),
-adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
-"""
-
-
 def q_edge_support(sf_dir: str):
     """Per-edge triangle support — the k-truss primitive (reference's
     density-grouping family taken to the link graph): for every
@@ -10546,6 +10730,9 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "phrase_search": q_phrase_search,
     "day_bitmask": q_day_bitmask,
+    "link_bfs_hops": q_link_bfs_hops,
+    "embedding_gram": q_embedding_gram,
+    "typo_pairs": q_typo_pairs,
 }
 
 ORACLE_SQL = {
@@ -10657,6 +10844,9 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "phrase_search": SQL_PHRASE_SEARCH,
     "day_bitmask": SQL_DAY_BITMASK,
+    "link_bfs_hops": SQL_LINK_BFS_HOPS,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
+    "typo_pairs": SQL_TYPO_PAIRS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

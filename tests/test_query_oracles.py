@@ -50,6 +50,7 @@ SUBSET = [
     "hilbert_layout", "quadkey_tiles", "dense_rank_windows",
     "prefix_drift", "autocorr_components", "cube_counts", "mad_values",
     "bm25_topk", "phrase_search", "day_bitmask",
+    "link_bfs_hops", "embedding_gram", "typo_pairs",
 ]
 
 
