@@ -9473,6 +9473,219 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# ------------------------------------- sweep line / audit / rank correlation ---
+
+def q_global_concurrency(sf_dir: str):
+    """Global sweep-line maximum concurrency — the distributed PREFIX
+    SCAN: per-(user, day) activity intervals [first_ts, last_ts+1) turn
+    into ±1 deltas, ONE global sort orders them, each block reduces to
+    (sum, max-prefix, argmax) partials, and the driver folds the
+    O(blocks) partial list with running offsets — the textbook
+    two-phase scan-combine, never materializing the row-level running
+    sum. Equal-timestamp blocks are safe: ends (−1) sort before starts
+    (+1), so the interval semantics are half-open and tie-block maxima
+    are order-independent. Output: one all-integer row
+    (max_concurrent, at_ts_us = first instant the max is reached,
+    n_intervals)."""
+    from ray.data.aggregate import Max, Min
+
+    def iv(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        day = ts // 86_400_000_000
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "day": pa.array(day, pa.int64()),
+                         "ts_us": pa.array(ts, pa.int64())})
+
+    ivs = (_read(sf_dir, "events", ["user_id", "ts"])
+           .map_batches(iv, batch_format="pyarrow")
+           .groupby(["user_id", "day"])
+           .aggregate(Min("ts_us", alias_name="s"),
+                      Max("ts_us", alias_name="e")))
+    n_intervals = 0
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy().astype(np.int64)
+        e = t["e"].to_numpy().astype(np.int64) + 1
+        return pa.table({
+            "t": pa.array(np.concatenate([s, e]), pa.int64()),
+            "d": pa.array(np.concatenate([np.ones(s.size, np.int64),
+                                          -np.ones(s.size, np.int64)]),
+                          pa.int64())})
+
+    ev = ivs.map_batches(deltas, batch_format="pyarrow").sort(["t", "d"])
+
+    def block_scan(t: pa.Table) -> pa.Table:
+        tt = t["t"].to_numpy().astype(np.int64)
+        dd = t["d"].to_numpy().astype(np.int64)
+        if tt.size == 0:
+            return pa.table({"first_t": pa.array([], pa.int64()),
+                             "first_d": pa.array([], pa.int64()),
+                             "sum_d": pa.array([], pa.int64()),
+                             "max_pref": pa.array([], pa.int64()),
+                             "t_at_max": pa.array([], pa.int64())})
+        pref = np.cumsum(dd)
+        mx = int(pref.max())
+        return pa.table({"first_t": pa.array([int(tt[0])], pa.int64()),
+                         "first_d": pa.array([int(dd[0])], pa.int64()),
+                         "sum_d": pa.array([int(pref[-1])], pa.int64()),
+                         "max_pref": pa.array([mx], pa.int64()),
+                         "t_at_max": pa.array(
+                             [int(tt[int(np.argmax(pref))])], pa.int64())})
+
+    parts = (ev.map_batches(block_scan, batch_format="pyarrow")
+             .to_pandas().sort_values(["first_t", "first_d"],
+                                      kind="stable"))
+    n_intervals = int(ivs.count())
+    offset, best, best_t = 0, None, None
+    for _, r in parts.iterrows():            # O(blocks), not O(rows)
+        cand = offset + int(r["max_pref"])
+        if best is None or cand > best:
+            best, best_t = cand, int(r["t_at_max"])
+        offset += int(r["sum_d"])
+    return pd.DataFrame({"max_concurrent": [np.int64(best)],
+                         "at_ts_us": [np.int64(best_t)],
+                         "n_intervals": [np.int64(n_intervals)]})
+
+
+SQL_GLOBAL_CONCURRENCY = """
+WITH iv AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                   min(epoch_us(ts)) AS s, max(epoch_us(ts)) + 1 AS e
+            FROM events GROUP BY 1, 2),
+ev AS (SELECT s AS t, 1 AS d FROM iv
+       UNION ALL SELECT e, -1 FROM iv),
+sw AS (SELECT t, d,
+              sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+       FROM ev)
+SELECT CAST((SELECT max(c) FROM sw) AS BIGINT) AS max_concurrent,
+       CAST((SELECT min(t) FROM sw
+             WHERE c = (SELECT max(c) FROM sw)) AS BIGINT) AS at_ts_us,
+       CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_intervals
+"""
+
+
+def q_partition_checksums(sf_dir: str):
+    """Partition-level audit checksums + a dataset-level root — the
+    lineage/integrity fingerprint a resumable 100 TB run verifies
+    partitions against (the state/checkpoint.py manifest idea as a
+    first-class query): every row hashes to
+    md5_number_lower(event_id || ':' || cents) % 1e9+7 (bit-identical
+    in DuckDB), each partition (user_id % 64 — the engine's standard
+    layout key) folds an order-independent (count, sum-of-hashes) pair,
+    and the root row (part = -1) folds the partition sums again —
+    a two-level Merkle fold. Any dropped / duplicated / corrupted row
+    flips its partition checksum and the root. All-integer output."""
+    from ray.data.aggregate import Sum
+
+    from .functions.text import md5_token_hash64
+
+    def rows(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        s = [f"{e}:{v}" for e, v in zip(eid.tolist(), c.tolist())]
+        h = (md5_token_hash64(s) % np.uint64(1_000_000_007)).astype(np.int64)
+        df = (pd.DataFrame({"part": u % 64, "h": h})
+              .groupby("part", sort=False)
+              .agg(n_p=("h", "size"), s_p=("h", "sum")).reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_part = (_read(sf_dir, "events", ["event_id", "user_id", "value"])
+                .map_batches(rows, batch_format="pyarrow")
+                .groupby("part")
+                .aggregate(Sum("n_p", alias_name="n"),
+                           Sum("s_p", alias_name="checksum"))
+                .to_pandas().sort_values("part"))
+    root = pd.DataFrame({"part": [np.int64(-1)],
+                         "n": [np.int64(per_part["n"].sum())],
+                         "checksum": [np.int64(per_part["checksum"].sum())]})
+    return pd.concat([per_part, root], ignore_index=True).astype(
+        {"part": "int64", "n": "int64", "checksum": "int64"})
+
+
+SQL_PARTITION_CHECKSUMS = """
+WITH r AS (SELECT user_id % 64 AS part,
+                  CAST(md5_number_lower(CAST(event_id AS VARCHAR) || ':' ||
+                       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR))
+                       % 1000000007 AS BIGINT) AS h
+           FROM events),
+p AS (SELECT part, count(*) AS n, CAST(sum(h) AS BIGINT) AS checksum
+      FROM r GROUP BY part)
+SELECT CAST(part AS BIGINT) AS part, n, checksum FROM p
+UNION ALL
+SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(checksum) AS BIGINT) FROM p
+"""
+
+
+def q_spearman_components(sf_dir: str):
+    """Spearman rank correlation as exact integer components, per
+    event_type: x-rank = time order (ts, event_id — unique, no ties),
+    y-rank = value cents under AVERAGE-rank tie handling kept integral
+    by doubling (2·avg_rank = 2·min_rank + ties − 1), so
+    sum_d2q = Σ (2rx − 2ry_avg)² = 4·Σd² exactly, plus the standard
+    tie-correction Σ(m³−m). ρ reconstructs offline as
+    (1 − 6·(sum_d2q/4 + tie_y/12)/(n³−n))-style rational — no float in
+    the exchange. One type-hash shuffle, vectorized rank arithmetic
+    inside the partition. All-integer output."""
+    def comps(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = c.size
+        o = np.lexsort((eid, ts))
+        rx = np.empty(n, np.int64)
+        rx[o] = np.arange(1, n + 1, dtype=np.int64)
+        oc = np.argsort(c, kind="stable")
+        cs = c[oc]
+        newv = np.ones(n, dtype=bool)
+        newv[1:] = cs[1:] != cs[:-1]
+        sidx = np.flatnonzero(newv)
+        m = np.diff(np.append(sidx, n)).astype(np.int64)
+        min_rank = sidx + 1
+        two_avg = 2 * min_rank + m - 1          # per distinct value
+        gidx = np.cumsum(newv) - 1
+        ry2 = np.empty(n, np.int64)
+        ry2[oc] = two_avg[gidx]
+        d = 2 * rx - ry2
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(n)],
+            "sum_d2q": [np.int64(np.sum(d * d))],
+            "tie_y": [np.int64(np.sum(m ** 3 - m))]})
+
+    def pk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "event_id": t["event_id"].cast(pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "c": pa.array(np.round(t["value"].to_numpy() * 100)
+                          .astype(np.int64), pa.int64())})
+
+    return (_read(sf_dir, "events", ["event_type", "event_id", "ts", "value"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("event_type").map_groups(comps, batch_format="pandas"))
+
+
+SQL_SPEARMAN_COMPONENTS = """
+WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts_us, event_id) AS rx,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+               + count(*) OVER (PARTITION BY event_type, c) - 1 AS ry2
+      FROM e),
+ties AS (SELECT event_type, CAST(sum(m * m * m - m) AS BIGINT) AS tie_y
+         FROM (SELECT event_type, c, count(*) AS m FROM e
+               GROUP BY event_type, c) GROUP BY event_type)
+SELECT r.event_type, count(*) AS n,
+       CAST(sum((2 * rx - ry2) * (2 * rx - ry2)) AS BIGINT) AS sum_d2q,
+       CAST(max(ties.tie_y) AS BIGINT) AS tie_y
+FROM r JOIN ties ON ties.event_type = r.event_type
+GROUP BY r.event_type
+"""
+
+
 # --------------------------------------- BFS / gram kernel / fuzzy matching ---
 
 # Shared SQL prefix: canonical undirected host edge set + symmetric
@@ -10733,6 +10946,9 @@ QUERIES = {
     "link_bfs_hops": q_link_bfs_hops,
     "embedding_gram": q_embedding_gram,
     "typo_pairs": q_typo_pairs,
+    "global_concurrency": q_global_concurrency,
+    "partition_checksums": q_partition_checksums,
+    "spearman_components": q_spearman_components,
 }
 
 ORACLE_SQL = {
@@ -10847,6 +11063,9 @@ ORACLE_SQL = {
     "link_bfs_hops": SQL_LINK_BFS_HOPS,
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "typo_pairs": SQL_TYPO_PAIRS,
+    "global_concurrency": SQL_GLOBAL_CONCURRENCY,
+    "partition_checksums": SQL_PARTITION_CHECKSUMS,
+    "spearman_components": SQL_SPEARMAN_COMPONENTS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

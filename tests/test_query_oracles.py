@@ -51,6 +51,7 @@ SUBSET = [
     "prefix_drift", "autocorr_components", "cube_counts", "mad_values",
     "bm25_topk", "phrase_search", "day_bitmask",
     "link_bfs_hops", "embedding_gram", "typo_pairs",
+    "global_concurrency", "partition_checksums", "spearman_components",
 ]
 
 
