@@ -9473,6 +9473,220 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# -------------------------------- association / KS / gaps-and-islands ---------
+
+def q_basket_lift(sf_dir: str):
+    """Market-basket association counts over each user's set of event
+    types (the lift/confidence building block of recommendation
+    pipelines): ONE user-hash exchange of per-batch-distinct
+    (user, type) pairs; inside each partition the per-user type sets
+    explode to ordered pairs with a vectorized segment cross (≤ C(5,2)
+    rows per user), folded by a tiny pair groupby. Singles and the
+    user total ride the same distinct set, so
+    lift = n_ab·n_users / (n_a·n_b) reconstructs offline exactly.
+    All-integer output."""
+    from ray.data.aggregate import Sum
+
+    def pairs_part(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy()
+                           .astype(np.int64),
+                           "event_type": t["event_type"].to_pandas()})
+        df = df.drop_duplicates()
+        df["part"] = (df["user_id"] % 64).astype(np.int32)
+        return df
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "event_type"])
+             .sort_values(["user_id", "event_type"], kind="stable"))
+        u = g["user_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy(object)
+        _, sidx, _ = _user_group_offsets(u)
+        sizes = np.diff(np.append(sidx, u.size)).astype(np.int64)
+        ii, jj = _tri_pair_indices(sidx.astype(np.int64), sizes)
+        if ii is None:
+            out = pd.DataFrame({"type_a": [], "type_b": [], "n_p": []})
+        else:
+            out = pd.DataFrame({"type_a": ty[ii], "type_b": ty[jj]})
+            out = out.groupby(["type_a", "type_b"], sort=False).size() \
+                     .reset_index(name="n_p")
+        single = pd.DataFrame({"type_a": ty, "type_b": "_single_"})
+        single = single.groupby(["type_a", "type_b"], sort=False).size() \
+                       .reset_index(name="n_p")
+        users = pd.DataFrame({"type_a": ["_users_"], "type_b": ["_users_"],
+                              "n_p": [np.int64(np.unique(u).size)]})
+        return pd.concat([out, single, users], ignore_index=True)
+
+    folded = (_read(sf_dir, "events", ["user_id", "event_type"])
+              .map_batches(pairs_part, batch_format="pyarrow")
+              .groupby("part").map_groups(
+                  lambda g: explode(g.drop(columns=["part"])),
+                  batch_format="pandas")
+              .groupby(["type_a", "type_b"])
+              .aggregate(Sum("n_p", alias_name="n")).to_pandas())
+    singles = folded[folded["type_b"] == "_single_"] \
+        .set_index("type_a")["n"]
+    n_users = int(folded.loc[folded["type_a"] == "_users_", "n"].iloc[0])
+    out = folded[(folded["type_b"] != "_single_")
+                 & (folded["type_a"] != "_users_")].copy()
+    out["n_ab"] = out.pop("n").astype(np.int64)
+    out["n_a"] = singles.reindex(out["type_a"]).to_numpy(np.int64)
+    out["n_b"] = singles.reindex(out["type_b"]).to_numpy(np.int64)
+    out["n_users"] = np.int64(n_users)
+    return out.reset_index(drop=True)
+
+
+SQL_BASKET_LIFT = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_ab
+      FROM d a JOIN d b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+s AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+SELECT p.type_a, p.type_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+       (SELECT count(DISTINCT user_id) FROM d) AS n_users
+FROM p JOIN s sa ON sa.event_type = p.type_a
+       JOIN s sb ON sb.event_type = p.type_b
+"""
+
+
+def q_ks_distance(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    'click' and 'view' value distributions, kept integral by clearing
+    denominators: KS = max_t |cumA(t)·nB − cumB(t)·nA| / (nA·nB), and
+    the max is reported as its exact integer numerator. The only
+    exchange is the per-distinct-cents (nA, nB) histogram (per-batch
+    partials first); the CDF fold then walks the O(distinct values)
+    table once — the same scan-combine shape as q_global_concurrency
+    on a value-ordered axis. All-integer output row."""
+    from ray.data.aggregate import Sum
+
+    def hist(t: pa.Table) -> pd.DataFrame:
+        ty = t["event_type"].to_pandas().to_numpy()
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        m = (ty == "click") | (ty == "view")
+        df = pd.DataFrame({"c": c[m], "is_a": (ty[m] == "click")})
+        g = (df.groupby(["c", "is_a"], sort=False).size()
+             .reset_index(name="n_p"))
+        g["na_p"] = np.where(g["is_a"], g["n_p"], 0).astype(np.int64)
+        g["nb_p"] = np.where(g["is_a"], 0, g["n_p"]).astype(np.int64)
+        return g[["c", "na_p", "nb_p"]]
+
+    h = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(hist, batch_format="pyarrow")
+         .groupby("c").aggregate(Sum("na_p", alias_name="na"),
+                                 Sum("nb_p", alias_name="nb"))
+         .to_pandas().sort_values("c"))
+    na_tot = int(h["na"].sum())
+    nb_tot = int(h["nb"].sum())
+    cum_a = np.cumsum(h["na"].to_numpy(np.int64))
+    cum_b = np.cumsum(h["nb"].to_numpy(np.int64))
+    diff = np.abs(cum_a * nb_tot - cum_b * na_tot)
+    k = int(np.argmax(diff))
+    return pd.DataFrame({
+        "ks_num": [np.int64(diff[k])],
+        "at_cents": [np.int64(h["c"].to_numpy(np.int64)[k])],
+        "n_a": [np.int64(na_tot)], "n_b": [np.int64(nb_tot)]})
+
+
+SQL_KS_DISTANCE = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE event_type IN ('click', 'view')),
+h AS (SELECT c,
+             count(*) FILTER (WHERE event_type = 'click') AS na,
+             count(*) FILTER (WHERE event_type = 'view') AS nb
+      FROM e GROUP BY c),
+t AS (SELECT max(na) AS nat, max(nb) AS nbt FROM
+      (SELECT sum(na) AS na, sum(nb) AS nb FROM h)),
+cdf AS (SELECT c,
+               sum(na) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ca,
+               sum(nb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cb
+        FROM h),
+d AS (SELECT c, abs(ca * t.nbt - cb * t.nat) AS diff
+      FROM cdf CROSS JOIN t)
+SELECT CAST((SELECT max(diff) FROM d) AS BIGINT) AS ks_num,
+       CAST((SELECT min(c) FROM d
+             WHERE diff = (SELECT max(diff) FROM d)) AS BIGINT) AS at_cents,
+       CAST((SELECT max(nat) FROM t) AS BIGINT) AS n_a,
+       CAST((SELECT max(nbt) FROM t) AS BIGINT) AS n_b
+"""
+
+
+def q_event_islands(sf_dir: str):
+    """Gaps-and-islands (SCD2 / run-length interval building): collapse
+    each user's ts-ordered stream into maximal runs of equal event_type
+    — per run its 1-based island index, bounds and length. The SQL
+    oracle is the classic two-row_number difference trick; the Ray side
+    is the same thing a segmented boundary mask + reduceat computes in
+    one pass per user-hash partition, no per-run loop. All integers +
+    the run's type."""
+    def runs(t: pd.DataFrame) -> pd.DataFrame:
+        eid = t["event_id"].to_numpy(np.int64)
+        u = t["user_id"].to_numpy(np.int64)
+        ts = t["ts_us"].to_numpy(np.int64)
+        ty = t["event_type"].to_numpy(object)
+        o = np.lexsort((eid, ts, u))
+        u, ts, ty = u[o], ts[o], ty[o]
+        n = u.size
+        newu = np.ones(n, dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        newrun = newu.copy()
+        newrun[1:] |= ty[1:] != ty[:-1]
+        ridx = np.flatnonzero(newrun)
+        rlen = np.diff(np.append(ridx, n)).astype(np.int64)
+        # island index = run ordinal within user
+        rid = np.cumsum(newrun) - 1
+        ustart_run = rid[np.flatnonzero(newu)]
+        run_user = u[ridx]
+        _, usidx, uoffs = _user_group_offsets(run_user)
+        island = np.arange(ridx.size, dtype=np.int64) - uoffs + 1
+        return pd.DataFrame({
+            "user_id": run_user,
+            "island": island,
+            "event_type": ty[ridx],
+            "start_us": ts[ridx],
+            "end_us": ts[ridx + rlen - 1],
+            "n_events": rlen})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": t["event_type"],
+            "part": pa.array(u % 64, pa.int32())})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(runs, batch_format="pandas")
+            .select_columns(["user_id", "island", "event_type",
+                             "start_us", "end_us", "n_events"]))
+
+
+SQL_EVENT_ISLANDS = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts_us, event_id) AS rt
+      FROM e),
+g AS (SELECT user_id, event_type, ts_us, rn, rn - rt AS grp FROM r),
+i AS (SELECT user_id, event_type, grp, min(rn) AS first_rn,
+             min(ts_us) AS start_us, max(ts_us) AS end_us,
+             count(*) AS n_events
+      FROM g GROUP BY user_id, event_type, grp)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY first_rn)
+            AS BIGINT) AS island,
+       event_type, start_us, end_us, n_events
+FROM i
+"""
+
+
 # ------------------------------------- sweep line / audit / rank correlation ---
 
 def q_global_concurrency(sf_dir: str):
@@ -10949,6 +11163,9 @@ QUERIES = {
     "global_concurrency": q_global_concurrency,
     "partition_checksums": q_partition_checksums,
     "spearman_components": q_spearman_components,
+    "basket_lift": q_basket_lift,
+    "ks_distance": q_ks_distance,
+    "event_islands": q_event_islands,
 }
 
 ORACLE_SQL = {
@@ -11066,6 +11283,9 @@ ORACLE_SQL = {
     "global_concurrency": SQL_GLOBAL_CONCURRENCY,
     "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "spearman_components": SQL_SPEARMAN_COMPONENTS,
+    "basket_lift": SQL_BASKET_LIFT,
+    "ks_distance": SQL_KS_DISTANCE,
+    "event_islands": SQL_EVENT_ISLANDS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

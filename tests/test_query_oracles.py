@@ -52,6 +52,7 @@ SUBSET = [
     "bm25_topk", "phrase_search", "day_bitmask",
     "link_bfs_hops", "embedding_gram", "typo_pairs",
     "global_concurrency", "partition_checksums", "spearman_components",
+    "basket_lift", "ks_distance", "event_islands",
 ]
 
 
