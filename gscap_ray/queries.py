@@ -9473,6 +9473,245 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# ---------------------------- flood fill / assortativity / robust trend ------
+
+# Shared SQL prefix: canonical undirected host edge set + symmetric
+# adjacency over the v4 html outlinks (matches _link_graph_und).
+_SQL_LINK_UND = """
+pg AS (SELECT url, decode(html) AS h
+       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM e WHERE src != dst),
+adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
+"""
+
+
+
+
+def q_cell_regions(sf_dir: str):
+    """Spatial flood fill: 4-connected regions of occupied 0.1° grid
+    cells, labeled by each region's minimum cell id — raster
+    connected-component labeling as dataflow. Occupied cells are ONE
+    distinct-fold; candidate edges probe the broadcast sorted cell set
+    for right/down neighbors (O(occupied) — at continental raster
+    scale the same probe is a self-join on the neighbor key, same
+    downstream); the labeling reuses ops.connected_components (the
+    dedup/DBSCAN merge machinery), isolated cells rejoin as singleton
+    regions. The oracle is a recursive-CTE transitive closure whose
+    UNION dedup bounds the working set at Σ component². All-integer
+    (cell, label) rows."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    from .ops import connected_components
+
+    occ = (_points_ds(sf_dir)
+           .map_batches(lambda t: pa.table(
+               {"cell": pa.array(np.unique(
+                   (np.floor((t["lat"].to_numpy() + 90.0) / 0.1)
+                    .astype(np.int64)) * 3600
+                   + np.floor((t["lon"].to_numpy() + 180.0) / 0.1)
+                   .astype(np.int64)), pa.int64())}),
+               batch_format="pyarrow")
+           .groupby("cell").aggregate(Count(alias_name="_c"))
+           .select_columns(["cell"]))
+    cells = np.sort(occ.to_pandas()["cell"].to_numpy(np.int64))
+    cells_ref = _ray.put(cells)
+
+    def edges_part(t: pa.Table) -> pa.Table:
+        cs = _ray.get(cells_ref)
+        c = t["cell"].to_numpy().astype(np.int64)
+        cand_u, cand_v = [], []
+        right = c + 1
+        ok_r = (right // 3600 == c // 3600)
+        down = c + 3600
+        for nb, ok in ((right, ok_r), (down, np.ones(c.size, bool))):
+            pos = np.searchsorted(cs, nb)
+            hit = (pos < cs.size) & ok
+            hit[hit] = cs[pos[hit]] == nb[hit]
+            cand_u.append(c[hit])
+            cand_v.append(nb[hit])
+        return pa.table({"u": pa.array(np.concatenate(cand_u), pa.int64()),
+                         "v": pa.array(np.concatenate(cand_v), pa.int64())})
+
+    edges = occ.map_batches(edges_part, batch_format="pyarrow")
+    comp = connected_components(edges).to_pandas()
+    lab = dict(zip(comp["id"].to_numpy(np.int64).tolist(),
+                   comp["rep"].to_numpy(np.int64).tolist()))
+    label = np.array([lab.get(int(c), int(c)) for c in cells], np.int64)
+    return pd.DataFrame({"cell": cells, "label": label})
+
+
+SQL_CELL_REGIONS = f"""
+WITH RECURSIVE p AS ({_PTS_SQL}),
+cells AS (SELECT DISTINCT {_GRID_CELL_SQL} AS cell FROM p),
+adj0 AS (SELECT a.cell AS u, b.cell AS v
+         FROM cells a JOIN cells b
+           ON (b.cell = a.cell + 1 AND b.cell // 3600 = a.cell // 3600)
+              OR b.cell = a.cell + 3600),
+adj AS (SELECT u, v FROM adj0 UNION ALL SELECT v, u FROM adj0),
+reach(u, v) AS (
+    SELECT cell, cell FROM cells
+    UNION
+    SELECT r.u, a.v FROM reach r JOIN adj a ON a.u = r.v)
+SELECT u AS cell, CAST(min(v) AS BIGINT) AS label
+FROM reach GROUP BY u
+"""
+
+
+def q_degree_assortativity_components(sf_dir: str):
+    """Degree assortativity of the link graph as exact integer moment
+    sums over the symmetrized edge ends (Newman's r = Pearson over
+    2m directed pairs): m, Σ(da+db), Σ2·da·db, Σ(da²+db²) — r
+    reconstructs offline with no float anywhere. Degrees broadcast
+    once (O(nodes)); each edge block folds its partial sums, one tiny
+    final aggregate."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    und, U = _link_graph_und(sf_dir)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t["lo"].to_numpy(), t["hi"].to_numpy()])
+        un, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(un, pa.int64()),
+                         "d": pa.array(c.astype(np.int64), pa.int64())})
+
+    degs = (und.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+    deg = np.zeros(U, np.int64)
+    deg[degs["node"].to_numpy()] = degs["d"].to_numpy().astype(np.int64)
+    deg_ref = _ray.put(deg)
+
+    def moments(t: pa.Table) -> pa.Table:
+        dg = _ray.get(deg_ref)
+        da = dg[t["lo"].to_numpy().astype(np.int64)]
+        db = dg[t["hi"].to_numpy().astype(np.int64)]
+        return pa.table({
+            "m_p": pa.array([np.int64(da.size)], pa.int64()),
+            "sx_p": pa.array([np.int64((da + db).sum())], pa.int64()),
+            "sxy_p": pa.array([np.int64(2 * (da * db).sum())], pa.int64()),
+            "sx2_p": pa.array([np.int64((da * da + db * db).sum())],
+                              pa.int64())})
+
+    out = (und.map_batches(moments, batch_format="pyarrow")
+           .aggregate(Sum("m_p"), Sum("sx_p"), Sum("sxy_p"), Sum("sx2_p")))
+    return pd.DataFrame({"m": [np.int64(out["sum(m_p)"])],
+                         "sum_ends": [np.int64(out["sum(sx_p)"])],
+                         "sum_prod2": [np.int64(out["sum(sxy_p)"])],
+                         "sum_sq": [np.int64(out["sum(sx2_p)"])]})
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH {_SQL_LINK_UND},
+deg AS (SELECT a AS node, count(*) AS d FROM adj GROUP BY a)
+SELECT count(*) AS m,
+       CAST(sum(da.d + db.d) AS BIGINT) AS sum_ends,
+       CAST(sum(2 * da.d * db.d) AS BIGINT) AS sum_prod2,
+       CAST(sum(da.d * da.d + db.d * db.d) AS BIGINT) AS sum_sq
+FROM u JOIN deg da ON da.node = u.lo
+       JOIN deg db ON db.node = u.hi
+"""
+
+
+def q_theil_sen_components(sf_dir: str):
+    """Theil–Sen robust trend per host over its daily page counts: the
+    LOWER-median pairwise slope, reported as its exact rational
+    (dy, dx) so no float leaves the engine — the estimator that
+    tolerates 29% corrupted days where OLS breaks. Daily counts are
+    one (host, day) fold; each host's ≤ C(days,2) slope pairs come
+    from the shared _tri_pair_indices enumeration, and the median
+    pick orders by the SAME (dy/dx double, dy, dx) key as the SQL
+    row_number — single-division doubles are bit-identical, ties
+    break on the exact integers. Output: host_idx, npairs, med_dy,
+    med_dx."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "warc_ts"])
+    idx_re = re.compile(r"-(\d+)\.example\.com")
+
+    def daily(t: pa.Table) -> pd.DataFrame:
+        host = (pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+                .to_pandas().str.extract(idx_re, expand=False)
+                .astype(np.int64))
+        day = (t["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy() // 86_400_000_000).astype(np.int64)
+        return (pd.DataFrame({"host_idx": host, "day": day})
+                .groupby(["host_idx", "day"], sort=False).size()
+                .reset_index(name="n_p"))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host_idx", "day"], kind="stable")
+        h = g["host_idx"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        _, sidx, _ = _user_group_offsets(h)
+        sizes = np.diff(np.append(sidx, h.size)).astype(np.int64)
+        ii, jj = _tri_pair_indices(sidx.astype(np.int64), sizes)
+        if ii is None:
+            return pd.DataFrame({"host_idx": [], "npairs": [],
+                                 "med_dy": [], "med_dx": []})
+        dy = n[jj] - n[ii]
+        dx = day[jj] - day[ii]
+        slope = dy.astype(np.float64) / dx.astype(np.float64)
+        ph = h[ii]
+        o = np.lexsort((dx, dy, slope, ph))
+        ph, dy, dx = ph[o], dy[o], dx[o]
+        _, psidx, _ = _user_group_offsets(ph)
+        cnt = np.diff(np.append(psidx, ph.size)).astype(np.int64)
+        pick = psidx + (cnt - 1) // 2
+        return pd.DataFrame({"host_idx": ph[psidx],
+                             "npairs": cnt,
+                             "med_dy": dy[pick],
+                             "med_dx": dx[pick]})
+
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        tt = pa.Table.from_pandas(daily(t), preserve_index=False)
+        return tt.append_column(
+            "part", pa.array((tt["host_idx"].to_numpy() % 64)
+                             .astype(np.int32), pa.int32()))
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["part", "host_idx", "day"])
+            .aggregate(Sum("n_p", alias_name="n"))
+            .groupby("part").map_groups(
+                lambda g: med(g.drop(columns=["part"])),
+                batch_format="pandas")
+            .select_columns(["host_idx", "npairs", "med_dy", "med_dx"]))
+
+
+SQL_THEIL_SEN = """
+WITH pg AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                        '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS host_idx,
+                   epoch_us(warc_ts) // 86400000000 AS day
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+dc AS (SELECT host_idx, day, count(*) AS n FROM pg GROUP BY 1, 2),
+pr AS (SELECT a.host_idx,
+              b.n - a.n AS dy, b.day - a.day AS dx,
+              CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+                  AS slope
+       FROM dc a JOIN dc b ON b.host_idx = a.host_idx AND b.day > a.day),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY host_idx
+                                ORDER BY slope, dy, dx) AS rk,
+             count(*) OVER (PARTITION BY host_idx) AS cnt
+      FROM pr)
+SELECT host_idx, CAST(cnt AS BIGINT) AS npairs,
+       CAST(dy AS BIGINT) AS med_dy, CAST(dx AS BIGINT) AS med_dx
+FROM r WHERE rk = (cnt - 1) // 2 + 1
+"""
+
+
 # -------------------------------- association / KS / gaps-and-islands ---------
 
 def q_basket_lift(sf_dir: str):
@@ -9901,26 +10140,6 @@ GROUP BY r.event_type
 
 
 # --------------------------------------- BFS / gram kernel / fuzzy matching ---
-
-# Shared SQL prefix: canonical undirected host edge set + symmetric
-# adjacency over the v4 html outlinks (matches _link_graph_und).
-_SQL_LINK_UND = """
-pg AS (SELECT url, decode(html) AS h
-       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
-l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
-                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
-             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
-      FROM pg),
-e AS (SELECT DISTINCT src,
-             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
-                  AS BIGINT) AS dst
-      FROM l),
-u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
-      FROM e WHERE src != dst),
-adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
-"""
-
-
 
 def q_link_bfs_hops(sf_dir: str):
     """BFS hop distance from host 0 over the undirected link graph —
@@ -11166,6 +11385,9 @@ QUERIES = {
     "basket_lift": q_basket_lift,
     "ks_distance": q_ks_distance,
     "event_islands": q_event_islands,
+    "cell_regions": q_cell_regions,
+    "degree_assortativity": q_degree_assortativity_components,
+    "theil_sen_components": q_theil_sen_components,
 }
 
 ORACLE_SQL = {
@@ -11286,6 +11508,9 @@ ORACLE_SQL = {
     "basket_lift": SQL_BASKET_LIFT,
     "ks_distance": SQL_KS_DISTANCE,
     "event_islands": SQL_EVENT_ISLANDS,
+    "cell_regions": SQL_CELL_REGIONS,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "theil_sen_components": SQL_THEIL_SEN,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

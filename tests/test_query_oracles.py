@@ -53,6 +53,7 @@ SUBSET = [
     "link_bfs_hops", "embedding_gram", "typo_pairs",
     "global_concurrency", "partition_checksums", "spearman_components",
     "basket_lift", "ks_distance", "event_islands",
+    "cell_regions", "degree_assortativity", "theil_sen_components",
 ]
 
 
