@@ -432,6 +432,43 @@ def run_bench() -> dict:
     timed("table_profile", lambda: consume(Q.q_table_profile(sf_dir)))
     timed("link_pagerank", lambda: Q.q_link_pagerank(sf_dir))
 
+    # round-4 session-7 family (graph truss/core/BFS, Hilbert/quadkey
+    # layout, window analytics, IR, sweep-line scan, flood fill,
+    # association / robust stats)
+    timed("edge_support", lambda: consume(Q.q_edge_support(sf_dir)))
+    timed("k_core_rounds", lambda: Q.q_k_core_rounds(sf_dir))
+    timed("link_bfs_hops", lambda: Q.q_link_bfs_hops(sf_dir))
+    timed("hilbert_layout", lambda: consume(Q.q_hilbert_layout(sf_dir)))
+    timed("quadkey_tiles", lambda: consume(Q.q_quadkey_tiles(sf_dir)))
+    timed("dense_rank_windows",
+          lambda: consume(Q.q_dense_rank_windows(sf_dir)))
+    timed("prefix_drift", lambda: consume(Q.q_prefix_drift(sf_dir)))
+    timed("autocorr_components",
+          lambda: consume(Q.q_autocorr_components(sf_dir)))
+    timed("cube_counts", lambda: consume(Q.q_cube_counts(sf_dir)))
+    timed("mad_values", lambda: consume(Q.q_mad_values(sf_dir)))
+    timed("bm25_topk", lambda: consume(Q.q_bm25_topk(sf_dir)))
+    timed("phrase_search", lambda: consume(Q.q_phrase_search(sf_dir)))
+    timed("day_bitmask", lambda: consume(Q.q_day_bitmask(sf_dir)))
+    timed("embedding_gram", lambda: consume(Q.q_embedding_gram(sf_dir)))
+    timed("typo_pairs", lambda: Q.q_typo_pairs(sf_dir))
+    timed("global_concurrency", lambda: Q.q_global_concurrency(sf_dir))
+    timed("partition_checksums",
+          lambda: Q.q_partition_checksums(sf_dir))
+    timed("spearman_components",
+          lambda: consume(Q.q_spearman_components(sf_dir)))
+    timed("basket_lift", lambda: Q.q_basket_lift(sf_dir))
+    timed("ks_distance", lambda: Q.q_ks_distance(sf_dir))
+    timed("event_islands", lambda: consume(Q.q_event_islands(sf_dir)))
+    timed("cell_regions", lambda: Q.q_cell_regions(sf_dir))
+    timed("degree_assortativity",
+          lambda: Q.q_degree_assortativity_components(sf_dir))
+    timed("theil_sen_components",
+          lambda: consume(Q.q_theil_sen_components(sf_dir)))
+    timed("knn_join", lambda: consume(Q.q_knn_join(sf_dir)))
+    timed("conversion_latency",
+          lambda: consume(Q.q_conversion_latency(sf_dir)))
+
     def finish() -> dict:
         out = {
             "metric": "headline_pipeline_seconds",

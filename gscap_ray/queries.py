@@ -9473,6 +9473,187 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# --------------------------------------- spatial kNN join / conversions ------
+
+def q_knn_join(sf_dir: str):
+    """Distributed spatial kNN SELF-join (the north-star's 'kNN neighbor
+    lookups' as a join between two billion-row sides, not a
+    small-dimension probe): each point's 3 nearest neighbors among ALL
+    other points, candidates drawn from the 3×3 neighborhood of its
+    0.1° home cell. Coordinates are EXACT integer micro-degrees (the
+    synthetic lattice makes round(lat·1e5) lossless), so dist² =
+    Δilat² + Δilon² is int64 and ranks are deterministic with the
+    (dist2, neighbor id) tie-break. Dataflow: candidates replicate ×9
+    to neighbor cells (flat expansion inside map_batches — the
+    standard spatial-join broadcast-free trick), ONE cell-hash
+    map_groups computes each cell's T×C distance block vectorized.
+    Windowed-kNN semantics (exact when the 3 nearest sit within one
+    cell hop — true for this world's ±0.01° clusters; widen the
+    stencil for sparser data). Hot cells bound T×C — at crawl scale
+    the same group kernel chunks targets by argpartition. All-integer
+    output."""
+    def rep(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ilat = np.round(lat * 100000.0).astype(np.int64)
+        ilon = np.round(lon * 100000.0).astype(np.int64)
+        row = np.floor((lat + 90.0) / 0.1).astype(np.int64)
+        col = np.floor((lon + 180.0) / 0.1).astype(np.int64)
+        n = eid.size
+        cells = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                cells.append((row + dr) * 3600 + (col + dc))
+        cell9 = np.concatenate(cells)
+        idx9 = np.tile(np.arange(n), 9)
+        is_home = np.concatenate(
+            [np.full(n, dr == 0 and dc == 0, dtype=bool)
+             for dr in (-1, 0, 1) for dc in (-1, 0, 1)])
+        return pa.table({
+            "cell": pa.array(cell9, pa.int64()),
+            "event_id": pa.array(eid[idx9], pa.int64()),
+            "ilat": pa.array(ilat[idx9], pa.int64()),
+            "ilon": pa.array(ilon[idx9], pa.int64()),
+            "is_home": pa.array(is_home, pa.bool_())})
+
+    def knn(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        ilat = g["ilat"].to_numpy(np.int64)
+        ilon = g["ilon"].to_numpy(np.int64)
+        home = g["is_home"].to_numpy(bool)
+        tgt = np.flatnonzero(home)
+        if tgt.size == 0:
+            return pd.DataFrame({"event_id": [], "rank": [],
+                                 "nbr_event_id": [], "dist2": []})
+        d2 = ((ilat[tgt, None] - ilat[None, :]) ** 2
+              + (ilon[tgt, None] - ilon[None, :]) ** 2)
+        self_m = eid[tgt, None] == eid[None, :]
+        d2 = np.where(self_m, np.iinfo(np.int64).max, d2)
+        k = min(3, eid.size - 1)
+        if k <= 0:
+            return pd.DataFrame({"event_id": [], "rank": [],
+                                 "nbr_event_id": [], "dist2": []})
+        # rank by (dist2, neighbor id): lexsort per target row
+        order = np.lexsort((np.broadcast_to(eid, d2.shape), d2), axis=1)
+        top = order[:, :k]
+        rows = np.repeat(eid[tgt], k)
+        nbr = eid[top].ravel()
+        dd = np.take_along_axis(d2, top, axis=1).ravel()
+        keep = dd < np.iinfo(np.int64).max
+        return pd.DataFrame({
+            "event_id": rows[keep],
+            "rank": np.tile(np.arange(1, k + 1, dtype=np.int64),
+                            tgt.size)[keep],
+            "nbr_event_id": nbr[keep],
+            "dist2": dd[keep]})
+
+    def pts(t: pa.Table) -> pa.Table:
+        return rep(t)
+
+    return (_points_ds(sf_dir)
+            .map_batches(pts, batch_format="pyarrow")
+            .groupby("cell").map_groups(knn, batch_format="pandas")
+            .select_columns(["event_id", "rank", "nbr_event_id", "dist2"]))
+
+
+SQL_KNN_JOIN = f"""
+WITH p AS ({_PTS_SQL}),
+q AS (SELECT event_id,
+             CAST(round(lat * 100000) AS BIGINT) AS ilat,
+             CAST(round(lon * 100000) AS BIGINT) AS ilon,
+             CAST(floor((lat + 90) / 0.1) AS BIGINT) AS r,
+             CAST(floor((lon + 180) / 0.1) AS BIGINT) AS c
+      FROM p),
+probe AS (SELECT q.*, q.r + dr.x AS pr, q.c + dc.x AS pc
+          FROM q CROSS JOIN range(-1, 2) dr(x) CROSS JOIN range(-1, 2) dc(x)),
+cand AS (SELECT t.event_id, o.event_id AS nbr_event_id,
+                (t.ilat - o.ilat) * (t.ilat - o.ilat)
+                + (t.ilon - o.ilon) * (t.ilon - o.ilon) AS dist2
+         FROM probe t JOIN q o ON o.r = t.pr AND o.c = t.pc
+                              AND o.event_id != t.event_id),
+tk AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                    ORDER BY dist2, nbr_event_id) AS rank
+       FROM cand)
+SELECT event_id, CAST(rank AS BIGINT) AS rank, nbr_event_id, dist2
+FROM tk WHERE rank <= 3
+"""
+
+
+def q_conversion_latency(sf_dir: str):
+    """Conversion-latency analytics: per user, the first 'click' and
+    the first 'purchase' AT OR AFTER it, with the exact µs gap — the
+    last-mile attribution metric funnels report. One user-hash
+    partition; inside it both firsts come from one lexsort + segment
+    scan (no per-user loop). Users who never click or never convert
+    after clicking drop out on both sides. All-integer output."""
+    def conv(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy(object)
+        o = np.lexsort((eid, ts, u))
+        u, ts, ty = u[o], ts[o], ty[o]
+        out_u, out_c, out_p = [], [], []
+        _, sidx, _ = _user_group_offsets(u)
+        bounds = np.append(sidx, u.size)
+        for a, b in zip(bounds[:-1], bounds[1:]):   # O(users/partition)
+            seg_ty = ty[a:b]
+            clicks = np.flatnonzero(seg_ty == "click")
+            if clicks.size == 0:
+                continue
+            c0 = clicks[0]
+            purch = np.flatnonzero(seg_ty[c0:] == "purchase")
+            if purch.size == 0:
+                continue
+            out_u.append(u[a])
+            out_c.append(ts[a + c0])
+            out_p.append(ts[a + c0 + purch[0]])
+        cu = np.array(out_c, np.int64)
+        pu = np.array(out_p, np.int64)
+        return pd.DataFrame({"user_id": np.array(out_u, np.int64),
+                             "click_us": cu, "purchase_us": pu,
+                             "latency_us": pu - cu})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": t["event_type"],
+            "part": pa.array(u % 64, pa.int32())})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(conv, batch_format="pandas")
+            .select_columns(["user_id", "click_us", "purchase_us",
+                             "latency_us"]))
+
+
+SQL_CONVERSION_LATENCY = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS rn
+      FROM e),
+c AS (SELECT user_id, min(rn) AS crn FROM r
+      WHERE event_type = 'click' GROUP BY user_id),
+c2 AS (SELECT c.user_id, r.ts_us AS click_us, c.crn
+       FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.crn),
+p AS (SELECT r.user_id, min(r.rn) AS prn
+      FROM r JOIN c ON c.user_id = r.user_id
+      WHERE r.event_type = 'purchase' AND r.rn >= c.crn
+      GROUP BY r.user_id),
+p2 AS (SELECT p.user_id, r.ts_us AS purchase_us
+       FROM p JOIN r ON r.user_id = p.user_id AND r.rn = p.prn)
+SELECT c2.user_id, c2.click_us, p2.purchase_us,
+       p2.purchase_us - c2.click_us AS latency_us
+FROM c2 JOIN p2 ON p2.user_id = c2.user_id
+"""
+
+
 # ---------------------------- flood fill / assortativity / robust trend ------
 
 # Shared SQL prefix: canonical undirected host edge set + symmetric
@@ -11388,6 +11569,8 @@ QUERIES = {
     "cell_regions": q_cell_regions,
     "degree_assortativity": q_degree_assortativity_components,
     "theil_sen_components": q_theil_sen_components,
+    "knn_join": q_knn_join,
+    "conversion_latency": q_conversion_latency,
 }
 
 ORACLE_SQL = {
@@ -11511,6 +11694,8 @@ ORACLE_SQL = {
     "cell_regions": SQL_CELL_REGIONS,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "theil_sen_components": SQL_THEIL_SEN,
+    "knn_join": SQL_KNN_JOIN,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

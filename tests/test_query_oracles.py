@@ -54,6 +54,7 @@ SUBSET = [
     "global_concurrency", "partition_checksums", "spearman_components",
     "basket_lift", "ks_distance", "event_islands",
     "cell_regions", "degree_assortativity", "theil_sen_components",
+    "knn_join", "conversion_latency",
 ]
 
 
