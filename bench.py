@@ -468,6 +468,10 @@ def run_bench() -> dict:
     timed("knn_join", lambda: consume(Q.q_knn_join(sf_dir)))
     timed("conversion_latency",
           lambda: consume(Q.q_conversion_latency(sf_dir)))
+    timed("two_hop_counts", lambda: consume(Q.q_two_hop_counts(sf_dir)))
+    timed("polygon_raster", lambda: consume(Q.q_polygon_raster(sf_dir)))
+    timed("delta_encoding_stats",
+          lambda: consume(Q.q_delta_encoding_stats(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -9473,6 +9473,289 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# ----------------------------- 2-hop graph / rasterize / encoding stats ------
+
+# Shared SQL prefix: canonical undirected host edge set + symmetric
+# adjacency over the v4 html outlinks (matches _link_graph_und).
+_SQL_LINK_UND = """
+pg AS (SELECT url, decode(html) AS h
+       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM e WHERE src != dst),
+adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
+"""
+
+
+
+
+
+def q_two_hop_counts(sf_dir: str):
+    """Friends-of-friends: per host the exact number of nodes at
+    distance EXACTLY 2 (2-hop reachable, minus direct neighbors and
+    self) — the candidate-generation primitive of link prediction and
+    graph embedding samplers. Broadcast CSR (O(nodes+edges), the
+    q_triangle_count gate); each node batch expands its 2-hop
+    frontier with two repeat/searchsorted hops and dedups per node
+    with one packed-key np.unique — no Python loop, no pair-table
+    exchange (counts fold per batch). All-integer output."""
+    import ray as _ray
+
+    und, U = _link_graph_und(sf_dir)
+    et = pa.concat_tables(_ray.get(und.to_arrow_refs()))
+    lo_a = et["lo"].to_numpy().astype(np.int64)
+    hi_a = et["hi"].to_numpy().astype(np.int64)
+    # symmetric CSR
+    src = np.concatenate([lo_a, hi_a])
+    dst = np.concatenate([hi_a, lo_a])
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    indptr = np.searchsorted(src, np.arange(U + 1, dtype=np.int64))
+    ekeys = src * U + dst                      # sorted packed edge keys
+    csr_ref = _ray.put((indptr, dst, ekeys))
+
+    def hop2(t: pa.Table) -> pa.Table:
+        indptr, adj, ekeys = _ray.get(csr_ref)
+        v = t["node"].to_numpy().astype(np.int64)
+        c1 = indptr[v + 1] - indptr[v]
+        tot1 = int(c1.sum())
+        if tot1 == 0:
+            return pa.table({"host_idx": pa.array(v, pa.int64()),
+                             "n_two_hop": pa.array(
+                                 np.zeros(v.size, np.int64), pa.int64())})
+        seg1 = np.concatenate([[0], np.cumsum(c1)[:-1]]).astype(np.int64)
+        w1 = np.arange(tot1, dtype=np.int64) - np.repeat(seg1, c1)
+        n1 = adj[np.repeat(indptr[v], c1) + w1]
+        v1 = np.repeat(v, c1)
+        c2 = indptr[n1 + 1] - indptr[n1]
+        tot2 = int(c2.sum())
+        seg2 = np.concatenate([[0], np.cumsum(c2)[:-1]]).astype(np.int64)
+        w2 = np.arange(tot2, dtype=np.int64) - np.repeat(seg2, c2)
+        n2 = adj[np.repeat(indptr[n1], c2) + w2]
+        v2 = np.repeat(v1, c2)
+        key = np.unique(v2 * U + n2)           # distinct (v, 2-hop node)
+        kv, kn = key // U, key % U
+        keep = kn != kv                        # drop self
+        pos = np.searchsorted(ekeys, key)      # drop direct neighbors
+        direct = np.zeros(key.size, dtype=bool)
+        ok = pos < ekeys.size
+        direct[ok] = ekeys[pos[ok]] == key[ok]
+        keep &= ~direct
+        un, cnt = np.unique(kv[keep], return_counts=True)
+        out = np.zeros(U, np.int64)
+        out[un] = cnt
+        return pa.table({"host_idx": pa.array(v, pa.int64()),
+                         "n_two_hop": pa.array(out[v], pa.int64())})
+
+    nodes = rd.from_arrow(pa.table(
+        {"node": pa.array(np.arange(U, dtype=np.int64), pa.int64())}))
+    return (nodes.map_batches(hop2, batch_format="pyarrow")
+            .select_columns(["host_idx", "n_two_hop"]))
+
+
+SQL_TWO_HOP_COUNTS = f"""
+WITH {_SQL_LINK_UND},
+n AS (SELECT unnest(generate_series(0, (SELECT max(hi) FROM u))) AS v),
+h2 AS (SELECT DISTINCT a1.a AS v, a2.b AS w
+       FROM adj a1 JOIN adj a2 ON a2.a = a1.b
+       WHERE a2.b != a1.a
+         AND NOT EXISTS (SELECT 1 FROM adj d
+                         WHERE d.a = a1.a AND d.b = a2.b))
+SELECT n.v AS host_idx, CAST(count(h2.w) AS BIGINT) AS n_two_hop
+FROM n LEFT JOIN h2 ON h2.v = n.v
+GROUP BY n.v
+"""
+
+
+def q_polygon_raster(sf_dir: str):
+    """Vector→raster rasterization: every 0.1° cell whose CENTER lies
+    inside each star polygon (even-odd crossing rule) — the burn step
+    that turns a polygon layer into a raster mask for raster↔vector
+    joins. Per polygon the candidate window is the fixed ±42-cell
+    bbox grid; the crossing test replays pip_poly_join's byte-exact
+    float64 expression per (cell-center, edge) so every boundary
+    decision is bit-identical in SQL. Dataflow: the 24-polygon layer
+    is a Dataset; each polygon rasterizes independently inside ONE
+    map_batches (a (cells × 12 edges) vectorized parity fold) — at
+    continental scale polygons shard by bbox tile and the same kernel
+    runs per shard. Output: (place_id, cell) + the cell count per
+    polygon via n_cells."""
+    polys = _star_polygons()
+
+    def burn(t: pa.Table) -> pa.Table:
+        out_pid, out_cell = [], []
+        pid = t["place_id"].to_numpy().astype(np.int64)
+        rl = t["ring_lat"].to_pandas().to_numpy()
+        rlo = t["ring_lon"].to_pandas().to_numpy()
+        clat = t["clat"].to_numpy()
+        clon = t["clon"].to_numpy()
+        dr = np.arange(-42, 43, dtype=np.int64)
+        for i in range(pid.size):              # 24 polygons, each vectorized
+            ry = np.asarray(rl[i], np.float64)
+            rx = np.asarray(rlo[i], np.float64)
+            crow = np.int64(np.floor((clat[i] + 90.0) / 0.1))
+            ccol = np.int64(np.floor((clon[i] + 180.0) / 0.1))
+            rows = (crow + dr)
+            cols = (ccol + dr)
+            rr, cc = np.meshgrid(rows, cols, indexing="ij")
+            lat_c = (rr.ravel() + 0.5) * 0.1 - 90.0
+            lon_c = (cc.ravel() + 0.5) * 0.1 - 180.0
+            inside = np.zeros(lat_c.size, dtype=bool)
+            for j in range(12):
+                y1, x1 = ry[j], rx[j]
+                y2, x2 = ry[(j + 1) % 12], rx[(j + 1) % 12]
+                if y1 == y2:
+                    continue
+                m = ((y1 > lat_c) != (y2 > lat_c)) & \
+                    (lon_c < (x2 - x1) * (lat_c - y1) / (y2 - y1) + x1)
+                inside ^= m
+            cell = rr.ravel()[inside] * 3600 + cc.ravel()[inside]
+            out_pid.append(np.full(cell.size, pid[i], np.int64))
+            out_cell.append(cell)
+        return pa.table({
+            "place_id": pa.array(np.concatenate(out_pid), pa.int64()),
+            "cell": pa.array(np.concatenate(out_cell), pa.int64())})
+
+    rows = [dict(place_id=p["place_id"], ring_lat=p["ring_lat"],
+                 ring_lon=p["ring_lon"],
+                 clat=float((((p["place_id"] * 7) % 15) * 37) % 120 - 60)
+                 + 0.5 + (p["place_id"] % 5) * 0.125,
+                 clon=float((((p["place_id"] * 7) % 15) * 91) % 300 - 150)
+                 + 0.5 + (p["place_id"] % 7) * 0.125)
+            for p in polys]
+    return (rd.from_items(rows)
+            .map_batches(burn, batch_format="pyarrow")
+            .select_columns(["place_id", "cell"]))
+
+
+SQL_POLYGON_RASTER = """
+WITH dirs AS (SELECT * FROM (VALUES (0,4,0),(1,3,2),(2,2,3),(3,0,4),(4,-2,3),
+                                    (5,-3,2),(6,-4,0),(7,-3,-2),(8,-2,-3),
+                                    (9,0,-4),(10,2,-3),(11,3,-2)) d(j, ux, uy)),
+-- CAST to DOUBLE everywhere: DuckDB types the .5/.125/.25/.1 literals as
+-- exact DECIMAL, which would make boundary cells (centers like -20.65
+-- that no double represents) disagree with the numpy float64 kernel
+centers AS (SELECT k AS place_id,
+                   CAST((((k*7) % 15) * 37) % 120 - 60 + 0.5
+                        + (k % 5) * 0.125 AS DOUBLE) AS clat,
+                   CAST((((k*7) % 15) * 91) % 300 - 150 + 0.5
+                        + (k % 7) * 0.125 AS DOUBLE) AS clon
+            FROM range(24) t(k)),
+verts AS (SELECT place_id, j,
+                 clon + (2 + (place_id + j) % 3) * ux
+                        * CAST(0.25 AS DOUBLE) AS vx,
+                 clat + (2 + (place_id + j) % 3) * uy
+                        * CAST(0.25 AS DOUBLE) AS vy
+          FROM centers CROSS JOIN dirs),
+edges AS (SELECT a.place_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+          FROM verts a JOIN verts b
+            ON a.place_id = b.place_id AND b.j = (a.j + 1) % 12
+          WHERE a.vy <> b.vy),
+cand AS (SELECT c.place_id,
+                CAST(floor((c.clat + 90) / CAST(0.1 AS DOUBLE)) AS BIGINT)
+                    + dr.i AS r,
+                CAST(floor((c.clon + 180) / CAST(0.1 AS DOUBLE)) AS BIGINT)
+                    + dc.i AS cc,
+                (CAST(CAST(floor((c.clat + 90) / CAST(0.1 AS DOUBLE))
+                           AS BIGINT) + dr.i AS DOUBLE) + 0.5)
+                    * CAST(0.1 AS DOUBLE) - 90 AS lat_c,
+                (CAST(CAST(floor((c.clon + 180) / CAST(0.1 AS DOUBLE))
+                           AS BIGINT) + dc.i AS DOUBLE) + 0.5)
+                    * CAST(0.1 AS DOUBLE) - 180 AS lon_c
+         FROM centers c CROSS JOIN range(-42, 43) dr(i)
+              CROSS JOIN range(-42, 43) dc(i)),
+hits AS (SELECT cand.place_id, cand.r, cand.cc
+         FROM cand JOIN edges e ON e.place_id = cand.place_id
+           AND ((e.y1 > cand.lat_c) <> (e.y2 > cand.lat_c))
+           AND cand.lon_c < (e.x2 - e.x1) * (cand.lat_c - e.y1)
+                            / (e.y2 - e.y1) + e.x1
+         GROUP BY cand.place_id, cand.r, cand.cc
+         HAVING count(*) % 2 = 1)
+SELECT place_id, r * 3600 + cc AS cell FROM hits
+"""
+
+
+def q_delta_encoding_stats(sf_dir: str):
+    """Columnar-encoding planning statistics: per user, the zigzag
+    varint cost of delta-encoding the ts stream — how many deltas fit
+    1 / 2 / 3-4 / 5+ groups of 7 bits, total varint bytes vs the 8·n
+    raw int64 cost. The stats a 100 TB writer consults before choosing
+    DELTA_BINARY_PACKED. One user-hash partition, lag + CASE ladder
+    vectorized; all-integer output."""
+    def enc(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts_us"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, ts, u))
+        u, ts = u[o], ts[o]
+        same = np.zeros(u.size, dtype=bool)
+        same[:-1] = u[:-1] == u[1:]
+        d = np.zeros(u.size, np.int64)
+        d[:-1] = ts[1:] - ts[:-1]
+        z = np.where(d >= 0, 2 * d, -2 * d - 1)      # zigzag
+        nb = np.select([z < 1 << 7, z < 1 << 14, z < 1 << 28],
+                       [1, 2, np.where(z < 1 << 21, 3, 4)], default=5)
+        nb = np.where(same, nb, 0).astype(np.int64)
+        _, sidx, _ = _user_group_offsets(u)
+        red = lambda v: np.add.reduceat(v, sidx).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u[sidx], pa.int64()),
+            "n_deltas": pa.array(red(same.astype(np.int64)), pa.int64()),
+            "b1": pa.array(red((nb == 1).astype(np.int64)), pa.int64()),
+            "b2": pa.array(red((nb == 2).astype(np.int64)), pa.int64()),
+            "b34": pa.array(red(((nb == 3) | (nb == 4)).astype(np.int64)),
+                            pa.int64()),
+            "b5p": pa.array(red((nb >= 5).astype(np.int64)), pa.int64()),
+            "varint_bytes": pa.array(red(nb), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array(u % 64, pa.int32())})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(enc, batch_format="pyarrow")
+            .select_columns(["user_id", "n_deltas", "b1", "b2", "b34",
+                             "b5p", "varint_bytes"]))
+
+
+SQL_DELTA_ENCODING_STATS = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT user_id,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) - ts_us AS d
+      FROM e),
+z AS (SELECT user_id,
+             CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END AS z
+      FROM l WHERE d IS NOT NULL),
+b AS (SELECT user_id,
+             CASE WHEN z < 128 THEN 1
+                  WHEN z < 16384 THEN 2
+                  WHEN z < 2097152 THEN 3
+                  WHEN z < 268435456 THEN 4
+                  ELSE 5 END AS nb
+      FROM z)
+SELECT user_id, count(*) AS n_deltas,
+       CAST(count(*) FILTER (WHERE nb = 1) AS BIGINT) AS b1,
+       CAST(count(*) FILTER (WHERE nb = 2) AS BIGINT) AS b2,
+       CAST(count(*) FILTER (WHERE nb IN (3, 4)) AS BIGINT) AS b34,
+       CAST(count(*) FILTER (WHERE nb >= 5) AS BIGINT) AS b5p,
+       CAST(sum(nb) AS BIGINT) AS varint_bytes
+FROM b GROUP BY user_id
+"""
+
+
 # --------------------------------------- spatial kNN join / conversions ------
 
 def q_knn_join(sf_dir: str):
@@ -9655,27 +9938,6 @@ FROM c2 JOIN p2 ON p2.user_id = c2.user_id
 
 
 # ---------------------------- flood fill / assortativity / robust trend ------
-
-# Shared SQL prefix: canonical undirected host edge set + symmetric
-# adjacency over the v4 html outlinks (matches _link_graph_und).
-_SQL_LINK_UND = """
-pg AS (SELECT url, decode(html) AS h
-       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
-l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
-                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
-             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
-      FROM pg),
-e AS (SELECT DISTINCT src,
-             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
-                  AS BIGINT) AS dst
-      FROM l),
-u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
-      FROM e WHERE src != dst),
-adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
-"""
-
-
-
 
 def q_cell_regions(sf_dir: str):
     """Spatial flood fill: 4-connected regions of occupied 0.1° grid
@@ -11571,6 +11833,9 @@ QUERIES = {
     "theil_sen_components": q_theil_sen_components,
     "knn_join": q_knn_join,
     "conversion_latency": q_conversion_latency,
+    "two_hop_counts": q_two_hop_counts,
+    "polygon_raster": q_polygon_raster,
+    "delta_encoding_stats": q_delta_encoding_stats,
 }
 
 ORACLE_SQL = {
@@ -11696,6 +11961,9 @@ ORACLE_SQL = {
     "theil_sen_components": SQL_THEIL_SEN,
     "knn_join": SQL_KNN_JOIN,
     "conversion_latency": SQL_CONVERSION_LATENCY,
+    "two_hop_counts": SQL_TWO_HOP_COUNTS,
+    "polygon_raster": SQL_POLYGON_RASTER,
+    "delta_encoding_stats": SQL_DELTA_ENCODING_STATS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -55,6 +55,7 @@ SUBSET = [
     "basket_lift", "ks_distance", "event_islands",
     "cell_regions", "degree_assortativity", "theil_sen_components",
     "knn_join", "conversion_latency",
+    "two_hop_counts", "polygon_raster", "delta_encoding_stats",
 ]
 
 
