@@ -472,6 +472,9 @@ def run_bench() -> dict:
     timed("polygon_raster", lambda: consume(Q.q_polygon_raster(sf_dir)))
     timed("delta_encoding_stats",
           lambda: consume(Q.q_delta_encoding_stats(sf_dir)))
+    timed("mis_rounds", lambda: Q.q_mis_rounds(sf_dir))
+    timed("path_counts", lambda: Q.q_path_counts(sf_dir))
+    timed("url_lcp_stats", lambda: Q.q_url_lcp_stats(sf_dir))
 
     def finish() -> dict:
         out = {

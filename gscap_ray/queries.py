@@ -79,6 +79,29 @@ _PTS_SQL = """
     FROM events
 """
 
+# Shared SQL prefix: canonical undirected host edge set + symmetric
+# adjacency over the v4 html outlinks (matches _link_graph_und).
+_SQL_LINK_UND = """
+pg AS (SELECT url, decode(html) AS h
+       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM e WHERE src != dst),
+adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
+"""
+
+
+
+
+
+
 _HAVERSINE_SQL = """
     2.0 * 6371000.0 * atan2(
         sqrt(pow(sin(radians({lat2} - {lat1}) / 2), 2)
@@ -9473,29 +9496,270 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
-# ----------------------------- 2-hop graph / rasterize / encoding stats ------
+# ------------------------------- MIS / path counting / prefix compression ----
 
-# Shared SQL prefix: canonical undirected host edge set + symmetric
-# adjacency over the v4 html outlinks (matches _link_graph_und).
-_SQL_LINK_UND = """
-pg AS (SELECT url, decode(html) AS h
-       FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
-l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
-                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
-             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
-      FROM pg),
-e AS (SELECT DISTINCT src,
-             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
-                  AS BIGINT) AS dst
-      FROM l),
-u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
-      FROM e WHERE src != dst),
-adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
+def q_mis_rounds(sf_dir: str):
+    """Deterministic greedy Maximal Independent Set (the Luby-style
+    symmetry-breaking iteration, id as the random priority): each round
+    a still-undecided node joins the MIS iff its id beats every
+    undecided neighbor's, then its neighbors drop out; 3 synchronous
+    rounds unrolled so the oracle is three chained CTE blocks. Per
+    round ONE map_batches over the edge set folds min-undecided-
+    neighbor per node (a groupby-min), the O(nodes) status vector
+    broadcasts (q_pagerank assumption). Output: host_idx, status
+    (0 undecided / 1 in MIS / 2 removed) after round 3."""
+    import ray as _ray
+    from ray.data.aggregate import Min
+
+    und, U = _link_graph_und(sf_dir)
+    status = np.zeros(U, np.int64)            # 0 undecided
+    for _ in range(3):
+        st_ref = _ray.put(status)
+
+        def minnbr(t: pa.Table, _ref=st_ref) -> pa.Table:
+            st = _ray.get(_ref)
+            lo_t = t["lo"].to_numpy().astype(np.int64)
+            hi_t = t["hi"].to_numpy().astype(np.int64)
+            m = (st[lo_t] == 0) & (st[hi_t] == 0)
+            v = np.concatenate([lo_t[m], hi_t[m]])
+            w = np.concatenate([hi_t[m], lo_t[m]])
+            return pa.table({"node": pa.array(v, pa.int64()),
+                             "nbr": pa.array(w, pa.int64())})
+
+        mn = (und.map_batches(minnbr, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("nbr", alias_name="mn"))
+              .to_pandas())
+        minnb = np.full(U, np.iinfo(np.int64).max, np.int64)
+        if len(mn):
+            minnb[mn["node"].to_numpy(np.int64)] = \
+                mn["mn"].to_numpy(np.int64)
+        join = (status == 0) & (np.arange(U) < minnb)
+        status[join] = 1
+        # remove undecided neighbors of new MIS nodes
+        jr = _ray.put((status, join))
+
+        def rm(t: pa.Table, _ref=jr) -> pa.Table:
+            st, jn = _ray.get(_ref)
+            lo_t = t["lo"].to_numpy().astype(np.int64)
+            hi_t = t["hi"].to_numpy().astype(np.int64)
+            out = np.concatenate([hi_t[jn[lo_t] & (st[hi_t] == 0)],
+                                  lo_t[jn[hi_t] & (st[lo_t] == 0)]])
+            return pa.table({"node": pa.array(np.unique(out), pa.int64())})
+
+        rset = (und.map_batches(rm, batch_format="pyarrow")
+                .groupby("node").aggregate(Min("node", alias_name="_m"))
+                .to_pandas())
+        if len(rset):
+            status[rset["node"].to_numpy(np.int64)] = 2
+    return pd.DataFrame({"host_idx": np.arange(U, dtype=np.int64),
+                         "status": status})
+
+
+def _mis_round_sql(i: int) -> str:
+    """One unrolled MIS round: u{i} undecided → mis/removed updates."""
+    return f"""
+m{i} AS (SELECT v FROM u{i - 1} x
+        WHERE NOT EXISTS (SELECT 1 FROM adj
+                          JOIN u{i - 1} y ON y.v = adj.b
+                          WHERE adj.a = x.v AND adj.b < x.v)),
+r{i} AS (SELECT DISTINCT adj.b AS v FROM adj
+        JOIN m{i} ON m{i}.v = adj.a
+        JOIN u{i - 1} y ON y.v = adj.b
+        WHERE adj.b NOT IN (SELECT v FROM m{i})),
+u{i} AS (SELECT v FROM u{i - 1}
+        WHERE v NOT IN (SELECT v FROM m{i})
+          AND v NOT IN (SELECT v FROM r{i}))"""
+
+
+SQL_MIS_ROUNDS = f"""
+WITH {_SQL_LINK_UND},
+n AS (SELECT unnest(generate_series(0, (SELECT max(hi) FROM u))) AS v),
+u0 AS (SELECT v FROM n),
+{_mis_round_sql(1)},
+{_mis_round_sql(2)},
+{_mis_round_sql(3)}
+SELECT n.v AS host_idx,
+       CAST(CASE WHEN n.v IN (SELECT v FROM m1 UNION ALL SELECT v FROM m2
+                              UNION ALL SELECT v FROM m3) THEN 1
+                 WHEN n.v IN (SELECT v FROM u3) THEN 0
+                 ELSE 2 END AS BIGINT) AS status
+FROM n
 """
 
 
+def q_path_counts(sf_dir: str):
+    """Shortest-path counting from host 0 — σ(v), the Brandes
+    betweenness building block: BFS levels give dist, then per level k
+    σ(v) = Σ σ(u) over edges (u, v) with dist(u)=k−1 — 6 unrolled
+    wavefront rounds, each ONE map_batches over the edge set folding
+    contributions through a groupby-sum against broadcast (dist, σ)
+    vectors. Exact integer path counts (int64 — the graph is far from
+    the 2^63 path blowup regime; a production run would carry counts
+    mod a large prime). Output: (host_idx, hops, sigma) for nodes
+    within 6 hops."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    und, U = _link_graph_und(sf_dir)
+    # BFS distances (same frontier loop as q_link_bfs_hops)
+    dist = np.full(U, -1, np.int64)
+    dist[0] = 0
+    sigma = np.zeros(U, np.int64)
+    sigma[0] = 1
+    for hop in range(1, 7):
+        state = _ray.put((dist, hop))
+
+        def level(t: pa.Table, _ref=state) -> pa.Table:
+            dd, h = _ray.get(_ref)
+            lo_t = t["lo"].to_numpy().astype(np.int64)
+            hi_t = t["hi"].to_numpy().astype(np.int64)
+            new = np.concatenate([hi_t[(dd[lo_t] == h - 1) & (dd[hi_t] < 0)],
+                                  lo_t[(dd[hi_t] == h - 1) & (dd[lo_t] < 0)]])
+            return pa.table({"node": pa.array(np.unique(new), pa.int64())})
+
+        nxt = (und.map_batches(level, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("node", alias_name="_s"))
+               .to_pandas())
+        if len(nxt) == 0:
+            break
+        frontier = nxt["node"].to_numpy(np.int64)
+        frontier = frontier[dist[frontier] < 0]
+        dist[frontier] = hop
+    for hop in range(1, 7):
+        state = _ray.put((dist, sigma, hop))
+
+        def contrib(t: pa.Table, _ref=state) -> pa.Table:
+            dd, sg, h = _ray.get(_ref)
+            lo_t = t["lo"].to_numpy().astype(np.int64)
+            hi_t = t["hi"].to_numpy().astype(np.int64)
+            m1 = (dd[lo_t] == h - 1) & (dd[hi_t] == h)
+            m2 = (dd[hi_t] == h - 1) & (dd[lo_t] == h)
+            v = np.concatenate([hi_t[m1], lo_t[m2]])
+            s = np.concatenate([sg[lo_t[m1]], sg[hi_t[m2]]])
+            return pa.table({"node": pa.array(v, pa.int64()),
+                             "s_p": pa.array(s, pa.int64())})
+
+        lv = (und.map_batches(contrib, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("s_p", alias_name="s"))
+              .to_pandas())
+        if len(lv):
+            sigma[lv["node"].to_numpy(np.int64)] = lv["s"].to_numpy(np.int64)
+    reached = np.flatnonzero(dist >= 0)
+    return pd.DataFrame({"host_idx": reached.astype(np.int64),
+                         "hops": dist[reached],
+                         "sigma": sigma[reached]})
 
 
+def _sigma_level_sql(k: int) -> str:
+    return f"""
+s{k} AS (SELECT d.v, CAST(sum(s{k - 1}.c) AS BIGINT) AS c
+        FROM adj JOIN s{k - 1} ON s{k - 1}.v = adj.a
+             JOIN d ON d.v = adj.b AND d.hops = {k}
+             JOIN d dp ON dp.v = adj.a AND dp.hops = {k - 1}
+        GROUP BY d.v)"""
+
+
+SQL_PATH_COUNTS = f"""
+WITH RECURSIVE {_SQL_LINK_UND},
+bfs(v, hop) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT adj.b, bfs.hop + 1
+    FROM bfs JOIN adj ON adj.a = bfs.v
+    WHERE bfs.hop < 6),
+d AS (SELECT v, CAST(min(hop) AS BIGINT) AS hops FROM bfs GROUP BY v),
+s0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(1 AS BIGINT) AS c),
+{",".join(_sigma_level_sql(k) for k in range(1, 7))}
+SELECT d.v AS host_idx, d.hops,
+       COALESCE(s.c, CASE WHEN d.v = 0 THEN 1 END) AS sigma
+FROM d LEFT JOIN (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+                  UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6) s
+       ON s.v = d.v
+"""
+
+
+def q_url_lcp_stats(sf_dir: str):
+    """Prefix-compression planning over the globally sorted URL key
+    column — the statistic an SSTable/Parquet writer consults before
+    choosing prefix (front) coding: for every url and its sorted
+    predecessor, the longest-common-prefix length; output the LCP
+    histogram (lcp → n, saved = Σ lcp bytes). Dataflow: ONE global
+    sort; each block folds its internal adjacent-pair LCPs vectorized
+    (equal-length char compare via a padded byte matrix) and emits its
+    (first, last) boundary urls; the driver stitches the O(blocks)
+    boundary pairs — the scan-combine pattern on a string key.
+    All-integer output."""
+    ds = (rd.read_parquet(_pages_dir_for(sf_dir), columns=["url"])
+          .sort("url").materialize())
+
+    def lcp_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if a.size == 0:
+            return np.zeros(0, np.int64)
+        la = np.char.str_len(a.astype(str))
+        lb = np.char.str_len(b.astype(str))
+        m = int(max(la.max(), lb.max()))
+        av = np.frombuffer(
+            np.char.ljust(a.astype(str), m).astype(f"S{m}").tobytes(),
+            dtype="S1").reshape(a.size, m)
+        bv = np.frombuffer(
+            np.char.ljust(b.astype(str), m).astype(f"S{m}").tobytes(),
+            dtype="S1").reshape(b.size, m)
+        neq = av != bv
+        first = np.where(neq.any(axis=1), neq.argmax(axis=1), m)
+        return np.minimum(first, np.minimum(la, lb)).astype(np.int64)
+
+    def block(t: pa.Table) -> pa.Table:
+        u = t["url"].to_numpy(zero_copy_only=False).astype(object)
+        if u.size == 0:
+            return pa.table({"kind": pa.array([], pa.string()),
+                             "lcp": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64()),
+                             "first_url": pa.array([], pa.string()),
+                             "last_url": pa.array([], pa.string())})
+        lc = lcp_vec(u[:-1].astype(str), u[1:].astype(str))
+        vals, cnt = (np.unique(lc, return_counts=True)
+                     if lc.size else (np.array([], np.int64),
+                                      np.array([], np.int64)))
+        k = vals.size
+        return pa.table({
+            "kind": pa.array(["h"] * k + ["b"], pa.string()),
+            "lcp": pa.array(np.append(vals, -1), pa.int64()),
+            "n_p": pa.array(np.append(cnt, 0).astype(np.int64), pa.int64()),
+            "first_url": pa.array([""] * k + [str(u[0])], pa.string()),
+            "last_url": pa.array([""] * k + [str(u[-1])], pa.string())})
+
+    parts = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    hist = (parts[parts["kind"] == "h"].groupby("lcp")["n_p"].sum())
+    bnd = parts[parts["kind"] == "b"].sort_values("first_url")
+    fu = bnd["first_url"].to_numpy(object)
+    lu = bnd["last_url"].to_numpy(object)
+    if len(bnd) > 1:
+        blc = lcp_vec(lu[:-1].astype(str), fu[1:].astype(str))
+        bv, bc = np.unique(blc, return_counts=True)
+        hist = hist.add(pd.Series(bc, index=bv), fill_value=0)
+    out = hist.reset_index()
+    out.columns = ["lcp", "n"]
+    out["n"] = out["n"].astype(np.int64)
+    out["saved_bytes"] = (out["lcp"] * out["n"]).astype(np.int64)
+    return out
+
+
+SQL_URL_LCP_STATS = """
+WITH u AS (SELECT url,
+                  lag(url) OVER (ORDER BY url) AS prev
+           FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(len(list_filter(
+                 range(1, least(len(url), len(prev)) + 1),
+                 i -> substr(url, 1, i) = substr(prev, 1, i)))
+             AS BIGINT) AS lcp
+      FROM u WHERE prev IS NOT NULL)
+SELECT lcp, count(*) AS n, CAST(lcp * count(*) AS BIGINT) AS saved_bytes
+FROM l GROUP BY lcp
+"""
+
+
+# ----------------------------- 2-hop graph / rasterize / encoding stats ------
 
 def q_two_hop_counts(sf_dir: str):
     """Friends-of-friends: per host the exact number of nodes at
@@ -11836,6 +12100,9 @@ QUERIES = {
     "two_hop_counts": q_two_hop_counts,
     "polygon_raster": q_polygon_raster,
     "delta_encoding_stats": q_delta_encoding_stats,
+    "mis_rounds": q_mis_rounds,
+    "path_counts": q_path_counts,
+    "url_lcp_stats": q_url_lcp_stats,
 }
 
 ORACLE_SQL = {
@@ -11964,6 +12231,9 @@ ORACLE_SQL = {
     "two_hop_counts": SQL_TWO_HOP_COUNTS,
     "polygon_raster": SQL_POLYGON_RASTER,
     "delta_encoding_stats": SQL_DELTA_ENCODING_STATS,
+    "mis_rounds": SQL_MIS_ROUNDS,
+    "path_counts": SQL_PATH_COUNTS,
+    "url_lcp_stats": SQL_URL_LCP_STATS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

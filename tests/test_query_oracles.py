@@ -56,6 +56,7 @@ SUBSET = [
     "cell_regions", "degree_assortativity", "theil_sen_components",
     "knn_join", "conversion_latency",
     "two_hop_counts", "polygon_raster", "delta_encoding_stats",
+    "mis_rounds", "path_counts", "url_lcp_stats",
 ]
 
 
