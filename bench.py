@@ -475,6 +475,9 @@ def run_bench() -> dict:
     timed("mis_rounds", lambda: Q.q_mis_rounds(sf_dir))
     timed("path_counts", lambda: Q.q_path_counts(sf_dir))
     timed("url_lcp_stats", lambda: Q.q_url_lcp_stats(sf_dir))
+    timed("pq_codes", lambda: consume(Q.q_pq_codes(sf_dir)))
+    timed("merge_upsert", lambda: Q.q_merge_upsert(sf_dir))
+    timed("ohlc_bars", lambda: consume(Q.q_ohlc_bars(sf_dir)))
 
     def finish() -> dict:
         out = {

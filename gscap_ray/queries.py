@@ -9496,6 +9496,207 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+# --------------------------------------- PQ codes / CDC merge / OHLC bars ----
+
+def q_pq_codes(sf_dir: str):
+    """Product quantization (the IVF-PQ memory-compression step every
+    billion-vector ANN index runs): 64-dim embeddings split into 8
+    subspaces of 8 dims, each assigned to the nearest of 4 codebook
+    centroids (seeded deterministically from vec_id 0-3) by EXACT
+    int64 milli-unit distance, ties to the lower code. The codebook
+    broadcasts once (ray.put — it is KxD, never re-shipped); each
+    batch computes its (n, 4, 8) distance tensor in one vectorized
+    subtract-square-sum. Output per vector: the packed 16-bit code
+    word (2 bits/subspace) and the total quantization error —
+    all-integer."""
+    import ray as _ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds_df = (emb.filter(lambda r: r["vec_id"] < 4)
+                .to_pandas().sort_values("vec_id"))
+    S = np.floor(np.stack(seeds_df["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+    S = S.reshape(4, 8, 8)
+    s_ref = _ray.put(S)
+
+    def assign(t: pa.Table) -> pa.Table:
+        S = _ray.get(s_ref)
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        Q = np.floor(np.stack(t["embedding"].to_pandas().to_numpy())
+                     .astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        Q = Q.reshape(vid.size, 1, 8, 8)
+        d = ((Q - S[None, :, :, :]) ** 2).sum(axis=3)   # (n, 4, 8)
+        code = d.argmin(axis=1)                          # ties -> lower code
+        mind = d.min(axis=1)
+        packed = (code << (2 * np.arange(8, dtype=np.int64))).sum(axis=1)
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "code_word": pa.array(packed.astype(np.int64), pa.int64()),
+            "qerr": pa.array(mind.sum(axis=1).astype(np.int64), pa.int64())})
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_PQ_CODES = """
+WITH q AS (SELECT vec_id, i.x AS dim, i.x // 8 AS s,
+                  CAST(floor(CAST(embedding[CAST(i.x + 1 AS INT)] AS DOUBLE)
+                             * 1000 + 0.5) AS BIGINT) AS v
+           FROM embeddings CROSS JOIN range(64) i(x)),
+seeds AS (SELECT vec_id AS code, dim, s, v FROM q WHERE vec_id < 4),
+d AS (SELECT q.vec_id, q.s, seeds.code,
+             CAST(sum((q.v - seeds.v) * (q.v - seeds.v)) AS BIGINT) AS d2
+      FROM q JOIN seeds ON seeds.dim = q.dim
+      GROUP BY 1, 2, 3),
+best AS (SELECT vec_id, s, code, d2,
+                row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d2, code) AS rk
+         FROM d)
+SELECT vec_id,
+       CAST(sum(code * (1::BIGINT << (2 * s))) AS BIGINT) AS code_word,
+       CAST(sum(d2) AS BIGINT) AS qerr
+FROM best WHERE rk = 1 GROUP BY vec_id
+"""
+
+
+def q_merge_upsert(sf_dir: str):
+    """CDC apply (SQL MERGE semantics, the write-side twin of
+    snapshot_diff): day-0 events collapse to a keyed snapshot
+    (key = event_id mod 4096, lowest event_id wins), day-1 events to a
+    change set the same way, and the merge upserts changes over the
+    snapshot — value from the change when present, op tagged
+    insert / update / keep. One hash join on the key (Ray's native
+    full_outer), no broadcast. All-integer + op string."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    dmin = int(ev.map_batches(
+        lambda t: pa.table({"day": pa.array(
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // 86_400_000_000, pa.int64())}),
+        batch_format="pyarrow").min("day"))
+
+    def keyed(day_sel: int, a: str, b: str):
+        def pk(t: pa.Table, _d=dmin + day_sel) -> pa.Table:
+            ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            day = ts // 86_400_000_000
+            eid = t["event_id"].to_numpy().astype(np.int64)
+            c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+            m = day == _d
+            return pa.table({"key": pa.array(eid[m] % 4096, pa.int64()),
+                             "eid": pa.array(eid[m], pa.int64()),
+                             "c": pa.array(c[m], pa.int64())})
+
+        def pickmin(g: pd.DataFrame, _a=a, _b=b) -> pd.DataFrame:
+            i = int(g["eid"].to_numpy().argmin())
+            return pd.DataFrame({"key": [np.int64(g["key"].iloc[0])],
+                                 _a: [np.int64(g["eid"].iloc[i])],
+                                 _b: [np.int64(g["c"].iloc[i])]})
+
+        return (ev.map_batches(pk, batch_format="pyarrow")
+                .groupby("key").map_groups(pickmin, batch_format="pandas"))
+
+    snap = keyed(0, "s_eid", "s_c")
+    chg = keyed(1, "c_eid", "c_c")
+    merged = snap.join(chg, join_type="full_outer", num_partitions=8,
+                       on=("key",)).to_pandas()
+    key = merged["key"].to_numpy()
+    s_c = merged["s_c"].to_numpy()
+    c_c = merged["c_c"].to_numpy()
+    upd = ~pd.isna(c_c)
+    ins = pd.isna(s_c)
+    val = np.where(upd, c_c, s_c)
+    op = np.where(ins, "insert", np.where(upd, "update", "keep"))
+    out = pd.DataFrame({"key": key.astype(np.int64),
+                        "cents": val.astype(np.int64),
+                        "op": op})
+    return out.sort_values("key").reset_index(drop=True)
+
+
+SQL_MERGE_UPSERT = """
+WITH e AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+d0 AS (SELECT min(day) AS d FROM e),
+snap AS (SELECT event_id % 4096 AS key, min(event_id) AS eid
+         FROM e, d0 WHERE day = d0.d GROUP BY 1),
+snapv AS (SELECT snap.key, e.c FROM snap JOIN e ON e.event_id = snap.eid),
+chg AS (SELECT event_id % 4096 AS key, min(event_id) AS eid
+        FROM e, d0 WHERE day = d0.d + 1 GROUP BY 1),
+chgv AS (SELECT chg.key, e.c FROM chg JOIN e ON e.event_id = chg.eid)
+SELECT COALESCE(s.key, c.key) AS key,
+       CAST(COALESCE(c.c, s.c) AS BIGINT) AS cents,
+       CASE WHEN s.key IS NULL THEN 'insert'
+            WHEN c.key IS NULL THEN 'keep'
+            ELSE 'update' END AS op
+FROM snapv s FULL OUTER JOIN chgv c ON c.key = s.key
+"""
+
+
+def q_ohlc_bars(sf_dir: str):
+    """OHLC bar aggregation (the finance/IoT resampling shape): per
+    (user, day) the FIRST and LAST cents in (ts, event_id) order plus
+    min/max/count — first/last are the order-sensitive aggregates that
+    need either a sort or an argmin carry; here each partition computes
+    them with one lexsort + segment boundaries (open = run head,
+    close = run tail), no per-group loop. All-integer output."""
+    def bars(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts_us"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        c = t["cents"].to_numpy().astype(np.int64)
+        day = ts // 86_400_000_000
+        o = np.lexsort((eid, ts, day, u))
+        u, day, c = u[o], day[o], c[o]
+        newg = np.ones(u.size, dtype=bool)
+        newg[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        sidx = np.flatnonzero(newg)
+        eidx = np.append(sidx[1:], u.size) - 1
+        return pa.table({
+            "user_id": pa.array(u[sidx], pa.int64()),
+            "day": pa.array(day[sidx], pa.int64()),
+            "open_c": pa.array(c[sidx], pa.int64()),
+            "high_c": pa.array(np.maximum.reduceat(c, sidx), pa.int64()),
+            "low_c": pa.array(np.minimum.reduceat(c, sidx), pa.int64()),
+            "close_c": pa.array(c[eidx], pa.int64()),
+            "n": pa.array((eidx - sidx + 1).astype(np.int64), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(np.round(t["value"].to_numpy() * 100)
+                              .astype(np.int64), pa.int64()),
+            "part": pa.array(u % 64, pa.int32())})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(bars, batch_format="pyarrow")
+            .select_columns(["user_id", "day", "open_c", "high_c",
+                             "low_c", "close_c", "n"]))
+
+
+SQL_OHLC_BARS = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+w AS (SELECT user_id, day, c,
+             first_value(c) OVER (PARTITION BY user_id, day
+                                  ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING)
+                 AS open_c,
+             last_value(c) OVER (PARTITION BY user_id, day
+                                 ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)
+                 AS close_c
+      FROM e)
+SELECT user_id, day, CAST(max(open_c) AS BIGINT) AS open_c,
+       CAST(max(c) AS BIGINT) AS high_c, CAST(min(c) AS BIGINT) AS low_c,
+       CAST(max(close_c) AS BIGINT) AS close_c, count(*) AS n
+FROM w GROUP BY user_id, day
+"""
+
+
 # ------------------------------- MIS / path counting / prefix compression ----
 
 def q_mis_rounds(sf_dir: str):
@@ -12103,6 +12304,9 @@ QUERIES = {
     "mis_rounds": q_mis_rounds,
     "path_counts": q_path_counts,
     "url_lcp_stats": q_url_lcp_stats,
+    "pq_codes": q_pq_codes,
+    "merge_upsert": q_merge_upsert,
+    "ohlc_bars": q_ohlc_bars,
 }
 
 ORACLE_SQL = {
@@ -12234,6 +12438,9 @@ ORACLE_SQL = {
     "mis_rounds": SQL_MIS_ROUNDS,
     "path_counts": SQL_PATH_COUNTS,
     "url_lcp_stats": SQL_URL_LCP_STATS,
+    "pq_codes": SQL_PQ_CODES,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "ohlc_bars": SQL_OHLC_BARS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

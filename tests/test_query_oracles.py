@@ -57,6 +57,7 @@ SUBSET = [
     "knn_join", "conversion_latency",
     "two_hop_counts", "polygon_raster", "delta_encoding_stats",
     "mis_rounds", "path_counts", "url_lcp_stats",
+    "pq_codes", "merge_upsert", "ohlc_bars",
 ]
 
 
