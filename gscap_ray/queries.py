@@ -12079,6 +12079,288 @@ FROM n JOIN d0 ON d0.v = n.v JOIN d1 ON d1.v = n.v JOIN d2 ON d2.v = n.v
 """
 
 
+# ------------------- session 8: spatial overlap / crossings / gap fill ----
+
+def q_rect_overlap_join(sf_dir: str):
+    """2D rectangle-overlap spatial join (PBSM, Patel & DeWitt '96 -- the
+    general form of every bbox-vs-bbox spatial join; reference analog:
+    the fence-membership tests of gscap/gps.py:1124-1130 generalized to
+    extent x extent). Events derive axis-aligned rects in EXACT integer
+    micro-degrees: center = the derived lattice point, half-widths
+    50..199 micro-deg from event_id arithmetic; side A = even event_id,
+    B = odd. Dataflow: each rect replicates to every 0.005-deg grid cell
+    its bbox touches (<= 4 replicas -- extent <= 400 < 500 micro pitch;
+    flat expansion inside ONE map_batches, no broadcast), then ONE
+    cell-hash map_groups computes the A x B overlap matrix vectorized.
+    Duplicate reports are killed exactly by the PBSM canonical-cell rule:
+    a pair is emitted only by the cell containing the intersection's
+    min corner, which both replicas provably reach. Strict overlap
+    (lo < hi both dims) so inter_area > 0 -- no boundary ties.
+    All-integer output: (a_id, b_id, inter_area)."""
+    CELL = 500  # micro-deg grid pitch
+    NC = 72_001  # lon cells per row band (360e5/500 + guard)
+
+    def rects(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ilat = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        ilon = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        wlat = 50 + (eid * 31) % 150
+        wlon = 50 + (eid * 17) % 150
+        lo_a, hi_a = ilat - wlat, ilat + wlat
+        lo_o, hi_o = ilon - wlon, ilon + wlon
+        r0 = (lo_a + 9_000_000) // CELL
+        r1 = (hi_a + 9_000_000) // CELL
+        c0 = (lo_o + 18_000_000) // CELL
+        c1 = (hi_o + 18_000_000) // CELL
+        side = eid % 2
+        cells, keep = [], []
+        for dr in (0, 1):
+            for dc in (0, 1):
+                rr = np.where(dr == 0, r0, r1)
+                cc = np.where(dc == 0, c0, c1)
+                cells.append(rr * NC + cc)
+                keep.append(((dr == 0) | (r1 != r0))
+                            & ((dc == 0) | (c1 != c0)))
+        cell4 = np.concatenate(cells)
+        keep4 = np.concatenate([np.broadcast_to(k, eid.shape) for k in keep])
+        idx4 = np.tile(np.arange(eid.size), 4)[keep4]
+        cell4 = cell4[keep4]
+        return pa.table({
+            "cell": pa.array(cell4, pa.int64()),
+            "eid": pa.array(eid[idx4], pa.int64()),
+            "side": pa.array(side[idx4], pa.int64()),
+            "lo_a": pa.array(lo_a[idx4], pa.int64()),
+            "hi_a": pa.array(hi_a[idx4], pa.int64()),
+            "lo_o": pa.array(lo_o[idx4], pa.int64()),
+            "hi_o": pa.array(hi_o[idx4], pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cell = np.int64(g["cell"].iloc[0])
+        cr, cc = cell // NC, cell % NC
+        sd = g["side"].to_numpy(np.int64)
+        a, b = np.flatnonzero(sd == 0), np.flatnonzero(sd == 1)
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype=np.int64),
+                              "b_id": pd.Series([], dtype=np.int64),
+                              "inter_area": pd.Series([], dtype=np.int64)})
+        if a.size == 0 or b.size == 0:
+            return empty
+        loa = g["lo_a"].to_numpy(np.int64); hia = g["hi_a"].to_numpy(np.int64)
+        loo = g["lo_o"].to_numpy(np.int64); hio = g["hi_o"].to_numpy(np.int64)
+        eid = g["eid"].to_numpy(np.int64)
+        mlo_a = np.maximum(loa[a][:, None], loa[b][None, :])
+        mhi_a = np.minimum(hia[a][:, None], hia[b][None, :])
+        mlo_o = np.maximum(loo[a][:, None], loo[b][None, :])
+        mhi_o = np.minimum(hio[a][:, None], hio[b][None, :])
+        hit = (mlo_a < mhi_a) & (mlo_o < mhi_o)
+        # canonical cell: the one holding the intersection's min corner
+        hit &= ((mlo_a + 9_000_000) // CELL == cr) \
+            & ((mlo_o + 18_000_000) // CELL == cc)
+        ai, bi = np.nonzero(hit)
+        if ai.size == 0:
+            return empty
+        area = (mhi_a[ai, bi] - mlo_a[ai, bi]) * (mhi_o[ai, bi] - mlo_o[ai, bi])
+        return pd.DataFrame({"a_id": eid[a][ai], "b_id": eid[b][bi],
+                             "inter_area": area.astype(np.int64)})
+
+    return (_points_ds(sf_dir)
+            .map_batches(rects, batch_format="pyarrow")
+            .groupby("cell").map_groups(pairs, batch_format="pandas")
+            .select_columns(["a_id", "b_id", "inter_area"]))
+
+
+SQL_RECT_OVERLAP_JOIN = f"""
+WITH p AS ({_PTS_SQL}),
+r AS (SELECT event_id, event_id % 2 AS side,
+             CAST(round(lat * 100000) AS BIGINT) AS ilat,
+             CAST(round(lon * 100000) AS BIGINT) AS ilon,
+             50 + (event_id * 31) % 150 AS wlat,
+             50 + (event_id * 17) % 150 AS wlon
+      FROM p)
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       CAST((least(a.ilat + a.wlat, b.ilat + b.wlat)
+             - greatest(a.ilat - a.wlat, b.ilat - b.wlat))
+            * (least(a.ilon + a.wlon, b.ilon + b.wlon)
+               - greatest(a.ilon - a.wlon, b.ilon - b.wlon)) AS BIGINT)
+           AS inter_area
+FROM r a JOIN r b
+  ON a.ilat - a.wlat < b.ilat + b.wlat
+ AND b.ilat - b.wlat < a.ilat + a.wlat
+ AND a.ilon - a.wlon < b.ilon + b.wlon
+ AND b.ilon - b.wlon < a.ilon + a.wlon
+WHERE a.side = 0 AND b.side = 1
+"""
+
+
+def q_segment_crossings(sf_dir: str):
+    """Line-segment intersection join (trajectory x fence -- the vector-GIS
+    crossing-count primitive; reference analog: the home-fence distance
+    test of gscap/gps.py:1124-1130 upgraded from point-in-disc to
+    segment-crosses-line). Each user's consecutive-point segments in
+    (ts, event_id) order are tested against that user's two home-cell
+    diagonals (corner-to-corner fences of the +-1000-micro-deg box around
+    the user base). The test is the exact integer orientation predicate
+    (cross-product sign, strict proper crossing: o1*o2 < 0 AND
+    o3*o4 < 0) -- products stay < 2^40, no float anywhere. ONE user-hash
+    map_groups; the lag/segment build is a vectorized lexsort scan.
+    Output: (user_id, fence_id, n_cross) for counts > 0."""
+    def cross_counts(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        e = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        ilat = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        ilon = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, ilat, ilon = u[o], ilat[o], ilon[o]
+        same = u[:-1] == u[1:]
+        ax, ay = ilat[:-1][same], ilon[:-1][same]
+        bx, by = ilat[1:][same], ilon[1:][same]
+        uu = u[:-1][same]
+        blat = ((uu * 37) % 120 - 60) * 100_000 + 50_000
+        blon = ((uu * 91) % 300 - 150) * 100_000 + 50_000
+        out_u, out_f, out_n = [], [], []
+        for fid in (0, 1):
+            if fid == 0:
+                fx0, fy0 = blat - 1000, blon - 1000
+                fx1, fy1 = blat + 1000, blon + 1000
+            else:
+                fx0, fy0 = blat - 1000, blon + 1000
+                fx1, fy1 = blat + 1000, blon - 1000
+            o1 = (fx1 - fx0) * (ay - fy0) - (fy1 - fy0) * (ax - fx0)
+            o2 = (fx1 - fx0) * (by - fy0) - (fy1 - fy0) * (bx - fx0)
+            o3 = (bx - ax) * (fy0 - ay) - (by - ay) * (fx0 - ax)
+            o4 = (bx - ax) * (fy1 - ay) - (by - ay) * (fx1 - ax)
+            hit = (o1 * o2 < 0) & (o3 * o4 < 0)
+            hu = uu[hit]
+            if hu.size:
+                vals, cnt = np.unique(hu, return_counts=True)
+                out_u.append(vals)
+                out_f.append(np.full(vals.size, fid, np.int64))
+                out_n.append(cnt.astype(np.int64))
+        if not out_u:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "fence_id": pa.array([], pa.int64()),
+                             "n_cross": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "fence_id": pa.array(np.concatenate(out_f), pa.int64()),
+            "n_cross": pa.array(np.concatenate(out_n), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return t.append_column("part", pa.array(u % 64, pa.int32()))
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(cross_counts, batch_format="pyarrow")
+            .select_columns(["user_id", "fence_id", "n_cross"]))
+
+
+SQL_SEGMENT_CROSSINGS = f"""
+WITH p AS ({_PTS_SQL}),
+q AS (SELECT user_id, event_id, ts,
+             CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y
+      FROM p),
+seg AS (SELECT user_id, x AS ax, y AS ay,
+               lead(x) OVER w AS bx, lead(y) OVER w AS by,
+               ((user_id * 37) % 120 - 60) * 100000 + 50000 AS blat,
+               ((user_id * 91) % 300 - 150) * 100000 + 50000 AS blon
+        FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (SELECT seg.*, fence.fid,
+             CASE WHEN fence.fid = 0 THEN blat - 1000 ELSE blat - 1000 END AS fx0,
+             CASE WHEN fence.fid = 0 THEN blon - 1000 ELSE blon + 1000 END AS fy0,
+             CASE WHEN fence.fid = 0 THEN blat + 1000 ELSE blat + 1000 END AS fx1,
+             CASE WHEN fence.fid = 0 THEN blon + 1000 ELSE blon - 1000 END AS fy1
+      FROM seg CROSS JOIN (SELECT unnest([0, 1]) AS fid) fence
+      WHERE bx IS NOT NULL),
+t AS (SELECT user_id, fid,
+             (fx1 - fx0) * (ay - fy0) - (fy1 - fy0) * (ax - fx0) AS o1,
+             (fx1 - fx0) * (by - fy0) - (fy1 - fy0) * (bx - fx0) AS o2,
+             (bx - ax) * (fy0 - ay) - (by - ay) * (fx0 - ax) AS o3,
+             (bx - ax) * (fy1 - ay) - (by - ay) * (fx1 - ax) AS o4
+      FROM f)
+SELECT user_id, fid AS fence_id, count(*) AS n_cross
+FROM t WHERE o1 * o2 < 0 AND o3 * o4 < 0
+GROUP BY user_id, fid
+"""
+
+
+def q_gap_fill(sf_dir: str):
+    """Dense time-grid gap fill with last-observation-carried-forward
+    (the Flink/QuestDB/kdb "fill" resample -- the inverse of
+    late_data_drop: instead of dropping sparse points, densify them).
+    Per user: a 6-hour grid from the bucket of the first event to the
+    bucket of the last; the value at grid slot h is the latest event
+    with ts < (h+1)*PERIOD (ties on identical ts broken by max
+    event_id, collapsed BEFORE the probe so the as-of pick is
+    deterministic on both sides). One user-hash map_groups; the carry
+    is a vectorized searchsorted, no per-row loop. The DuckDB twin is
+    a generate_series + ASOF JOIN -- the oracle for as-of semantics.
+    All-integer output: (user_id, slot, cents)."""
+    PERIOD = 21_600_000_000  # 6 h in us
+
+    def fill(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        e = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, ts, c = u[o], ts[o], c[o]
+        # collapse duplicate (user, ts) to the max-event_id row (last in order)
+        last = np.ones(u.size, dtype=bool)
+        last[:-1] = (u[:-1] != u[1:]) | (ts[:-1] != ts[1:])
+        u, ts, c = u[last], ts[last], c[last]
+        gb = np.ones(u.size, dtype=bool)
+        gb[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(gb)
+        ends = np.append(starts[1:], u.size)
+        out_u, out_h, out_c = [], [], []
+        for s, epos in zip(starts, ends):
+            tseg, cseg = ts[s:epos], c[s:epos]
+            h0, h1 = tseg[0] // PERIOD, tseg[-1] // PERIOD
+            hours = np.arange(h0, h1 + 1, dtype=np.int64)
+            idx = np.searchsorted(tseg, (hours + 1) * PERIOD, side="left") - 1
+            out_u.append(np.full(hours.size, u[s], np.int64))
+            out_h.append(hours)
+            out_c.append(cseg[idx])
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "slot": pa.array(np.concatenate(out_h), pa.int64()),
+            "cents": pa.array(np.concatenate(out_c), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "ts": t["ts"],
+            "value": t["value"],
+            "part": pa.array(u % 64, pa.int32())})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(fill, batch_format="pyarrow")
+            .select_columns(["user_id", "slot", "cents"]))
+
+
+SQL_GAP_FILL = """
+WITH e0 AS (SELECT user_id, epoch_us(ts) AS t,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                      ORDER BY event_id DESC) AS rn
+            FROM events),
+e AS (SELECT user_id, t, c FROM e0 WHERE rn = 1),
+b AS (SELECT user_id, min(t) // 21600000000 AS h0,
+             max(t) // 21600000000 AS h1
+      FROM e GROUP BY user_id),
+g AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS slot FROM b)
+SELECT g.user_id, g.slot, e.c AS cents
+FROM g ASOF JOIN e
+  ON g.user_id = e.user_id AND e.t < (g.slot + 1) * 21600000000
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -12307,6 +12589,9 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "merge_upsert": q_merge_upsert,
     "ohlc_bars": q_ohlc_bars,
+    "rect_overlap_join": q_rect_overlap_join,
+    "segment_crossings": q_segment_crossings,
+    "gap_fill": q_gap_fill,
 }
 
 ORACLE_SQL = {
@@ -12441,6 +12726,9 @@ ORACLE_SQL = {
     "pq_codes": SQL_PQ_CODES,
     "merge_upsert": SQL_MERGE_UPSERT,
     "ohlc_bars": SQL_OHLC_BARS,
+    "rect_overlap_join": SQL_RECT_OVERLAP_JOIN,
+    "segment_crossings": SQL_SEGMENT_CROSSINGS,
+    "gap_fill": SQL_GAP_FILL,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

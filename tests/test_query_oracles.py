@@ -58,6 +58,7 @@ SUBSET = [
     "two_hop_counts", "polygon_raster", "delta_encoding_stats",
     "mis_rounds", "path_counts", "url_lcp_stats",
     "pq_codes", "merge_upsert", "ohlc_bars",
+    "rect_overlap_join", "segment_crossings", "gap_fill",
 ]
 
 
