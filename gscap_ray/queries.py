@@ -12361,6 +12361,249 @@ FROM g ASOF JOIN e
 
 
 
+# --------------- session 8: SCD2 / hierarchy rollup / chunking / KMV ----
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD-type-2 interval build (the warehouse dimension-history shape:
+    collapse an ordered change stream into validity intervals). Per user
+    in (ts, event_id) order, runs of identical event_type collapse to one
+    row with valid_from = the run head's timestamp and valid_to = the
+    next run's head (-1 open sentinel on the last run). ONE user-hash
+    map_groups; run heads and their successors come from two vectorized
+    masks over a lexsort, no per-row loop. All-integer + label output."""
+    def intervals(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        e = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        o = np.lexsort((e, ts, u))
+        u, ts, et = u[o], ts[o], et[o]
+        chg = np.ones(u.size, dtype=bool)
+        chg[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        idx = np.flatnonzero(chg)
+        cu, cts, cet = u[idx], ts[idx], et[idx]
+        vto = np.full(idx.size, -1, np.int64)
+        vto[:-1] = np.where(cu[:-1] == cu[1:], cts[1:], -1)
+        return pa.table({
+            "user_id": pa.array(cu, pa.int64()),
+            "event_type": pa.array(cet.astype(str), pa.string()),
+            "valid_from": pa.array(cts, pa.int64()),
+            "valid_to": pa.array(vto, pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return t.append_column("part", pa.array(u % 64, pa.int32()))
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(intervals, batch_format="pyarrow")
+            .select_columns(["user_id", "event_type", "valid_from", "valid_to"]))
+
+
+SQL_SCD2_INTERVALS = """
+WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+                  lag(event_type) OVER w AS pet
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT user_id, event_type, event_id, t FROM e
+      WHERE pet IS NULL OR pet != event_type)
+SELECT user_id, event_type, t AS valid_from,
+       coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+                -1) AS valid_to
+FROM c
+"""
+
+
+def q_tree_rollup(sf_dir: str):
+    """Hierarchy rollup by ancestor expansion (the BOM / org-chart /
+    category-tree subtree aggregate that needs a recursive CTE in SQL):
+    events land on the 4096 leaves-and-internals of the binary heap tree
+    node = event_id % 4096, parent(k) = (k-1)//2, and every node's
+    subtree sum/count is wanted. Instead of iterating rounds over a
+    graph, each row flat-expands to its <= 12 ancestors (the path to the
+    root is a FORMULA, so expansion is a 12-step vectorized loop inside
+    ONE map_batches) and pre-aggregates per batch with np.add.at into a
+    4096-slot array -- the exchange carries at most 4096 rows per batch
+    regardless of row count, then one grouped integer sum finishes.
+    All-integer output: (node, sub_cents, sub_n)."""
+    NN = 4096
+
+    def expand(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        cur = eid % NN
+        alive = np.ones(cur.size, dtype=bool)
+        sub_c = np.zeros(NN, np.int64)
+        sub_n = np.zeros(NN, np.int64)
+        while alive.any():
+            np.add.at(sub_c, cur[alive], c[alive])
+            np.add.at(sub_n, cur[alive], 1)
+            alive &= cur > 0
+            cur = np.where(alive, (cur - 1) // 2, cur)
+        nz = np.flatnonzero(sub_n)
+        return pa.table({"node": pa.array(nz, pa.int64()),
+                         "c_p": pa.array(sub_c[nz], pa.int64()),
+                         "n_p": pa.array(sub_n[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "events", ["event_id", "value"])
+            .map_batches(expand, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("c_p", alias_name="sub_cents"),
+                                       Sum("n_p", alias_name="sub_n")))
+
+
+SQL_TREE_ROLLUP = """
+WITH RECURSIVE anc AS (
+    SELECT event_id % 4096 AS a, CAST(round(value * 100) AS BIGINT) AS c
+    FROM events
+    UNION ALL
+    SELECT (a - 1) // 2, c FROM anc WHERE a > 0)
+SELECT a AS node, CAST(sum(c) AS BIGINT) AS sub_cents,
+       count(*) AS sub_n
+FROM anc GROUP BY a
+"""
+
+
+def q_chunk_windows(sf_dir: str):
+    """RAG-style document chunking (fixed-size token windows with
+    overlap -- the retrieval-index prep step between curation and
+    embedding): each document splits into 64-token chunks at stride 48;
+    the trailing chunk may be short, empty docs emit nothing. Chunk
+    identity is carried as the md5-lower-64 hash of the space-joined
+    window (the established md5_number_lower twin convention), so the
+    oracle byte-checks the chunk CONTENT, not just offsets. Per-doc
+    work is local (zero shuffle) and linear in text size. Output:
+    (doc_id, chunk_id, start_tok, n_toks, chunk_h)."""
+    C, S = 64, 48
+    MOD = 1 << 62
+
+    def chunks(t: pa.Table) -> pa.Table:
+        from .functions.text import md5_token_hash64
+
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        did, cid, st, nt, hs = [], [], [], [], []
+        for d, tx in zip(ids, texts):
+            toks = (tx or "").split()
+            n = len(toks)
+            for k, s in enumerate(range(0, n, S)):
+                w = toks[s:s + C]
+                did.append(d); cid.append(k); st.append(s); nt.append(len(w))
+                hs.append(" ".join(w))
+        hv = (md5_token_hash64(hs) % np.uint64(MOD)).astype(np.int64) \
+            if hs else np.array([], np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(did, np.int64), pa.int64()),
+            "chunk_id": pa.array(np.asarray(cid, np.int64), pa.int64()),
+            "start_tok": pa.array(np.asarray(st, np.int64), pa.int64()),
+            "n_toks": pa.array(np.asarray(nt, np.int64), pa.int64()),
+            "chunk_h": pa.array(hv, pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(chunks, batch_format="pyarrow"))
+
+
+SQL_CHUNK_WINDOWS = """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []
+                       ELSE regexp_split_to_array(trim(text), '\\s+')
+                  END AS toks
+           FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start_tok FROM n)
+SELECT doc_id, start_tok // 48 AS chunk_id, start_tok,
+       least(start_tok + 64, n) - start_tok AS n_toks,
+       CAST(md5_number_lower(array_to_string(
+                toks[start_tok + 1 : least(start_tok + 64, n)], ' '))
+            % 4611686018427387904 AS BIGINT) AS chunk_h
+FROM s
+"""
+
+
+def q_kmv_intersect(sf_dir: str):
+    """KMV sketch set-intersection estimate (Beyer et al. '07 -- the
+    theta-sketch primitive for 'how much vocabulary do these two corpora
+    share?' without holding either vocabulary): the two sides are the
+    even- and odd-doc_id halves of the corpus, elements are distinct
+    whitespace tokens hashed with the md5-lower-64 twin. Each batch
+    emits its k smallest distinct hashes per side (bounded partial
+    sketch -- the exchange carries <= 2k rows per batch), one grouped
+    merge keeps the global k smallest per side, and the O(k) finish
+    (union threshold tau = k-th min of the sketch union, common count
+    below tau) runs on 2k driver rows. All-integer single-row output:
+    (k, tau, n_common, n_a, n_b)."""
+    K = 128
+    MOD = 1 << 62
+
+    def partial(t: pa.Table) -> pa.Table:
+        from .functions.text import md5_token_hash64
+
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        out_s, out_h = [], []
+        for side in (0, 1):
+            toks = set()
+            for d, tx in zip(ids, texts):
+                if d % 2 == side:
+                    toks.update((tx or "").split())
+            if not toks:
+                continue
+            hv = np.unique(md5_token_hash64(sorted(toks)) % np.uint64(MOD))
+            hv = hv[:K].astype(np.int64)
+            out_s.append(np.full(hv.size, side, np.int64))
+            out_h.append(hv)
+        if not out_s:
+            return pa.table({"side": pa.array([], pa.int64()),
+                             "hv": pa.array([], pa.int64())})
+        return pa.table({"side": pa.array(np.concatenate(out_s), pa.int64()),
+                         "hv": pa.array(np.concatenate(out_h), pa.int64())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        side = np.int64(g["side"].iloc[0])
+        hv = np.unique(g["hv"].to_numpy(np.int64))[:K]
+        return pd.DataFrame({"side": np.full(hv.size, side, np.int64),
+                             "hv": hv})
+
+    sk = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("side").map_groups(merge, batch_format="pandas")
+          .to_pandas())
+    a = np.sort(sk.loc[sk["side"] == 0, "hv"].to_numpy(np.int64))
+    b = np.sort(sk.loc[sk["side"] == 1, "hv"].to_numpy(np.int64))
+    union = np.unique(np.concatenate([a, b]))
+    k_u = min(K, union.size)
+    tau = np.int64(union[k_u - 1]) if k_u else np.int64(-1)
+    common = np.intersect1d(a, b)
+    n_common = int((common <= tau).sum())
+    return pd.DataFrame({"k": [np.int64(K)], "tau": [tau],
+                         "n_common": [np.int64(n_common)],
+                         "n_a": [np.int64(a.size)], "n_b": [np.int64(b.size)]})
+
+
+SQL_KMV_INTERSECT = """
+WITH tok AS (SELECT doc_id % 2 AS side,
+                    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+             FROM documents WHERE trim(text) != ''),
+d AS (SELECT DISTINCT side,
+             CAST(md5_number_lower(w) % 4611686018427387904 AS BIGINT) AS hv
+      FROM tok),
+r AS (SELECT side, hv, row_number() OVER (PARTITION BY side ORDER BY hv) AS rk
+      FROM d),
+ka AS (SELECT side, hv FROM r WHERE rk <= 128),
+u AS (SELECT DISTINCT hv FROM ka),
+ru AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM u),
+tau AS (SELECT max(hv) AS t FROM ru WHERE rk <= 128)
+SELECT 128 AS k, (SELECT t FROM tau) AS tau,
+       (SELECT count(*) FROM ka a JOIN ka b ON a.hv = b.hv
+        WHERE a.side = 0 AND b.side = 1
+          AND a.hv <= (SELECT t FROM tau)) AS n_common,
+       (SELECT count(*) FROM ka WHERE side = 0) AS n_a,
+       (SELECT count(*) FROM ka WHERE side = 1) AS n_b
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -12592,6 +12835,10 @@ QUERIES = {
     "rect_overlap_join": q_rect_overlap_join,
     "segment_crossings": q_segment_crossings,
     "gap_fill": q_gap_fill,
+    "scd2_intervals": q_scd2_intervals,
+    "tree_rollup": q_tree_rollup,
+    "chunk_windows": q_chunk_windows,
+    "kmv_intersect": q_kmv_intersect,
 }
 
 ORACLE_SQL = {
@@ -12729,6 +12976,10 @@ ORACLE_SQL = {
     "rect_overlap_join": SQL_RECT_OVERLAP_JOIN,
     "segment_crossings": SQL_SEGMENT_CROSSINGS,
     "gap_fill": SQL_GAP_FILL,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "tree_rollup": SQL_TREE_ROLLUP,
+    "chunk_windows": SQL_CHUNK_WINDOWS,
+    "kmv_intersect": SQL_KMV_INTERSECT,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

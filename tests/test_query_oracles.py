@@ -59,6 +59,7 @@ SUBSET = [
     "mis_rounds", "path_counts", "url_lcp_stats",
     "pq_codes", "merge_upsert", "ohlc_bars",
     "rect_overlap_join", "segment_crossings", "gap_fill",
+    "scd2_intervals", "tree_rollup", "chunk_windows", "kmv_intersect",
 ]
 
 
