@@ -12604,6 +12604,203 @@ SELECT 128 AS k, (SELECT t FROM tau) AS tau,
 
 
 
+# --------- session 8: Hausdorff / exact selection / sentence stats ----
+
+def q_hausdorff_split(sf_dir: str):
+    """Directed Hausdorff distance between point sets (the trajectory/
+    shape-similarity primitive behind map-matching QA and cluster-shape
+    drift): per user, the even-event_id half of their points vs the odd
+    half, both directions -- h(A,B) = max over a of min over b of the
+    EXACT integer micro-degree d2 (and the reverse). ONE user-hash
+    map_groups; each user's |A| x |B| distance block is one vectorized
+    broadcast-subtract (bounded by the per-user point count -- at crawl
+    scale the same kernel chunks the max side). All-integer output:
+    (user_id, h2_ab, h2_ba)."""
+    def hausdorff(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        e = t["event_id"].to_numpy().astype(np.int64)
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        o = np.lexsort((e, u))
+        u, e, x, y = u[o], e[o], x[o], y[o]
+        gb = np.ones(u.size, dtype=bool)
+        gb[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(gb)
+        ends = np.append(starts[1:], u.size)
+        out_u, out_ab, out_ba = [], [], []
+        for s, t_ in zip(starts, ends):
+            ev = e[s:t_] % 2 == 0
+            if not ev.any() or ev.all():
+                continue
+            ax, ay = x[s:t_][ev], y[s:t_][ev]
+            bx, by = x[s:t_][~ev], y[s:t_][~ev]
+            d2 = (ax[:, None] - bx[None, :]) ** 2 \
+                + (ay[:, None] - by[None, :]) ** 2
+            out_u.append(u[s])
+            out_ab.append(d2.min(axis=1).max())
+            out_ba.append(d2.min(axis=0).max())
+        return pa.table({
+            "user_id": pa.array(np.asarray(out_u, np.int64), pa.int64()),
+            "h2_ab": pa.array(np.asarray(out_ab, np.int64), pa.int64()),
+            "h2_ba": pa.array(np.asarray(out_ba, np.int64), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return t.append_column("part", pa.array(u % 64, pa.int32()))
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(hausdorff, batch_format="pyarrow")
+            .select_columns(["user_id", "h2_ab", "h2_ba"]))
+
+
+SQL_HAUSDORFF_SPLIT = f"""
+WITH p AS ({_PTS_SQL}),
+q AS (SELECT user_id, event_id % 2 AS side,
+             CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y,
+             event_id
+      FROM p),
+mab AS (SELECT a.user_id, a.event_id,
+               min((a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y)) AS md
+        FROM q a JOIN q b ON a.user_id = b.user_id
+        WHERE a.side = 0 AND b.side = 1
+        GROUP BY a.user_id, a.event_id),
+mba AS (SELECT b.user_id, b.event_id,
+               min((a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y)) AS md
+        FROM q b JOIN q a ON a.user_id = b.user_id
+        WHERE a.side = 0 AND b.side = 1
+        GROUP BY b.user_id, b.event_id),
+hab AS (SELECT user_id, CAST(max(md) AS BIGINT) AS h2_ab FROM mab GROUP BY 1),
+hba AS (SELECT user_id, CAST(max(md) AS BIGINT) AS h2_ba FROM mba GROUP BY 1)
+SELECT hab.user_id, hab.h2_ab, hba.h2_ba
+FROM hab JOIN hba ON hab.user_id = hba.user_id
+"""
+
+
+def q_exact_median(sf_dir: str):
+    """EXACT distributed median by two-pass selection (Blum-style
+    bucketed k-th smallest -- the exact counterpart of
+    histogram_quantiles' sketch answer, and the pattern for any exact
+    percentile over data too big to sort): pass 1 bins cents into
+    64-cent buckets per event_type with per-batch partial counts (the
+    exchange carries (type, bucket, cnt), never values); the driver
+    cumsums ~900 bucket rows to locate the bucket holding the k-th
+    smallest (k = (n+1)//2); pass 2 re-reads ONLY rows landing in that
+    one bucket per type (a vectorized filter, ~1/900th of the data) and
+    the O(bucket) finish picks the exact value. All-integer output:
+    (event_type, n, median_cents)."""
+    from ray.data.aggregate import Sum
+
+    W = 64
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": et.astype(str), "bucket": c // W})
+        g = df.groupby(["event_type", "bucket"], sort=False).size().reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(dtype=object), pa.string()),
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    hist = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"])
+            .aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas().sort_values(["event_type", "bucket"]))
+    target = {}
+    for et, g in hist.groupby("event_type", sort=False):
+        n = int(g["n"].sum())
+        k = (n + 1) // 2
+        cum = g["n"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, k))
+        below = int(cum[i - 1]) if i else 0
+        target[str(et)] = (int(g["bucket"].iloc[i]), k - below - 1, n)
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        tb = np.array([target[s][0] for s in et.astype(str)], np.int64)
+        m = c // W == tb
+        return pa.table({"event_type": pa.array(et[m].astype(str), pa.string()),
+                         "c": pa.array(c[m], pa.int64())})
+
+    vals = ev.map_batches(in_bucket, batch_format="pyarrow").to_pandas()
+    rows = []
+    for et, (b, off, n) in sorted(target.items()):
+        v = np.sort(vals.loc[vals["event_type"] == et, "c"].to_numpy(np.int64))
+        rows.append((et, n, int(v[off])))
+    return pd.DataFrame(rows, columns=["event_type", "n", "median_cents"]) \
+        .astype({"n": np.int64, "median_cents": np.int64})
+
+
+SQL_EXACT_MEDIAN = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e)
+SELECT event_type, CAST(n AS BIGINT) AS n, c AS median_cents
+FROM r WHERE rk = (n + 1) // 2
+"""
+
+
+def q_sentence_stats(sf_dir: str):
+    """Sentence segmentation stats (the doc-quality signal family one
+    level above token counts -- Gopher/C4 both gate on sentence shape):
+    sentences split on [.!?]+ runs, trimmed of blank runs; per doc the
+    sentence count, the longest sentence's character length, and total
+    sentence characters. Pure per-doc map (zero shuffle), regex split
+    restricted to RE2-safe syntax so Python re and DuckDB count
+    identically. All-integer output."""
+    import re as _re
+
+    SPLIT = _re.compile(r"[.!?]+")
+    STRIP = " \t\n\r"
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        ns, mx, tot = np.zeros(ids.size, np.int64), np.zeros(ids.size, np.int64), \
+            np.zeros(ids.size, np.int64)
+        for i, tx in enumerate(texts):
+            lens = [len(p2) for p in SPLIT.split(tx or "")
+                    if (p2 := p.strip(STRIP))]
+            ns[i] = len(lens)
+            mx[i] = max(lens) if lens else 0
+            tot[i] = sum(lens)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_sent": pa.array(ns, pa.int64()),
+                         "max_sent_chars": pa.array(mx, pa.int64()),
+                         "total_sent_chars": pa.array(tot, pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(stats, batch_format="pyarrow"))
+
+
+SQL_SENTENCE_STATS = """
+WITH s AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(text, '[.!?]+')) AS p
+           FROM documents),
+t AS (SELECT doc_id, len(trim(p, ' ' || chr(9) || chr(10) || chr(13))) AS l
+      FROM s),
+nz AS (SELECT doc_id, l FROM t WHERE l > 0),
+agg AS (SELECT doc_id, count(*) AS n_sent, max(l) AS max_sent_chars,
+               CAST(sum(l) AS BIGINT) AS total_sent_chars
+        FROM nz GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_sent, 0) AS BIGINT) AS n_sent,
+       CAST(coalesce(agg.max_sent_chars, 0) AS BIGINT) AS max_sent_chars,
+       CAST(coalesce(agg.total_sent_chars, 0) AS BIGINT) AS total_sent_chars
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -12839,6 +13036,9 @@ QUERIES = {
     "tree_rollup": q_tree_rollup,
     "chunk_windows": q_chunk_windows,
     "kmv_intersect": q_kmv_intersect,
+    "hausdorff_split": q_hausdorff_split,
+    "exact_median": q_exact_median,
+    "sentence_stats": q_sentence_stats,
 }
 
 ORACLE_SQL = {
@@ -12980,6 +13180,9 @@ ORACLE_SQL = {
     "tree_rollup": SQL_TREE_ROLLUP,
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "kmv_intersect": SQL_KMV_INTERSECT,
+    "hausdorff_split": SQL_HAUSDORFF_SPLIT,
+    "exact_median": SQL_EXACT_MEDIAN,
+    "sentence_stats": SQL_SENTENCE_STATS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -60,6 +60,7 @@ SUBSET = [
     "pq_codes", "merge_upsert", "ohlc_bars",
     "rect_overlap_join", "segment_crossings", "gap_fill",
     "scd2_intervals", "tree_rollup", "chunk_windows", "kmv_intersect",
+    "hausdorff_split", "exact_median", "sentence_stats",
 ]
 
 
