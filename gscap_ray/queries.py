@@ -12801,6 +12801,236 @@ FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 
 
 
+# ------------- session 8: segment buffer / HITS / feature hashing ----
+
+def q_polyline_buffer(sf_dir: str):
+    """Distance-to-segment buffer join with ZERO floats (the 'points
+    within r of a road' GIS primitive, done as exact integer rationals):
+    each user's points are tested against that user's home-cell diagonal
+    (the fence-0 segment of segment_crossings), within-band iff
+    d2(P, seg) <= r2 with r = 300 micro-deg. The three point-to-segment
+    regions avoid the dividing projection entirely: t = dot(w, v) is
+    compared against [0, |v|2] and the interior case uses
+    cross2 <= r2 * |v|2 -- every comparison is int64, so Ray and the
+    oracle agree bit-for-bit with no IEEE expression-tree discipline
+    needed. ONE map_batches (the fence derives from user_id -- no join,
+    no broadcast), then a grouped integer count. Output:
+    (user_id, n_near, n_total)."""
+    R2 = 300 * 300
+
+    def near(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        px = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        py = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        blat = ((u * 37) % 120 - 60) * 100_000 + 50_000
+        blon = ((u * 91) % 300 - 150) * 100_000 + 50_000
+        f0x, f0y = blat - 1000, blon - 1000
+        f1x, f1y = blat + 1000, blon + 1000
+        vx, vy = f1x - f0x, f1y - f0y            # (2000, 2000)
+        wx, wy = px - f0x, py - f0y
+        L = vx * vx + vy * vy                     # 8e6, exact
+        tnum = wx * vx + wy * vy
+        d0 = wx * wx + wy * wy
+        d1 = (px - f1x) ** 2 + (py - f1y) ** 2
+        cross = vx * wy - vy * wx
+        hit = np.where(tnum < 0, d0 <= R2,
+                       np.where(tnum > L, d1 <= R2,
+                                cross * cross <= R2 * L))
+        df = pd.DataFrame({"user_id": u, "near": hit.astype(np.int64)})
+        g = df.groupby("user_id", sort=False).agg(n_near=("near", "sum"),
+                                                  n_total=("near", "size"))
+        g = g.reset_index()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64), pa.int64()),
+            "n_near": pa.array(g["n_near"].to_numpy(np.int64), pa.int64()),
+            "n_total": pa.array(g["n_total"].to_numpy(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (_points_ds(sf_dir)
+            .map_batches(near, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("n_near", alias_name="n_near"),
+                                          Sum("n_total", alias_name="n_total")))
+
+
+SQL_POLYLINE_BUFFER = f"""
+WITH p AS ({_PTS_SQL}),
+q AS (SELECT user_id,
+             CAST(round(lat * 100000) AS BIGINT) AS px,
+             CAST(round(lon * 100000) AS BIGINT) AS py,
+             ((user_id * 37) % 120 - 60) * 100000 + 50000 AS blat,
+             ((user_id * 91) % 300 - 150) * 100000 + 50000 AS blon
+      FROM p),
+t AS (SELECT user_id,
+             px - (blat - 1000) AS wx, py - (blon - 1000) AS wy,
+             px - (blat + 1000) AS ux, py - (blon + 1000) AS uy
+      FROM q),
+h AS (SELECT user_id,
+             CASE WHEN wx * 2000 + wy * 2000 < 0
+                  THEN CASE WHEN wx * wx + wy * wy <= 90000
+                            THEN 1 ELSE 0 END
+                  WHEN wx * 2000 + wy * 2000 > 8000000
+                  THEN CASE WHEN ux * ux + uy * uy <= 90000
+                            THEN 1 ELSE 0 END
+                  ELSE CASE WHEN (2000 * wy - 2000 * wx)
+                                 * (2000 * wy - 2000 * wx)
+                                 <= 90000::BIGINT * 8000000
+                            THEN 1 ELSE 0 END
+             END AS near
+      FROM t)
+SELECT user_id, CAST(sum(near) AS BIGINT) AS n_near,
+       count(*) AS n_total
+FROM h GROUP BY user_id
+"""
+
+
+def q_hits_scores(sf_dir: str):
+    """HITS hubs & authorities over the REAL extracted link graph
+    (Kleinberg '99 -- the other classic link-analysis recurrence next to
+    link_pagerank's): two synchronous rounds in exact integers, no
+    normalization, so every score is a path count: a1 = in-degree,
+    h1(u) = sum of a1 over u's out-neighbors, a2(v) = sum of h1 over v's
+    in-neighbors. The deduped int64 edge set is the ONLY thing iterated
+    (html parsed once, payload never re-enters the exchange); each round
+    folds per-batch partial sums with np.add.at and exchanges <= U rows
+    per batch, with the O(U) score vector broadcast via ray.put
+    (q_pagerank's documented small-side assumption). Output per host:
+    (host_idx, a1, h1, a2)."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+    href_re = re.compile(r'href="([^"]+)"')
+    idx_re = re.compile(r"-(\d+)\.example\.com")
+
+    def edges_part(t: pa.Table) -> pd.DataFrame:
+        src_host = pc.list_element(pc.split_pattern(t["url"], "/"), 2).to_pandas()
+        s = src_host.str.extract(idx_re, expand=False).astype(np.int64)
+        html = t["html"].to_pandas().str.decode("utf-8")
+        df = pd.DataFrame({"src": s, "href": html.str.findall(href_re)})
+        df = df.explode("href", ignore_index=True).dropna(subset=["href"])
+        df["dst"] = df["href"].str.extract(idx_re, expand=False).astype(np.int64)
+        return df[df["src"] != df["dst"]][["src", "dst"]].drop_duplicates()
+
+    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["src", "dst"]).materialize())
+    m = edges.aggregate(Max("src"), Max("dst"))
+    U = int(max(m["max(src)"], m["max(dst)"])) + 1
+
+    def fold(col_in: str, col_out: str, vec: np.ndarray) -> np.ndarray:
+        ref = _ray.put(vec)
+
+        def part(t: pa.Table, _r=ref, _U=U) -> pa.Table:
+            v = _ray.get(_r)
+            acc = np.zeros(_U, np.int64)
+            np.add.at(acc, t[col_out].to_numpy(),
+                      v[t[col_in].to_numpy()])
+            nz = np.flatnonzero(acc)
+            return pa.table({"node": pa.array(nz, pa.int64()),
+                             "s": pa.array(acc[nz], pa.int64())})
+
+        agg = (edges.map_batches(part, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("s", alias_name="t"))
+               .to_pandas())
+        out = np.zeros(U, np.int64)
+        out[agg["node"].to_numpy(np.int64)] = agg["t"].to_numpy(np.int64)
+        return out
+
+    ones = np.ones(U, np.int64)
+    a1 = fold("src", "dst", ones)      # in-degree
+    h1 = fold("dst", "src", a1)        # sum of authority over out-nbrs
+    a2 = fold("src", "dst", h1)        # sum of hub over in-nbrs
+    return pd.DataFrame({"host_idx": np.arange(U, dtype=np.int64),
+                         "a1": a1, "h1": h1, "a2": a2})
+
+
+SQL_HITS_SCORES = """
+WITH pg AS (SELECT url, decode(html) AS h
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+g AS (SELECT src, dst FROM e WHERE src != dst),
+n AS (SELECT unnest(generate_series(
+          0, (SELECT greatest(max(src), max(dst)) FROM g))) AS uid),
+a1 AS (SELECT n.uid, CAST(count(g.src) AS BIGINT) AS a
+       FROM n LEFT JOIN g ON g.dst = n.uid GROUP BY n.uid),
+h1 AS (SELECT n.uid, CAST(coalesce(sum(a1.a), 0) AS BIGINT) AS h
+       FROM n LEFT JOIN g ON g.src = n.uid
+              LEFT JOIN a1 ON a1.uid = g.dst
+       GROUP BY n.uid),
+a2 AS (SELECT n.uid, CAST(coalesce(sum(h1.h), 0) AS BIGINT) AS a
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN h1 ON h1.uid = g.src
+       GROUP BY n.uid)
+SELECT n.uid AS host_idx, a1.a AS a1, h1.h AS h1, a2.a AS a2
+FROM n JOIN a1 ON a1.uid = n.uid JOIN h1 ON h1.uid = n.uid
+       JOIN a2 ON a2.uid = n.uid
+"""
+
+
+def q_feature_hash(sf_dir: str):
+    """The hashing trick (Weinberger '09 -- sklearn HashingVectorizer /
+    VW feature hashing): every token maps to one of 64 buckets by
+    md5-lower-64, with a +-1 sign from the hash's next bit, and each
+    document's sparse feature vector is the signed occurrence sum per
+    bucket. Pure per-doc local work folded per batch (pandas explode +
+    groupby -- C kernels), ONE (doc, bucket) integer exchange.
+    All-integer output: (doc_id, bucket, w)."""
+    from ray.data.aggregate import Sum
+
+    B = 64
+    MOD = np.uint64(B)
+
+    def parts(t: pa.Table) -> pa.Table:
+        from .functions.text import md5_token_hash64
+
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        s = pd.Series(texts).fillna("").str.strip()
+        toks = s.str.split()
+        df = pd.DataFrame({"doc_id": ids, "tok": toks}).explode("tok")
+        df = df.dropna(subset=["tok"])
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "w_p": pa.array([], pa.int64())})
+        h = md5_token_hash64(df["tok"].tolist())
+        df["bucket"] = (h % MOD).astype(np.int64)
+        df["w"] = (1 - 2 * ((h >> np.uint64(6)) & np.uint64(1)).astype(np.int64))
+        g = (df.groupby(["doc_id", "bucket"], sort=False)["w"].sum()
+             .reset_index())
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+            "w_p": pa.array(g["w"].to_numpy(np.int64), pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(parts, batch_format="pyarrow")
+            .groupby(["doc_id", "bucket"])
+            .aggregate(Sum("w_p", alias_name="w")))
+
+
+SQL_FEATURE_HASH = """
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+             FROM documents WHERE trim(text) != ''),
+h AS (SELECT doc_id,
+             CAST(md5_number_lower(w) % 64 AS BIGINT) AS bucket,
+             1 - 2 * CAST((md5_number_lower(w) // 64) % 2 AS BIGINT) AS sgn
+      FROM tok)
+SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
+FROM h GROUP BY doc_id, bucket
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -13039,6 +13269,9 @@ QUERIES = {
     "hausdorff_split": q_hausdorff_split,
     "exact_median": q_exact_median,
     "sentence_stats": q_sentence_stats,
+    "polyline_buffer": q_polyline_buffer,
+    "hits_scores": q_hits_scores,
+    "feature_hash": q_feature_hash,
 }
 
 ORACLE_SQL = {
@@ -13183,6 +13416,9 @@ ORACLE_SQL = {
     "hausdorff_split": SQL_HAUSDORFF_SPLIT,
     "exact_median": SQL_EXACT_MEDIAN,
     "sentence_stats": SQL_SENTENCE_STATS,
+    "polyline_buffer": SQL_POLYLINE_BUFFER,
+    "hits_scores": SQL_HITS_SCORES,
+    "feature_hash": SQL_FEATURE_HASH,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

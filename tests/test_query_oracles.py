@@ -61,6 +61,7 @@ SUBSET = [
     "rect_overlap_join", "segment_crossings", "gap_fill",
     "scd2_intervals", "tree_rollup", "chunk_windows", "kmv_intersect",
     "hausdorff_split", "exact_median", "sentence_stats",
+    "polyline_buffer", "hits_scores", "feature_hash",
 ]
 
 
