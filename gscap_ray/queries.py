@@ -13031,6 +13031,209 @@ FROM h GROUP BY doc_id, bucket
 
 
 
+# -------------- session 8: reciprocity / k-anonymity / Benford QA ----
+
+def q_reciprocal_links(sf_dir: str):
+    """Link reciprocity per host (the Watts-style symmetry measure crawl
+    analytics report next to PageRank: how much of a host's out-linking
+    is mutual): over the REAL extracted directed edge set, each host's
+    out-degree and how many of its out-edges are reciprocated. The
+    payload-free trick: a directed edge (s, d) and its reverse (d, s)
+    collapse to the SAME canonical (lo, hi) key, so reciprocity needs no
+    self-join -- one groupby over canonical keys counts directions
+    (n = 2 means mutual), then each mutual pair credits both endpoints.
+    Two integer exchanges, both on deduped int64 pairs. Output:
+    (host_idx, out_deg, n_recip)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+    href_re = re.compile(r'href="([^"]+)"')
+    idx_re = re.compile(r"-(\d+)\.example\.com")
+
+    def edges_part(t: pa.Table) -> pd.DataFrame:
+        src_host = pc.list_element(pc.split_pattern(t["url"], "/"), 2).to_pandas()
+        s = src_host.str.extract(idx_re, expand=False).astype(np.int64)
+        html = t["html"].to_pandas().str.decode("utf-8")
+        df = pd.DataFrame({"src": s, "href": html.str.findall(href_re)})
+        df = df.explode("href", ignore_index=True).dropna(subset=["href"])
+        df["dst"] = df["href"].str.extract(idx_re, expand=False).astype(np.int64)
+        return df[df["src"] != df["dst"]][["src", "dst"]].drop_duplicates()
+
+    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["src", "dst"]).materialize())
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        return pa.table({"lo": pa.array(np.minimum(s, d), pa.int64()),
+                         "hi": pa.array(np.maximum(s, d), pa.int64())})
+
+    mut = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["lo", "hi"]).aggregate(Count(alias_name="nd")))
+
+    def credit(t: pa.Table) -> pa.Table:
+        m = t["nd"].to_numpy() == 2
+        lo, hi = t["lo"].to_numpy()[m], t["hi"].to_numpy()[m]
+        return pa.table({"host": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                         "r_p": pa.array(np.ones(2 * lo.size, np.int64),
+                                         pa.int64())})
+
+    rec = (mut.map_batches(credit, batch_format="pyarrow")
+           .groupby("host").aggregate(Sum("r_p", alias_name="n_recip"))
+           .to_pandas())
+    outd = (edges.groupby("src").aggregate(Count(alias_name="out_deg"))
+            .to_pandas())
+    m = edges.aggregate(Max("src"), Max("dst"))
+    U = int(max(m["max(src)"], m["max(dst)"])) + 1
+    od = np.zeros(U, np.int64)
+    od[outd["src"].to_numpy(np.int64)] = outd["out_deg"].to_numpy(np.int64)
+    nr = np.zeros(U, np.int64)
+    if len(rec):
+        nr[rec["host"].to_numpy(np.int64)] = rec["n_recip"].to_numpy(np.int64)
+    return pd.DataFrame({"host_idx": np.arange(U, dtype=np.int64),
+                         "out_deg": od, "n_recip": nr})
+
+
+SQL_RECIPROCAL_LINKS = """
+WITH pg AS (SELECT url, decode(html) AS h
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+g AS (SELECT src, dst FROM e WHERE src != dst),
+n AS (SELECT unnest(generate_series(
+          0, (SELECT greatest(max(src), max(dst)) FROM g))) AS uid),
+od AS (SELECT n.uid, CAST(count(g.dst) AS BIGINT) AS out_deg
+       FROM n LEFT JOIN g ON g.src = n.uid GROUP BY n.uid),
+mut AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM g GROUP BY 1, 2 HAVING count(*) = 2),
+cr AS (SELECT lo AS host FROM mut UNION ALL SELECT hi FROM mut),
+rc AS (SELECT n.uid, CAST(count(cr.host) AS BIGINT) AS n_recip
+       FROM n LEFT JOIN cr ON cr.host = n.uid GROUP BY n.uid)
+SELECT n.uid AS host_idx, od.out_deg, rc.n_recip
+FROM n JOIN od ON od.uid = n.uid JOIN rc ON rc.uid = n.uid
+"""
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (the privacy gate a location dataset must pass
+    before release -- Sweeney '02): quasi-identifier = (event_type,
+    0.1-deg cell, day); a group is violating if fewer than k = 5 rows
+    share its quasi-identifier. Per-batch partial counts fold the
+    exchange to (qi, cnt) rows; one grouped sum then a tiny per-type
+    aggregate. All-integer output per event_type:
+    (n_groups, n_violating, n_rows_at_risk)."""
+    from ray.data.aggregate import Sum
+
+    K = 5
+
+    def qi(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        row = np.floor((lat + 90.0) / 0.1).astype(np.int64)
+        col = np.floor((lon + 180.0) / 0.1).astype(np.int64)
+        day = ts // 86_400_000_000
+        df = pd.DataFrame({"event_type": et.astype(str),
+                           "cell": row * 3600 + col, "day": day})
+        g = (df.groupby(["event_type", "cell", "day"], sort=False)
+             .size().reset_index())
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(dtype=object),
+                                   pa.string()),
+            "cell": pa.array(g["cell"].to_numpy(np.int64), pa.int64()),
+            "day": pa.array(g["day"].to_numpy(np.int64), pa.int64()),
+            "c_p": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    groups = (_points_ds(sf_dir)
+              .map_batches(qi, batch_format="pyarrow")
+              .groupby(["event_type", "cell", "day"])
+              .aggregate(Sum("c_p", alias_name="n")))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["viol"] = (df["n"] < K).astype(np.int64)
+        df["risk"] = df["n"].where(df["n"] < K, 0).astype(np.int64)
+        g = (df.groupby("event_type", sort=False)
+             .agg(g_p=("n", "size"), v_p=("viol", "sum"),
+                  r_p=("risk", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (groups.map_batches(summarize, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("g_p", alias_name="n_groups"),
+                       Sum("v_p", alias_name="n_violating"),
+                       Sum("r_p", alias_name="n_rows_at_risk")))
+
+
+SQL_K_ANONYMITY = f"""
+WITH p AS ({_PTS_SQL}),
+q AS (SELECT event_type,
+             CAST(floor((lat + 90) / 0.1) AS BIGINT) * 3600
+               + CAST(floor((lon + 180) / 0.1) AS BIGINT) AS cell,
+             epoch_us(ts) // 86400000000 AS day
+      FROM p),
+g AS (SELECT event_type, cell, day, count(*) AS n
+      FROM q GROUP BY 1, 2, 3)
+SELECT event_type, count(*) AS n_groups,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk
+FROM g GROUP BY event_type
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-digit profile per event_type (the fraud/data-entry
+    QA scan every financial-shaped column gets): distribution of the
+    leading digit of positive cent amounts. The digit comes from pure
+    integer arithmetic (repeated //10 via a log10-free vectorized loop
+    -- 5 halving steps max for the bounded domain), per-batch partial
+    counts, one tiny (type, digit) exchange. All-integer output:
+    (event_type, digit, n)."""
+    from ray.data.aggregate import Sum
+
+    def digits(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        m = c > 0
+        et, c = et[m], c[m]
+        while (c >= 10).any():
+            c = np.where(c >= 10, c // 10, c)
+        df = pd.DataFrame({"event_type": et.astype(str), "digit": c})
+        g = df.groupby(["event_type", "digit"], sort=False).size().reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(dtype=object),
+                                   pa.string()),
+            "digit": pa.array(g["digit"].to_numpy(np.int64), pa.int64()),
+            "n_p": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    return (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(digits, batch_format="pyarrow")
+            .groupby(["event_type", "digit"])
+            .aggregate(Sum("n_p", alias_name="n")))
+
+
+SQL_BENFORD_DIGITS = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+d AS (SELECT event_type,
+             CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM e WHERE c > 0)
+SELECT event_type, digit, count(*) AS n
+FROM d GROUP BY event_type, digit
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -13272,6 +13475,9 @@ QUERIES = {
     "polyline_buffer": q_polyline_buffer,
     "hits_scores": q_hits_scores,
     "feature_hash": q_feature_hash,
+    "reciprocal_links": q_reciprocal_links,
+    "k_anonymity": q_k_anonymity,
+    "benford_digits": q_benford_digits,
 }
 
 ORACLE_SQL = {
@@ -13419,6 +13625,9 @@ ORACLE_SQL = {
     "polyline_buffer": SQL_POLYLINE_BUFFER,
     "hits_scores": SQL_HITS_SCORES,
     "feature_hash": SQL_FEATURE_HASH,
+    "reciprocal_links": SQL_RECIPROCAL_LINKS,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "benford_digits": SQL_BENFORD_DIGITS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -62,6 +62,7 @@ SUBSET = [
     "scd2_intervals", "tree_rollup", "chunk_windows", "kmv_intersect",
     "hausdorff_split", "exact_median", "sentence_stats",
     "polyline_buffer", "hits_scores", "feature_hash",
+    "reciprocal_links", "k_anonymity", "benford_digits",
 ]
 
 
