@@ -478,6 +478,25 @@ def run_bench() -> dict:
     timed("pq_codes", lambda: consume(Q.q_pq_codes(sf_dir)))
     timed("merge_upsert", lambda: Q.q_merge_upsert(sf_dir))
     timed("ohlc_bars", lambda: consume(Q.q_ohlc_bars(sf_dir)))
+    # session-8 family: spatial overlap/crossings, temporal shapes,
+    # hierarchy rollup, text chunking/hashing, link analysis, QA audits
+    timed("rect_overlap_join", lambda: consume(Q.q_rect_overlap_join(sf_dir)))
+    timed("segment_crossings",
+          lambda: consume(Q.q_segment_crossings(sf_dir)))
+    timed("gap_fill", lambda: consume(Q.q_gap_fill(sf_dir)))
+    timed("scd2_intervals", lambda: consume(Q.q_scd2_intervals(sf_dir)))
+    timed("tree_rollup", lambda: consume(Q.q_tree_rollup(sf_dir)))
+    timed("chunk_windows", lambda: consume(Q.q_chunk_windows(sf_dir)))
+    timed("kmv_intersect", lambda: Q.q_kmv_intersect(sf_dir))
+    timed("hausdorff_split", lambda: consume(Q.q_hausdorff_split(sf_dir)))
+    timed("exact_median", lambda: Q.q_exact_median(sf_dir))
+    timed("sentence_stats", lambda: consume(Q.q_sentence_stats(sf_dir)))
+    timed("polyline_buffer", lambda: consume(Q.q_polyline_buffer(sf_dir)))
+    timed("hits_scores", lambda: Q.q_hits_scores(sf_dir))
+    timed("feature_hash", lambda: consume(Q.q_feature_hash(sf_dir)))
+    timed("reciprocal_links", lambda: Q.q_reciprocal_links(sf_dir))
+    timed("k_anonymity", lambda: consume(Q.q_k_anonymity(sf_dir)))
+    timed("benford_digits", lambda: consume(Q.q_benford_digits(sf_dir)))
 
     def finish() -> dict:
         out = {
