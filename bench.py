@@ -497,6 +497,14 @@ def run_bench() -> dict:
     timed("reciprocal_links", lambda: Q.q_reciprocal_links(sf_dir))
     timed("k_anonymity", lambda: consume(Q.q_k_anonymity(sf_dir)))
     timed("benford_digits", lambda: consume(Q.q_benford_digits(sf_dir)))
+    timed("adaptive_tiles", lambda: consume(Q.q_adaptive_tiles(sf_dir)))
+    timed("encoding_stats", lambda: consume(Q.q_encoding_stats(sf_dir)))
+    timed("interval_slot_join",
+          lambda: consume(Q.q_interval_slot_join(sf_dir)))
+    timed("coverage_k", lambda: Q.q_coverage_k(sf_dir))
+    timed("tokenizer_fertility",
+          lambda: consume(Q.q_tokenizer_fertility(sf_dir)))
+    timed("char_trigrams", lambda: consume(Q.q_char_trigrams(sf_dir)))
 
     def finish() -> dict:
         out = {

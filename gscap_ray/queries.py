@@ -13234,6 +13234,404 @@ FROM d GROUP BY event_type, digit
 
 
 
+# ---------- session 8: adaptive quadtree / encoding QA / interval join ----
+
+def q_adaptive_tiles(sf_dir: str):
+    """Adaptive quadtree tiling (the tile-server density split: refine a
+    cell only while it holds more than T points -- reference analog: the
+    fixed 5-dp rounding of gscap/gps.py:94-95 upgraded to a density-
+    driven hierarchy). Three dyadic levels (1, 0.5, 0.25 deg); a point's
+    leaf is the FIRST level at which its cell holds <= T = 200 points
+    (or the deepest level). Dataflow: ONE map_batches computes all three
+    cell keys, per-batch partial counts fold each level, the three tiny
+    (level, cell) count tables broadcast back (O(#occupied cells)), and
+    a second pass assigns leaves -- no iteration, no recursion, because
+    dyadic nesting makes every ancestor a formula. All-integer output:
+    (leaf_res, cell_r, cell_c, n_points)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    T = 200
+
+    def keys(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        r0 = np.floor(lat + 90.0).astype(np.int64)
+        c0 = np.floor(lon + 180.0).astype(np.int64)
+        r1 = np.floor((lat + 90.0) * 2.0).astype(np.int64)
+        c1 = np.floor((lon + 180.0) * 2.0).astype(np.int64)
+        r2 = np.floor((lat + 90.0) * 4.0).astype(np.int64)
+        c2 = np.floor((lon + 180.0) * 4.0).astype(np.int64)
+        return pa.table({
+            "k0": pa.array(r0 * 360 + c0, pa.int64()),
+            "k1": pa.array(r1 * 720 + c1, pa.int64()),
+            "k2": pa.array(r2 * 1440 + c2, pa.int64())})
+
+    pts = _points_ds(sf_dir).map_batches(keys, batch_format="pyarrow") \
+        .materialize()
+
+    def level_counts(col: str):
+        def part(t: pa.Table, _c=col) -> pa.Table:
+            v, n = np.unique(t[_c].to_numpy(), return_counts=True)
+            return pa.table({"cell": pa.array(v, pa.int64()),
+                             "c_p": pa.array(n.astype(np.int64), pa.int64())})
+
+        df = (pts.map_batches(part, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("c_p", alias_name="n"))
+              .to_pandas().sort_values("cell"))
+        return (df["cell"].to_numpy(np.int64), df["n"].to_numpy(np.int64))
+
+    cnt0, cnt1 = level_counts("k0"), level_counts("k1")
+    r0_ref, r1_ref = _ray.put(cnt0), _ray.put(cnt1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ck0, cn0 = _ray.get(r0_ref)
+        ck1, cn1 = _ray.get(r1_ref)
+        k0 = t["k0"].to_numpy()
+        k1 = t["k1"].to_numpy()
+        k2 = t["k2"].to_numpy()
+        n0 = cn0[np.searchsorted(ck0, k0)]   # every key present by construction
+        n1 = cn1[np.searchsorted(ck1, k1)]
+        lvl = np.where(n0 <= T, 0, np.where(n1 <= T, 1, 2)).astype(np.int64)
+        key = np.where(lvl == 0, k0, np.where(lvl == 1, k1, k2))
+        width = np.choose(lvl, [360, 720, 1440])
+        df = pd.DataFrame({"leaf_res": lvl, "cell_r": key // width,
+                           "cell_c": key % width})
+        g = (df.groupby(["leaf_res", "cell_r", "cell_c"], sort=False)
+             .size().reset_index())
+        return pa.table({
+            "leaf_res": pa.array(g["leaf_res"].to_numpy(np.int64), pa.int64()),
+            "cell_r": pa.array(g["cell_r"].to_numpy(np.int64), pa.int64()),
+            "cell_c": pa.array(g["cell_c"].to_numpy(np.int64), pa.int64()),
+            "n_p": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    return (pts.map_batches(assign, batch_format="pyarrow")
+            .groupby(["leaf_res", "cell_r", "cell_c"])
+            .aggregate(Sum("n_p", alias_name="n_points")))
+
+
+SQL_ADAPTIVE_TILES = f"""
+WITH p AS ({_PTS_SQL}),
+k AS (SELECT CAST(floor(lat + 90) AS BIGINT) * 360
+               + CAST(floor(lon + 180) AS BIGINT) AS k0,
+             CAST(floor((lat + 90) * 2) AS BIGINT) * 720
+               + CAST(floor((lon + 180) * 2) AS BIGINT) AS k1,
+             CAST(floor((lat + 90) * 4) AS BIGINT) * 1440
+               + CAST(floor((lon + 180) * 4) AS BIGINT) AS k2
+      FROM p),
+c0 AS (SELECT k0, count(*) AS n FROM k GROUP BY k0),
+c1 AS (SELECT k1, count(*) AS n FROM k GROUP BY k1),
+a AS (SELECT CASE WHEN c0.n <= 200 THEN 0
+                  WHEN c1.n <= 200 THEN 1 ELSE 2 END AS leaf_res,
+             CASE WHEN c0.n <= 200 THEN k.k0
+                  WHEN c1.n <= 200 THEN k.k1 ELSE k.k2 END AS key,
+             CASE WHEN c0.n <= 200 THEN 360
+                  WHEN c1.n <= 200 THEN 720 ELSE 1440 END AS w
+      FROM k JOIN c0 ON c0.k0 = k.k0 JOIN c1 ON c1.k1 = k.k1)
+SELECT CAST(leaf_res AS BIGINT) AS leaf_res, key // w AS cell_r,
+       key % w AS cell_c, count(*) AS n_points
+FROM a GROUP BY 1, 2, 3
+"""
+
+
+def q_encoding_stats(sf_dir: str):
+    """Multilingual encoding QA (the byte-vs-character audit a mixed-
+    language corpus gets before tokenizer training): per language, total
+    UTF-8 bytes, total characters, ASCII-only doc count, and the doc
+    count -- the byte/char ratio exposes CJK density and mojibake. Pure
+    per-batch Arrow/pandas kernels (binary_length vs utf8_length), one
+    tiny (lang) exchange. All-integer output."""
+    from ray.data.aggregate import Sum
+
+    def stats(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        nb = pc.binary_length(t["text"].cast(pa.binary())).to_numpy()
+        nc = pc.utf8_length(t["text"]).to_numpy()
+        df = pd.DataFrame({"lang": lang.astype(str),
+                           "b_p": nb.astype(np.int64),
+                           "c_p": nc.astype(np.int64),
+                           "a_p": (nb == nc).astype(np.int64),
+                           "d_p": np.ones(lang.size, np.int64)})
+        g = df.groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (_read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(stats, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("b_p", alias_name="n_bytes"),
+                       Sum("c_p", alias_name="n_chars"),
+                       Sum("a_p", alias_name="n_ascii_docs"),
+                       Sum("d_p", alias_name="n_docs")))
+
+
+SQL_ENCODING_STATS = """
+SELECT lang,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN strlen(text) = length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ascii_docs,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_interval_slot_join(sf_dir: str):
+    """Interval-overlap join (the Flink window join / kdb wj shape):
+    user sessions (30-min-gap rule, half-open [first, last+1us)) joined
+    against the sparse set of 6-hour audit slots (slots with
+    (slot * 2654435761) % 97 < 20 -- a deterministic ~20% mask), output
+    = one row per (session, overlapping audit slot) with the clipped
+    overlap. The distributed shape: a session replicates only to the
+    slot range it covers (flat expansion, bounded by duration/6 h), the
+    slot predicate is a formula so the small side never ships. One
+    user-hash map_groups; all-integer output:
+    (user_id, session_id, slot, overlap_us)."""
+    P = 21_600_000_000
+    GAP = 1_800_000_000
+
+    def sessions(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        e = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        o = np.lexsort((e, ts, u))
+        u, ts = u[o], ts[o]
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP)
+        sid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], u.size) - 1
+        su, s0, s1 = u[starts], ts[starts], ts[ends] + 1
+        # per-user session index (0-based)
+        sess_of_user = np.cumsum(np.ones(starts.size, np.int64)) - 1
+        ub = np.ones(starts.size, dtype=bool)
+        ub[1:] = su[1:] != su[:-1]
+        base = np.maximum.accumulate(np.where(ub, sess_of_user, 0))
+        sidx = sess_of_user - base
+        out_u, out_s, out_slot, out_ov = [], [], [], []
+        for i in range(starts.size):
+            lo, hi = s0[i] // P, (s1[i] - 1) // P
+            slots = np.arange(lo, hi + 1, dtype=np.int64)
+            slots = slots[(slots * 2654435761) % 97 < 20]
+            if not slots.size:
+                continue
+            ov = (np.minimum(s1[i], (slots + 1) * P)
+                  - np.maximum(s0[i], slots * P))
+            out_u.append(np.full(slots.size, su[i], np.int64))
+            out_s.append(np.full(slots.size, sidx[i], np.int64))
+            out_slot.append(slots)
+            out_ov.append(ov)
+        if not out_u:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_id": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "overlap_us": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "session_id": pa.array(np.concatenate(out_s), pa.int64()),
+            "slot": pa.array(np.concatenate(out_slot), pa.int64()),
+            "overlap_us": pa.array(np.concatenate(out_ov), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return t.append_column("part", pa.array(u % 64, pa.int32()))
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(sessions, batch_format="pyarrow")
+            .select_columns(["user_id", "session_id", "slot", "overlap_us"]))
+
+
+SQL_INTERVAL_SLOT_JOIN = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+l AS (SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (SELECT user_id, t,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+      FROM l),
+iv AS (SELECT user_id, session_id, min(t) AS s0, max(t) + 1 AS s1
+       FROM s GROUP BY 1, 2),
+x AS (SELECT user_id, session_id, s0, s1,
+             unnest(range(s0 // 21600000000, (s1 - 1) // 21600000000 + 1))
+                 AS slot
+      FROM iv)
+SELECT user_id, session_id, slot,
+       least(s1, (slot + 1) * 21600000000)
+         - greatest(s0, slot * 21600000000) AS overlap_us
+FROM x WHERE (slot * 2654435761) % 97 < 20
+"""
+
+
+
+
+# --------- session 8: concentration / fertility / char n-gram profile ----
+
+def q_coverage_k(sf_dir: str):
+    """Corpus concentration (the 'how many hosts cover half the crawl'
+    Zipf-skew headline every crawl report carries): per-host page counts,
+    then the smallest k such that the k largest hosts cover >= 50% of all
+    pages. The count table is O(hosts) metadata: per-batch host partials,
+    one host groupby, then a count-of-counts histogram (O(distinct
+    count values) rows) whose descending cumulative scan yields k without
+    ever sorting hosts globally. All-integer single-row output:
+    (n_hosts, n_pages, k_half)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url"])
+    idx_re = re.compile(r"-(\d+)\.example\.com")
+
+    def host_part(t: pa.Table) -> pa.Table:
+        h = (pc.list_element(pc.split_pattern(t["url"], "/"), 2).to_pandas()
+             .str.extract(idx_re, expand=False).astype(np.int64))
+        v, n = np.unique(h.to_numpy(), return_counts=True)
+        return pa.table({"host": pa.array(v, pa.int64()),
+                         "c_p": pa.array(n.astype(np.int64), pa.int64())})
+
+    per_host = (ds.map_batches(host_part, batch_format="pyarrow")
+                .groupby("host").aggregate(Sum("c_p", alias_name="n")))
+    # count-of-counts: how many hosts have exactly n pages
+    hist = (per_host.groupby("n").aggregate(Count(alias_name="n_hosts"))
+            .to_pandas().sort_values("n", ascending=False))
+    cnt = hist["n"].to_numpy(np.int64)
+    nh = hist["n_hosts"].to_numpy(np.int64)
+    total_pages = int((cnt * nh).sum())
+    total_hosts = int(nh.sum())
+    half = (total_pages + 1) // 2
+    pages_cum = np.cumsum(cnt * nh)
+    i = int(np.searchsorted(pages_cum, half))
+    covered_before = int(pages_cum[i - 1]) if i else 0
+    # within the count level cnt[i], each host adds cnt[i] pages
+    need = half - covered_before
+    k_in_level = int((need + cnt[i] - 1) // cnt[i])
+    k_half = int(nh[:i].sum()) + k_in_level
+    return pd.DataFrame({"n_hosts": [np.int64(total_hosts)],
+                         "n_pages": [np.int64(total_pages)],
+                         "k_half": [np.int64(k_half)]})
+
+
+SQL_COVERAGE_K = """
+WITH pg AS (SELECT url FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+h AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT)
+                 AS host
+      FROM pg),
+c AS (SELECT host, count(*) AS n FROM h GROUP BY host),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+             CAST(sum(n) AS BIGINT) AS n_pages FROM c),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, host) AS rk,
+             CAST(sum(n) OVER (ORDER BY n DESC, host
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM c)
+SELECT t.n_hosts, t.n_pages,
+       (SELECT CAST(min(rk) AS BIGINT) FROM r
+        WHERE cum >= (t.n_pages + 1) // 2) AS k_half
+FROM t
+"""
+
+
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility per language (the tokenizer-QA ratio --
+    BPE-ish pretokens per whitespace word -- that decides whether a
+    multilingual corpus needs a bigger vocab): per lang, total
+    whitespace tokens, total BPE-ish pretokens (the RE2-parity pattern
+    shared with text_stats), and doc count. Pure per-batch compiled-
+    regex scans folded to one row per (batch, lang); one tiny lang
+    exchange. All-integer output."""
+    from ray.data.aggregate import Sum
+
+    def parts(t: pa.Table) -> pa.Table:
+        from .functions.text import bpe_token_counts, token_counts
+
+        lang = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": lang.astype(str),
+                           "w_p": token_counts(txt),
+                           "b_p": bpe_token_counts(txt),
+                           "d_p": np.ones(lang.size, np.int64)})
+        g = df.groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (_read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(parts, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("w_p", alias_name="n_words"),
+                       Sum("b_p", alias_name="n_bpe_tokens"),
+                       Sum("d_p", alias_name="n_docs")))
+
+
+SQL_TOKENIZER_FERTILITY = """
+SELECT lang,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+            AS BIGINT) AS n_words,
+       CAST(sum(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+           ))) AS BIGINT) AS n_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_char_trigrams(sf_dir: str):
+    """Character-trigram profile per language (the TRAINING side of
+    lang_id's n-gram classifier -- fastText/CLD build exactly this
+    table): the 5 most frequent character trigrams per lang with counts,
+    ties broken on the trigram string. Per-batch partial counts (one
+    O(len) slice pass per doc), one (lang, gram) exchange, per-lang
+    top-5 by (n desc, gram asc). Output: (lang, gram, n)."""
+    from ray.data.aggregate import Sum
+
+    def parts(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        rows_l, rows_g = [], []
+        for lg, tx in zip(lang, txt):
+            s = tx or ""
+            if len(s) < 3:
+                continue
+            rows_l.append(lg)
+            rows_g.append([s[i:i + 3] for i in range(len(s) - 2)])
+        if not rows_l:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "gram": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        df = pd.DataFrame({"lang": rows_l, "gram": rows_g}).explode("gram")
+        g = df.groupby(["lang", "gram"], sort=False).size().reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "gram": pa.array(g["gram"].to_numpy(dtype=object), pa.string()),
+            "c_p": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    agg = (_read(sf_dir, "documents", ["lang", "text"])
+           .map_batches(parts, batch_format="pyarrow")
+           .groupby(["lang", "gram"]).aggregate(Sum("c_p", alias_name="n")))
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["n", "gram"], ascending=[False, True])
+                .head(5)[["lang", "gram", "n"]])
+
+    return (agg.groupby("lang").map_groups(top5, batch_format="pandas"))
+
+
+SQL_CHAR_TRIGRAMS = """
+WITH d AS (SELECT lang, text FROM documents WHERE length(text) >= 3),
+x AS (SELECT lang, text,
+             unnest(range(length(text) - 2)) AS i
+      FROM d),
+g AS (SELECT lang, substr(text, CAST(i AS INT) + 1, 3) AS gram FROM x),
+c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram),
+r AS (SELECT lang, gram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, gram) AS rk
+      FROM c)
+SELECT lang, gram, CAST(n AS BIGINT) AS n FROM r WHERE rk <= 5
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -13478,6 +13876,12 @@ QUERIES = {
     "reciprocal_links": q_reciprocal_links,
     "k_anonymity": q_k_anonymity,
     "benford_digits": q_benford_digits,
+    "adaptive_tiles": q_adaptive_tiles,
+    "encoding_stats": q_encoding_stats,
+    "interval_slot_join": q_interval_slot_join,
+    "coverage_k": q_coverage_k,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "char_trigrams": q_char_trigrams,
 }
 
 ORACLE_SQL = {
@@ -13628,6 +14032,12 @@ ORACLE_SQL = {
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
     "k_anonymity": SQL_K_ANONYMITY,
     "benford_digits": SQL_BENFORD_DIGITS,
+    "adaptive_tiles": SQL_ADAPTIVE_TILES,
+    "encoding_stats": SQL_ENCODING_STATS,
+    "interval_slot_join": SQL_INTERVAL_SLOT_JOIN,
+    "coverage_k": SQL_COVERAGE_K,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "char_trigrams": SQL_CHAR_TRIGRAMS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

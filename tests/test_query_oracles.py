@@ -63,6 +63,8 @@ SUBSET = [
     "hausdorff_split", "exact_median", "sentence_stats",
     "polyline_buffer", "hits_scores", "feature_hash",
     "reciprocal_links", "k_anonymity", "benford_digits",
+    "adaptive_tiles", "encoding_stats", "interval_slot_join",
+    "coverage_k", "tokenizer_fertility", "char_trigrams",
 ]
 
 
