@@ -505,6 +505,9 @@ def run_bench() -> dict:
     timed("tokenizer_fertility",
           lambda: consume(Q.q_tokenizer_fertility(sf_dir)))
     timed("char_trigrams", lambda: consume(Q.q_char_trigrams(sf_dir)))
+    timed("hilbert_range_query", lambda: Q.q_hilbert_range_query(sf_dir))
+    timed("langid_confusion", lambda: consume(Q.q_langid_confusion(sf_dir)))
+    timed("jackknife_sums", lambda: Q.q_jackknife_sums(sf_dir))
 
     def finish() -> dict:
         out = {

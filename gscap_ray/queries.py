@@ -13632,6 +13632,160 @@ SELECT lang, gram, CAST(n AS BIGINT) AS n FROM r WHERE rk <= 5
 
 
 
+
+# ------- session 8: SFC range scan / model eval / jackknife ----
+
+def q_hilbert_range_query(sf_dir: str):
+    """Space-filling-curve RANGE SCAN (the read path that makes
+    hilbert_layout useful: answer a lat/lon box query by key ranges over
+    Hilbert-sorted files instead of a full scan). The driver decomposes
+    the query box into maximal contiguous hkey ranges (O(box cells) for
+    a bounded box — the classic SFC covering; 1600 cells -> ranges in
+    microseconds), broadcasts the ~100-entry range table once, and every
+    batch probes it with one searchsorted — the scan reads the SAME rows
+    the direct box predicate selects, which the oracle PROVES by
+    computing the range count from its own unrolled Hilbert CTEs and the
+    row set from the raw predicate. All-integer single-row output:
+    (n_ranges, n_rows, id_sum)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from .functions.cells import hilbert_key
+
+    X0, X1, Y0, Y1 = 100, 139, 100, 139   # quantized query box (40x40)
+    gx, gy = np.meshgrid(np.arange(X0, X1 + 1), np.arange(Y0, Y1 + 1),
+                         indexing="ij")
+    keys = np.sort(hilbert_key(gx.ravel(), gy.ravel(), order=8))
+    brk = np.flatnonzero(np.diff(keys) > 1)
+    starts = keys[np.concatenate([[0], brk + 1])]
+    ends = keys[np.concatenate([brk, [keys.size - 1]])]   # inclusive
+    n_ranges = int(starts.size)
+    r_ref = _ray.put((starts, ends))
+
+    def scan(t: pa.Table) -> pa.Table:
+        st, en = _ray.get(r_ref)
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        qx = np.floor(((lon + 180.0) / 360.0) * 256.0).astype(np.int64)
+        qy = np.floor(((lat + 90.0) / 180.0) * 256.0).astype(np.int64)
+        hk = hilbert_key(qx, qy, order=8)
+        i = np.searchsorted(st, hk, side="right") - 1
+        hit = (i >= 0) & (hk <= en[np.clip(i, 0, en.size - 1)])
+        return pa.table({
+            "n_p": pa.array([np.int64(hit.sum())], pa.int64()),
+            "s_p": pa.array([np.int64(eid[hit].sum())], pa.int64())})
+
+    agg = (_points_ds(sf_dir)
+           .map_batches(scan, batch_format="pyarrow")
+           .aggregate(Sum("n_p", alias_name="n_rows"),
+                      Sum("s_p", alias_name="id_sum")))
+    return pd.DataFrame({"n_ranges": [np.int64(n_ranges)],
+                         "n_rows": [np.int64(agg["n_rows"])],
+                         "id_sum": [np.int64(agg["id_sum"])]})
+
+
+SQL_HILBERT_RANGE_QUERY = f"""
+WITH p AS ({_PTS_SQL}),
+q AS (SELECT event_id,
+             CAST(floor(((lon + 180.0) / 360.0) * 256.0) AS BIGINT) AS bx,
+             CAST(floor(((lat + 90.0) / 180.0) * 256.0) AS BIGINT) AS by
+      FROM p),
+hits AS (SELECT event_id FROM q
+         WHERE bx BETWEEN 100 AND 139 AND by BETWEEN 100 AND 139),
+cells AS (SELECT gx.x AS qx, gy.x AS qy, 0 AS n
+          FROM range(100, 140) gx(x) CROSS JOIN range(100, 140) gy(x)),
+{_HILBERT_CTES},
+k AS (SELECT d, lag(d) OVER (ORDER BY d) AS pd FROM {_HILBERT_LAST})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM k
+        WHERE pd IS NULL OR d - pd > 1) AS n_ranges,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_rows,
+       (SELECT CAST(coalesce(sum(event_id), 0) AS BIGINT) FROM hits)
+           AS id_sum
+"""
+
+
+def q_langid_confusion(sf_dir: str):
+    """Classifier-evaluation confusion matrix (the model-QA step after
+    any heuristic labeler runs at corpus scale): cross-tab of the
+    corpus's ground-truth lang column against the engine's own lang_id
+    predictions (functions/text.detect_language — the same RE2-parity
+    heuristic q_lang_id oracles). Per-batch prediction + partial counts,
+    ONE tiny (lang, pred) exchange. Output: (lang, lang_pred, n)."""
+    from ray.data.aggregate import Sum
+
+    def parts(t: pa.Table) -> pa.Table:
+        from .functions.text import detect_language
+
+        lang = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        pred = np.asarray(detect_language(
+            t["text"].to_numpy(zero_copy_only=False)), dtype=object)
+        df = pd.DataFrame({"lang": lang.astype(str),
+                           "lang_pred": pred.astype(str)})
+        g = df.groupby(["lang", "lang_pred"], sort=False).size().reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "lang_pred": pa.array(g["lang_pred"].to_numpy(dtype=object),
+                                  pa.string()),
+            "c_p": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
+            .map_batches(parts, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Sum("c_p", alias_name="n")))
+
+
+def q_jackknife_sums(sf_dir: str):
+    """Delete-one-block jackknife sufficient statistics (the distributed
+    variance-estimation primitive: resampling WITHOUT replication — the
+    b-th replicate is just total minus block b): events hash to 10
+    blocks (event_id % 10), one grouped integer sum yields the 10 block
+    rows, and each leave-one-out replicate is pure O(1) algebra over
+    that metadata. All-integer output:
+    (block, sum_excl_cents, n_excl)."""
+    from ray.data.aggregate import Sum
+
+    def pk(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"block": pa.array(eid % 10, pa.int64()),
+                         "c_p": pa.array(c, pa.int64()),
+                         "n_p": pa.array(np.ones(eid.size, np.int64),
+                                         pa.int64())})
+
+    blocks = (_read(sf_dir, "events", ["event_id", "value"])
+              .map_batches(pk, batch_format="pyarrow")
+              .groupby("block").aggregate(Sum("c_p", alias_name="s"),
+                                          Sum("n_p", alias_name="n"))
+              .to_pandas())
+    s = blocks["s"].to_numpy(np.int64)
+    n = blocks["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "block": blocks["block"].to_numpy(np.int64),
+        "sum_excl_cents": (s.sum() - s).astype(np.int64),
+        "n_excl": (n.sum() - n).astype(np.int64)})
+
+
+SQL_JACKKNIFE_SUMS = """
+WITH e AS (SELECT event_id % 10 AS block,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+b AS (SELECT block, CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+      FROM e GROUP BY block)
+SELECT block,
+       CAST((SELECT sum(s) FROM b) - s AS BIGINT) AS sum_excl_cents,
+       CAST((SELECT sum(n) FROM b) - n AS BIGINT) AS n_excl
+FROM b
+"""
+
+
+
+SQL_LANGID_CONFUSION = f"""
+SELECT d.lang, p.lang_pred, count(*) AS n
+FROM ({SQL_LANG_ID}) p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+"""
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -13882,6 +14036,9 @@ QUERIES = {
     "coverage_k": q_coverage_k,
     "tokenizer_fertility": q_tokenizer_fertility,
     "char_trigrams": q_char_trigrams,
+    "hilbert_range_query": q_hilbert_range_query,
+    "langid_confusion": q_langid_confusion,
+    "jackknife_sums": q_jackknife_sums,
 }
 
 ORACLE_SQL = {
@@ -14038,6 +14195,9 @@ ORACLE_SQL = {
     "coverage_k": SQL_COVERAGE_K,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "char_trigrams": SQL_CHAR_TRIGRAMS,
+    "hilbert_range_query": SQL_HILBERT_RANGE_QUERY,
+    "langid_confusion": SQL_LANGID_CONFUSION,
+    "jackknife_sums": SQL_JACKKNIFE_SUMS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

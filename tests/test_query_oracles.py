@@ -65,6 +65,7 @@ SUBSET = [
     "reciprocal_links", "k_anonymity", "benford_digits",
     "adaptive_tiles", "encoding_stats", "interval_slot_join",
     "coverage_k", "tokenizer_fertility", "char_trigrams",
+    "hilbert_range_query", "langid_confusion", "jackknife_sums",
 ]
 
 
