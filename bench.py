@@ -508,6 +508,10 @@ def run_bench() -> dict:
     timed("hilbert_range_query", lambda: Q.q_hilbert_range_query(sf_dir))
     timed("langid_confusion", lambda: consume(Q.q_langid_confusion(sf_dir)))
     timed("jackknife_sums", lambda: Q.q_jackknife_sums(sf_dir))
+    timed("rect_union_area", lambda: consume(Q.q_rect_union_area(sf_dir)))
+    timed("graph_diameter_lb", lambda: Q.q_graph_diameter_lb(sf_dir))
+    timed("char_collision_mass",
+          lambda: consume(Q.q_char_collision_mass(sf_dir)))
 
     def finish() -> dict:
         out = {

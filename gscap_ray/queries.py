@@ -13786,6 +13786,257 @@ GROUP BY d.lang, p.lang_pred
 """
 
 
+
+# ------- session 8: rect union area / graph diameter / collision mass ----
+
+def q_rect_union_area(sf_dir: str):
+    """Union-of-rectangles area per user (ST_Union(geometry) measure --
+    the dissolve/footprint op of every coverage analysis, done as the
+    classic coordinate-compression sweep): each user's even-event rects
+    (the rect_overlap_join A-side) union into one footprint; area =
+    sum over x-strips of strip_width x merged-y-coverage. The sweep is
+    per-user local (ONE user-hash map_groups, strips x active-rects
+    vectorized inside); coordinates are exact integer micro-degrees so
+    the area is exact int64. The oracle replays the identical sweep
+    relationally: strips from lead() over distinct x-edges, per-strip
+    y-islands via the running-max window trick, summed per user.
+    All-integer output: (user_id, union_area, n_rects)."""
+    def union_area(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        m = eid % 2 == 0
+        u, eid = u[m], eid[m]
+        ilat = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)[m]
+        ilon = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)[m]
+        wlat = 50 + (eid * 31) % 150
+        wlon = 50 + (eid * 17) % 150
+        x0, x1 = ilat - wlat, ilat + wlat
+        y0, y1 = ilon - wlon, ilon + wlon
+        o = np.argsort(u, kind="stable")
+        u, x0, x1, y0, y1 = u[o], x0[o], x1[o], y0[o], y1[o]
+        gb = np.ones(u.size, dtype=bool)
+        gb[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(gb)
+        ends = np.append(starts[1:], u.size)
+        out_u, out_a, out_n = [], [], []
+        for s, e in zip(starts, ends):
+            ax0, ax1 = x0[s:e], x1[s:e]
+            ay0, ay1 = y0[s:e], y1[s:e]
+            xs = np.unique(np.concatenate([ax0, ax1]))
+            total = np.int64(0)
+            for i in range(xs.size - 1):
+                lo, hi = xs[i], xs[i + 1]
+                act = (ax0 <= lo) & (ax1 >= hi)
+                if not act.any():
+                    continue
+                yy0 = np.sort(ay0[act])
+                yy1 = ay1[act][np.argsort(ay0[act], kind="stable")]
+                run_end = np.maximum.accumulate(yy1)
+                # island starts where y0 exceeds the running max so far
+                new = np.ones(yy0.size, dtype=bool)
+                new[1:] = yy0[1:] > run_end[:-1]
+                st_i = np.flatnonzero(new)
+                en_i = np.append(st_i[1:] - 1, yy0.size - 1)
+                cov = int(run_end[en_i].sum() - yy0[st_i].sum())
+                total += (hi - lo) * cov
+            out_u.append(u[s])
+            out_a.append(total)
+            out_n.append(e - s)
+        return pa.table({
+            "user_id": pa.array(np.asarray(out_u, np.int64), pa.int64()),
+            "union_area": pa.array(np.asarray(out_a, np.int64), pa.int64()),
+            "n_rects": pa.array(np.asarray(out_n, np.int64), pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return t.append_column("part", pa.array(u % 64, pa.int32()))
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(union_area, batch_format="pyarrow")
+            .select_columns(["user_id", "union_area", "n_rects"]))
+
+
+SQL_RECT_UNION_AREA = f"""
+WITH p AS ({_PTS_SQL}),
+r AS (SELECT user_id,
+             CAST(round(lat * 100000) AS BIGINT)
+               - (50 + (event_id * 31) % 150) AS x0,
+             CAST(round(lat * 100000) AS BIGINT)
+               + (50 + (event_id * 31) % 150) AS x1,
+             CAST(round(lon * 100000) AS BIGINT)
+               - (50 + (event_id * 17) % 150) AS y0,
+             CAST(round(lon * 100000) AS BIGINT)
+               + (50 + (event_id * 17) % 150) AS y1
+      FROM p WHERE event_id % 2 = 0),
+xe AS (SELECT DISTINCT user_id, x0 AS xs FROM r
+       UNION SELECT DISTINCT user_id, x1 FROM r),
+st AS (SELECT user_id, xs, lead(xs) OVER (PARTITION BY user_id ORDER BY xs)
+                               AS xe
+       FROM xe),
+strips AS (SELECT user_id, xs, xe FROM st WHERE xe IS NOT NULL),
+act AS (SELECT s.user_id, s.xs, s.xe, r.y0, r.y1
+        FROM strips s JOIN r ON r.user_id = s.user_id
+                           AND r.x0 <= s.xs AND r.x1 >= s.xe),
+w AS (SELECT user_id, xs, xe, y0, y1,
+             max(y1) OVER (PARTITION BY user_id, xs ORDER BY y0, y1
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+      FROM act),
+isl AS (SELECT user_id, xs, xe, y0, y1,
+               CAST(sum(CASE WHEN prev_max IS NULL OR y0 > prev_max
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id, xs ORDER BY y0, y1
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        FROM w),
+cov AS (SELECT user_id, xs, xe, island,
+               max(y1) - min(y0) AS c
+        FROM isl GROUP BY user_id, xs, xe, island),
+area AS (SELECT user_id, CAST(sum((xe - xs) * c) AS BIGINT) AS union_area
+         FROM cov GROUP BY user_id),
+nr AS (SELECT user_id, count(*) AS n_rects FROM r GROUP BY user_id)
+SELECT area.user_id, area.union_area, nr.n_rects
+FROM area JOIN nr ON nr.user_id = area.user_id
+"""
+
+
+def q_graph_diameter_lb(sf_dir: str):
+    """Graph-diameter lower bound by double BFS (the iGraph/NetworKit
+    heuristic that pins the diameter of a web graph without all-pairs
+    work): BFS from host 0 finds a farthest node u (ties -> smallest
+    id), BFS from u finds the eccentricity of u -- a certified lower
+    bound. Reuses the frontier machinery shape of link_bfs_hops: each
+    round folds min-neighbor-distance per node over the edge set with
+    the O(U) distance vector broadcast. Unreached nodes stay -1. Output
+    one row: (start_far, ecc_start, far_node, diameter_lb)."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    und, U = _link_graph_und(sf_dir)
+
+    def bfs(src: int, rounds: int = 8) -> np.ndarray:
+        dist = np.full(U, -1, np.int64)
+        dist[src] = 0
+        for _ in range(rounds):
+            ref = _ray.put(dist)
+
+            def relax(t: pa.Table, _r=ref) -> pa.Table:
+                d = _ray.get(_r)
+                lo = t["lo"].to_numpy()
+                hi = t["hi"].to_numpy()
+                cand_n, cand_d = [], []
+                for a, b in ((lo, hi), (hi, lo)):
+                    m = (d[a] >= 0)
+                    cand_n.append(b[m])
+                    cand_d.append(d[a][m] + 1)
+                n = np.concatenate(cand_n)
+                dd = np.concatenate(cand_d)
+                if not n.size:
+                    return pa.table({"node": pa.array([], pa.int64()),
+                                     "d_p": pa.array([], pa.int64())})
+                o = np.lexsort((dd, n))
+                n, dd = n[o], dd[o]
+                first = np.ones(n.size, dtype=bool)
+                first[1:] = n[1:] != n[:-1]
+                return pa.table({"node": pa.array(n[first], pa.int64()),
+                                 "d_p": pa.array(dd[first], pa.int64())})
+
+            agg = (und.map_batches(relax, batch_format="pyarrow")
+                   .groupby("node").aggregate(Min("d_p", alias_name="d"))
+                   .to_pandas())
+            nd = agg["node"].to_numpy(np.int64)
+            dv = agg["d"].to_numpy(np.int64)
+            upd = (dist[nd] < 0) | (dv < dist[nd])
+            if not upd.any():
+                break
+            dist[nd[upd]] = dv[upd]
+        return dist
+
+    d0 = bfs(0)
+    reach = np.flatnonzero(d0 >= 0)
+    far = int(reach[np.lexsort((reach, -d0[reach]))[0]])
+    ecc0 = int(d0[far])
+    d1 = bfs(far)
+    lb = int(d1.max())
+    return pd.DataFrame({"start_far": [np.int64(far)],
+                         "ecc_start": [np.int64(ecc0)],
+                         "far_node": [np.int64(int(np.flatnonzero(d1 == lb).min()))],
+                         "diameter_lb": [np.int64(lb)]})
+
+
+SQL_GRAPH_DIAMETER_LB = f"""
+WITH RECURSIVE {_SQL_LINK_UND},
+b0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS d
+       UNION
+       SELECT adj.b, b0.d + 1 FROM b0 JOIN adj ON adj.a = b0.node
+       WHERE b0.d < 8),
+d0 AS (SELECT node, min(d) AS d FROM b0 GROUP BY node),
+farpick AS (SELECT node, d FROM d0 ORDER BY d DESC, node LIMIT 1),
+b1 AS (SELECT node AS node, 0::BIGINT AS d FROM farpick
+       UNION
+       SELECT adj.b, b1.d + 1 FROM b1 JOIN adj ON adj.a = b1.node
+       WHERE b1.d < 8),
+d1 AS (SELECT node, min(d) AS d FROM b1 GROUP BY node),
+mx AS (SELECT max(d) AS lb FROM d1)
+SELECT (SELECT node FROM farpick) AS start_far,
+       (SELECT d FROM farpick) AS ecc_start,
+       (SELECT CAST(min(node) AS BIGINT) FROM d1, mx WHERE d1.d = mx.lb)
+           AS far_node,
+       (SELECT CAST(lb AS BIGINT) FROM mx) AS diameter_lb
+"""
+
+
+def q_char_collision_mass(sf_dir: str):
+    """Character collision mass per document (the Simpson-index /
+    Renyi-2 entropy proxy: sum of squared character counts -- high mass
+    = repetitive or low-alphabet text, the cheap cousin of the Gopher
+    repetition gates at the CHARACTER level, log-free and exact):
+    per-doc character value_counts squared-summed, plus the distinct
+    character count. Pure per-doc local work. All-integer output:
+    (doc_id, n_chars, n_distinct_chars, collision_mass)."""
+    def mass(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        nch = np.zeros(ids.size, np.int64)
+        nd = np.zeros(ids.size, np.int64)
+        cm = np.zeros(ids.size, np.int64)
+        for i, tx in enumerate(texts):
+            s = tx or ""
+            nch[i] = len(s)
+            if s:
+                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                _, cnt = np.unique(cp, return_counts=True)
+                nd[i] = cnt.size
+                cm[i] = int((cnt.astype(np.int64) ** 2).sum())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(nch, pa.int64()),
+                         "n_distinct_chars": pa.array(nd, pa.int64()),
+                         "collision_mass": pa.array(cm, pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(mass, batch_format="pyarrow"))
+
+
+SQL_CHAR_COLLISION_MASS = """
+WITH d AS (SELECT doc_id, text FROM documents),
+x AS (SELECT doc_id, unnest(range(length(text))) AS i, text FROM d
+      WHERE length(text) > 0),
+ch AS (SELECT doc_id, substr(text, CAST(i AS INT) + 1, 1) AS c FROM x),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+               count(*) AS n_distinct_chars,
+               CAST(sum(n * n) AS BIGINT) AS collision_mass
+        FROM cc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(agg.n_distinct_chars, 0) AS BIGINT)
+           AS n_distinct_chars,
+       CAST(coalesce(agg.collision_mass, 0) AS BIGINT) AS collision_mass
+FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -14039,6 +14290,9 @@ QUERIES = {
     "hilbert_range_query": q_hilbert_range_query,
     "langid_confusion": q_langid_confusion,
     "jackknife_sums": q_jackknife_sums,
+    "rect_union_area": q_rect_union_area,
+    "graph_diameter_lb": q_graph_diameter_lb,
+    "char_collision_mass": q_char_collision_mass,
 }
 
 ORACLE_SQL = {
@@ -14198,6 +14452,9 @@ ORACLE_SQL = {
     "hilbert_range_query": SQL_HILBERT_RANGE_QUERY,
     "langid_confusion": SQL_LANGID_CONFUSION,
     "jackknife_sums": SQL_JACKKNIFE_SUMS,
+    "rect_union_area": SQL_RECT_UNION_AREA,
+    "graph_diameter_lb": SQL_GRAPH_DIAMETER_LB,
+    "char_collision_mass": SQL_CHAR_COLLISION_MASS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

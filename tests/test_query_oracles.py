@@ -66,6 +66,7 @@ SUBSET = [
     "adaptive_tiles", "encoding_stats", "interval_slot_join",
     "coverage_k", "tokenizer_fertility", "char_trigrams",
     "hilbert_range_query", "langid_confusion", "jackknife_sums",
+    "rect_union_area", "graph_diameter_lb", "char_collision_mass",
 ]
 
 
