@@ -512,6 +512,10 @@ def run_bench() -> dict:
     timed("graph_diameter_lb", lambda: Q.q_graph_diameter_lb(sf_dir))
     timed("char_collision_mass",
           lambda: consume(Q.q_char_collision_mass(sf_dir)))
+    timed("grid_transitions", lambda: consume(Q.q_grid_transitions(sf_dir)))
+    timed("winsorized_sums", lambda: Q.q_winsorized_sums(sf_dir))
+    timed("ship_latency_hist",
+          lambda: consume(Q.q_ship_latency_hist(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -14037,6 +14037,230 @@ FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
 
 
 
+
+# ------- session 8: grid transitions / winsorized sums / ship latency ----
+
+def q_grid_transitions(sf_dir: str):
+    """Trajectory grid-boundary crossings (the supercover-length proxy of
+    line rasterization: how many 0.01-deg cell walls each user's path
+    crosses -- the tile-server work estimate for drawing a track): per
+    consecutive segment, vertical crossings = |cell_x(b) - cell_x(a)|
+    and horizontal likewise, on a grid OFFSET by 13 micro-deg so no
+    derived lattice point ever sits exactly on a wall (endpoints-on-
+    lines would make the count definitionally ambiguous). Pure integer
+    floor-divisions; ONE user-hash map_groups with a vectorized lag
+    scan. Output: (user_id, n_segments, wall_crossings)."""
+    G, OFF = 1000, 13
+
+    def walls(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        e = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, x, y = u[o], x[o], y[o]
+        same = u[:-1] == u[1:]
+        # shift non-negative before the floor-div: DuckDB // truncates
+        # toward zero on negatives while numpy floors (hilbert-key rule)
+        cx = (x + 9_000_000 - OFF) // G
+        cy = (y + 18_000_000 - OFF) // G
+        v = np.abs(cx[1:] - cx[:-1])[same]
+        h = np.abs(cy[1:] - cy[:-1])[same]
+        uu = u[:-1][same]
+        vals, idx = np.unique(uu, return_inverse=True)
+        nseg = np.bincount(idx)
+        wc = np.bincount(idx, weights=(v + h)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(vals, pa.int64()),
+            "n_segments": pa.array(nseg.astype(np.int64), pa.int64()),
+            "wall_crossings": pa.array(wc, pa.int64())})
+
+    def pk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return t.append_column("part", pa.array(u % 64, pa.int32()))
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(walls, batch_format="pyarrow")
+            .select_columns(["user_id", "n_segments", "wall_crossings"]))
+
+
+SQL_GRID_TRANSITIONS = f"""
+WITH p AS ({_PTS_SQL}),
+q AS (SELECT user_id, event_id, ts,
+             (CAST(round(lat * 100000) AS BIGINT) + 9000000 - 13) // 1000
+                 AS cx,
+             (CAST(round(lon * 100000) AS BIGINT) + 18000000 - 13) // 1000
+                 AS cy
+      FROM p),
+seg AS (SELECT user_id, cx, cy,
+               lead(cx) OVER w AS nx, lead(cy) OVER w AS ny
+        FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*) AS n_segments,
+       CAST(sum(abs(nx - cx) + abs(ny - cy)) AS BIGINT) AS wall_crossings
+FROM seg WHERE nx IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_winsorized_sums(sf_dir: str):
+    """Winsorized (clipped) aggregation per event_type (the robust-mean
+    prep every metrics pipeline runs to tame tail corruption): exact
+    P10/P90 order statistics located by the exact_median two-pass
+    machinery generalized to arbitrary k -- pass 1's 64-cent bucket
+    histogram serves BOTH quantiles (k10 = ceil(0.1 n), k90 =
+    ceil(0.9 n)), pass 2 pulls only the two target buckets per type,
+    then one clipped integer sum finishes. All-integer output:
+    (event_type, n, p10_cents, p90_cents, winsorized_sum)."""
+    from ray.data.aggregate import Sum
+
+    W = 64
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": et.astype(str), "bucket": c // W})
+        g = df.groupby(["event_type", "bucket"], sort=False).size().reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(dtype=object), pa.string()),
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    hist = (ev.map_batches(hist_part, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"])
+            .aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas().sort_values(["event_type", "bucket"]))
+    target = {}
+    for et, g in hist.groupby("event_type", sort=False):
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        bks = g["bucket"].to_numpy(np.int64)
+        spec = {}
+        for tag, k in (("p10", (n + 9) // 10), ("p90", (9 * n + 9) // 10)):
+            i = int(np.searchsorted(cum, k))
+            below = int(cum[i - 1]) if i else 0
+            spec[tag] = (int(bks[i]), k - below - 1)
+        target[str(et)] = (spec, n)
+
+    def in_targets(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        b = c // W
+        b10 = np.array([target[s][0]["p10"][0] for s in et.astype(str)], np.int64)
+        b90 = np.array([target[s][0]["p90"][0] for s in et.astype(str)], np.int64)
+        m = (b == b10) | (b == b90)
+        return pa.table({"event_type": pa.array(et[m].astype(str), pa.string()),
+                         "c": pa.array(c[m], pa.int64())})
+
+    vals = ev.map_batches(in_targets, batch_format="pyarrow").to_pandas()
+    cuts = {}
+    for et, (spec, n) in target.items():
+        v = np.sort(vals.loc[vals["event_type"] == et, "c"].to_numpy(np.int64))
+        lo_b, lo_off = spec["p10"]
+        hi_b, hi_off = spec["p90"]
+        vlo = v[v // W == lo_b]
+        vhi = v[v // W == hi_b]
+        cuts[et] = (int(vlo[lo_off]), int(vhi[hi_off]), n)
+
+    def clipped(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        lo = np.array([cuts[s][0] for s in et.astype(str)], np.int64)
+        hi = np.array([cuts[s][1] for s in et.astype(str)], np.int64)
+        w = np.clip(c, lo, hi)
+        df = pd.DataFrame({"event_type": et.astype(str), "w": w})
+        g = df.groupby("event_type", sort=False)["w"].sum().reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(dtype=object), pa.string()),
+            "w_p": pa.array(g["w"].to_numpy(np.int64), pa.int64())})
+
+    ws = (ev.map_batches(clipped, batch_format="pyarrow")
+          .groupby("event_type").aggregate(Sum("w_p", alias_name="ws"))
+          .to_pandas())
+    out = []
+    for _, r in ws.iterrows():            # O(event types) = 5 rows
+        lo, hi, n = cuts[str(r["event_type"])]
+        out.append((r["event_type"], n, lo, hi, int(r["ws"])))
+    return (pd.DataFrame(out, columns=["event_type", "n", "p10_cents",
+                                       "p90_cents", "winsorized_sum"])
+            .astype({"n": np.int64, "p10_cents": np.int64,
+                     "p90_cents": np.int64, "winsorized_sum": np.int64}))
+
+
+SQL_WINSORIZED_SUMS = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+q AS (SELECT event_type, max(n) AS n,
+             max(CASE WHEN rk = (n + 9) // 10 THEN c END) AS p10,
+             max(CASE WHEN rk = (9 * n + 9) // 10 THEN c END) AS p90
+      FROM r GROUP BY event_type)
+SELECT e.event_type, CAST(q.n AS BIGINT) AS n,
+       CAST(q.p10 AS BIGINT) AS p10_cents,
+       CAST(q.p90 AS BIGINT) AS p90_cents,
+       CAST(sum(least(greatest(e.c, q.p10), q.p90)) AS BIGINT)
+           AS winsorized_sum
+FROM e JOIN q ON q.event_type = e.event_type
+GROUP BY e.event_type, q.n, q.p10, q.p90
+"""
+
+
+def q_ship_latency_hist(sf_dir: str):
+    """Order-to-ship latency histogram per priority (the TPC-H-flavored
+    ops metric: days from o_orderdate to each l_shipdate, bucketed by
+    o_orderpriority): the one exchange is the big-big hash join of
+    lineitem against orders on orderkey (Ray native join, partitions
+    sized to the cluster); date arithmetic and the (priority, days)
+    fold are vectorized per batch. All-integer output:
+    (o_orderpriority, lat_days, n)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_orderpriority"])
+    # join parallelism sized to the cluster (same sizing note as
+    # q_join_lineitem_orders: aggregator actors deadlock past CPU count)
+    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    j = li.join(od, "inner", jp, on=("l_orderkey",),
+                right_on=("o_orderkey",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        odt = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        pr = np.asarray(t["o_orderpriority"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        days = sd // 86_400_000_000 - odt // 86_400_000_000
+        df = pd.DataFrame({"o_orderpriority": pr.astype(str),
+                           "lat_days": days})
+        g = (df.groupby(["o_orderpriority", "lat_days"], sort=False)
+             .size().reset_index())
+        return pa.table({
+            "o_orderpriority": pa.array(g["o_orderpriority"]
+                                        .to_numpy(dtype=object), pa.string()),
+            "lat_days": pa.array(g["lat_days"].to_numpy(np.int64), pa.int64()),
+            "n_p": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+
+    return (j.map_batches(fold, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "lat_days"])
+            .aggregate(Sum("n_p", alias_name="n")))
+
+
+SQL_SHIP_LATENCY_HIST = """
+SELECT o.o_orderpriority,
+       epoch_us(l.l_shipdate) // 86400000000
+         - epoch_us(o.o_orderdate) // 86400000000 AS lat_days,
+       count(*) AS n
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -14293,6 +14517,9 @@ QUERIES = {
     "rect_union_area": q_rect_union_area,
     "graph_diameter_lb": q_graph_diameter_lb,
     "char_collision_mass": q_char_collision_mass,
+    "grid_transitions": q_grid_transitions,
+    "winsorized_sums": q_winsorized_sums,
+    "ship_latency_hist": q_ship_latency_hist,
 }
 
 ORACLE_SQL = {
@@ -14455,6 +14682,9 @@ ORACLE_SQL = {
     "rect_union_area": SQL_RECT_UNION_AREA,
     "graph_diameter_lb": SQL_GRAPH_DIAMETER_LB,
     "char_collision_mass": SQL_CHAR_COLLISION_MASS,
+    "grid_transitions": SQL_GRID_TRANSITIONS,
+    "winsorized_sums": SQL_WINSORIZED_SUMS,
+    "ship_latency_hist": SQL_SHIP_LATENCY_HIST,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

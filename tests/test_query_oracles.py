@@ -67,6 +67,7 @@ SUBSET = [
     "coverage_k", "tokenizer_fertility", "char_trigrams",
     "hilbert_range_query", "langid_confusion", "jackknife_sums",
     "rect_union_area", "graph_diameter_lb", "char_collision_mass",
+    "grid_transitions", "winsorized_sums", "ship_latency_hist",
 ]
 
 
