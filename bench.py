@@ -516,6 +516,11 @@ def run_bench() -> dict:
     timed("winsorized_sums", lambda: Q.q_winsorized_sums(sf_dir))
     timed("ship_latency_hist",
           lambda: consume(Q.q_ship_latency_hist(sf_dir)))
+    timed("ri_audit", lambda: Q.q_ri_audit(sf_dir))
+    timed("modularity_components",
+          lambda: Q.q_modularity_components(sf_dir))
+    timed("distance_histogram",
+          lambda: consume(Q.q_distance_histogram(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -14261,6 +14261,210 @@ GROUP BY 1, 2
 
 
 
+
+# ------- session 8: RI audit / modularity / distance histogram ----
+
+def q_ri_audit(sf_dir: str):
+    """Referential-integrity audit across the TPC-H star (the
+    data-quality gate a warehouse load runs before publishing): orphan
+    lineitems (no matching order), childless orders (no lineitems), and
+    customer-less orders -- three semi/anti-join cardinalities in ONE
+    pass per fact table against broadcast key sets (orders keys ~ N/4
+    int64s, customer keys tiny; at 100 TB the orders side would flip to
+    the bloom_semi_join pattern, same downstream). All-integer
+    single-row output."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ok = np.sort(_read(sf_dir, "orders", ["o_orderkey"])
+                 .to_pandas()["o_orderkey"].to_numpy(np.int64))
+    ck = np.sort(_read(sf_dir, "customer", ["c_custkey"])
+                 .to_pandas()["c_custkey"].to_numpy(np.int64))
+    lk = (_read(sf_dir, "lineitem", ["l_orderkey"]))
+    ok_ref, ck_ref = _ray.put(ok), _ray.put(ck)
+
+    def against(keys_ref):
+        def part(t: pa.Table, _r=keys_ref, _col=None) -> pa.Table:
+            keys = _ray.get(_r)
+            col = t.column_names[0]
+            v = t[col].to_numpy()
+            i = np.searchsorted(keys, v)
+            miss = (i >= keys.size) | (keys[np.clip(i, 0, keys.size - 1)] != v)
+            return pa.table({"m_p": pa.array([np.int64(miss.sum())], pa.int64())})
+        return part
+
+    orphan_li = int(lk.map_batches(against(ok_ref), batch_format="pyarrow")
+                    .aggregate(Sum("m_p", alias_name="n"))["n"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    custless = int(od.select_columns(["o_custkey"])
+                   .map_batches(against(ck_ref), batch_format="pyarrow")
+                   .aggregate(Sum("m_p", alias_name="n"))["n"])
+    # childless orders: orders keys minus distinct lineitem orderkeys
+    li_keys = np.sort(lk.unique("l_orderkey"))
+    childless = int(ok.size - np.isin(ok, li_keys).sum())
+    return pd.DataFrame({"orphan_lineitems": [np.int64(orphan_li)],
+                         "childless_orders": [np.int64(childless)],
+                         "customerless_orders": [np.int64(custless)]})
+
+
+SQL_RI_AUDIT = """
+SELECT (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+           AS orphan_lineitems,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey))
+           AS childless_orders,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+           AS customerless_orders
+"""
+
+
+def q_modularity_components(sf_dir: str):
+    """Newman modularity sufficient statistics for a given partition of
+    the REAL link graph (the community-quality metric every clustering
+    eval reports; partition = host % 8 as the fixed test split):
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ] reconstructs offline from the
+    EXACT integers emitted here -- per community the internal edge
+    count e_c and total degree d_c, plus global m. One pass over the
+    deduped edge set with per-batch partials; no floats anywhere.
+    Output: (community, e_in, deg_sum) + an m column for convenience."""
+    from ray.data.aggregate import Sum
+
+    und, U = _link_graph_und(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy()
+        hi = t["hi"].to_numpy()
+        cl, ch = lo % 8, hi % 8
+        acc_e = np.zeros(8, np.int64)
+        acc_d = np.zeros(8, np.int64)
+        same = cl == ch
+        np.add.at(acc_e, cl[same], 1)
+        np.add.at(acc_d, cl, 1)
+        np.add.at(acc_d, ch, 1)
+        nz = np.flatnonzero(acc_d)
+        return pa.table({"community": pa.array(nz, pa.int64()),
+                         "e_p": pa.array(acc_e[nz], pa.int64()),
+                         "d_p": pa.array(acc_d[nz], pa.int64())})
+
+    agg = (und.map_batches(part, batch_format="pyarrow")
+           .groupby("community").aggregate(Sum("e_p", alias_name="e_in"),
+                                           Sum("d_p", alias_name="deg_sum"))
+           .to_pandas())
+    m = int(agg["deg_sum"].sum()) // 2
+    agg["m"] = np.int64(m)
+    return agg.astype({"community": np.int64, "e_in": np.int64,
+                       "deg_sum": np.int64, "m": np.int64})
+
+
+SQL_MODULARITY_COMPONENTS = """
+WITH pg AS (SELECT url, decode(html) AS h
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM e WHERE src != dst),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM u),
+deg AS (SELECT c AS community, CAST(count(*) AS BIGINT) AS deg_sum
+        FROM (SELECT lo % 8 AS c FROM u UNION ALL SELECT hi % 8 FROM u)
+        GROUP BY c),
+ein AS (SELECT lo % 8 AS community, CAST(count(*) AS BIGINT) AS e_in
+        FROM u WHERE lo % 8 = hi % 8 GROUP BY 1)
+SELECT deg.community, CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+       deg.deg_sum, (SELECT m FROM m) AS m
+FROM deg LEFT JOIN ein ON ein.community = deg.community
+"""
+
+
+def q_distance_histogram(sf_dir: str):
+    """Pairwise-distance histogram over a deterministic point sample
+    (the variogram / Ripley-K prep of spatial statistics: the
+    distribution of inter-point distances): points with
+    event_id % 97 == 0 (~1% sample, byte-reproducible in SQL), all
+    pairs' integer micro-degree d2 bucketed by 200-micro distance bands
+    via integer threshold compares (band = #thresholds <= d2 --
+    sqrt-free). The sampled side is small by construction, broadcast
+    once; each batch of sampled points computes its block of the pair
+    matrix (upper triangle by id) vectorized. Output: (band, n_pairs)."""
+    from ray.data.aggregate import Sum
+
+    BANDS = (np.arange(1, 17, dtype=np.int64) * 200) ** 2  # 200..3200 micro
+
+    import ray as _ray
+
+    smp = (_points_ds(sf_dir)
+           .filter(lambda r: r["event_id"] % 97 == 0)
+           .to_pandas())
+    eid = smp["event_id"].to_numpy(np.int64)
+    sx = np.round(smp["lat"].to_numpy() * 100000.0).astype(np.int64)
+    sy = np.round(smp["lon"].to_numpy() * 100000.0).astype(np.int64)
+    o = np.argsort(eid)
+    eid, sx, sy = eid[o], sx[o], sy[o]
+    ref = _ray.put((eid, sx, sy))
+
+    def block(t: pa.Table) -> pa.Table:
+        ge, gx, gy = _ray.get(ref)
+        be = t["event_id"].to_numpy().astype(np.int64)
+        m = be % 97 == 0
+        be = be[m]
+        if not be.size:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        bx = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)[m]
+        by = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)[m]
+        d2 = (bx[:, None] - gx[None, :]) ** 2 + (by[:, None] - gy[None, :]) ** 2
+        upper = be[:, None] < ge[None, :]        # each pair counted once
+        band = np.searchsorted(BANDS, d2.ravel(), side="left")
+        band = band[upper.ravel()]
+        v, n = np.unique(band, return_counts=True)
+        return pa.table({"band": pa.array(v, pa.int64()),
+                         "n_p": pa.array(n.astype(np.int64), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(block, batch_format="pyarrow")
+            .groupby("band").aggregate(Sum("n_p", alias_name="n_pairs")))
+
+
+SQL_DISTANCE_HISTOGRAM = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT event_id,
+             CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y
+      FROM p WHERE event_id % 97 = 0),
+pr AS (SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+       FROM s a JOIN s b ON a.event_id < b.event_id),
+bd AS (SELECT (CASE WHEN d2 > 40000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 160000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 360000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 640000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 1000000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 1440000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 1960000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 2560000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 3240000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 4000000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 4840000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 5760000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 6760000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 7840000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 9000000 THEN 1 ELSE 0 END
+             + CASE WHEN d2 > 10240000 THEN 1 ELSE 0 END) AS band
+      FROM pr)
+SELECT band, count(*) AS n_pairs FROM bd GROUP BY band
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -14520,6 +14724,9 @@ QUERIES = {
     "grid_transitions": q_grid_transitions,
     "winsorized_sums": q_winsorized_sums,
     "ship_latency_hist": q_ship_latency_hist,
+    "ri_audit": q_ri_audit,
+    "modularity_components": q_modularity_components,
+    "distance_histogram": q_distance_histogram,
 }
 
 ORACLE_SQL = {
@@ -14685,6 +14892,9 @@ ORACLE_SQL = {
     "grid_transitions": SQL_GRID_TRANSITIONS,
     "winsorized_sums": SQL_WINSORIZED_SUMS,
     "ship_latency_hist": SQL_SHIP_LATENCY_HIST,
+    "ri_audit": SQL_RI_AUDIT,
+    "modularity_components": SQL_MODULARITY_COMPONENTS,
+    "distance_histogram": SQL_DISTANCE_HISTOGRAM,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -68,6 +68,7 @@ SUBSET = [
     "hilbert_range_query", "langid_confusion", "jackknife_sums",
     "rect_union_area", "graph_diameter_lb", "char_collision_mass",
     "grid_transitions", "winsorized_sums", "ship_latency_hist",
+    "ri_audit", "modularity_components", "distance_histogram",
 ]
 
 
