@@ -521,6 +521,9 @@ def run_bench() -> dict:
           lambda: Q.q_modularity_components(sf_dir))
     timed("distance_histogram",
           lambda: consume(Q.q_distance_histogram(sf_dir)))
+    timed("gini_components", lambda: consume(Q.q_gini_components(sf_dir)))
+    timed("anova_components", lambda: consume(Q.q_anova_components(sf_dir)))
+    timed("runs_test", lambda: consume(Q.q_runs_test(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -14465,6 +14465,191 @@ SELECT band, count(*) AS n_pairs FROM bd GROUP BY band
 
 
 
+def q_gini_components(sf_dir: str):
+    """Exact Gini concentration sufficient statistics per event_type
+    (the inequality/concentration audit of a revenue or traffic
+    pipeline). Integer value-cents; the rank-weighted form
+    gini_num = 2*sum(rank*x) - (n+1)*sum(x) is computed WITHOUT a
+    global per-row sort: groupby (event_type, cents) counts collapse
+    the data to the distinct-value histogram, then per type the run of
+    equal values at c (count k, b below) contributes
+    c*(k*b + k*(k+1)/2) to sum(rank*x) in closed form (tie-invariant).
+    Shuffle carries only the distinct-cents histogram. Output per type:
+    (n, sum_cents, gini_num); gini = gini_num / (n*sum_cents) downstream.
+    Envelope: cents<=6e4, n<=2e5/type at sf1 -> 2*S1 < 4.5e18 < int64."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pa.array(c, pa.int64())})
+
+    hist = (ev.map_batches(cents, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Count(alias_name="k")))
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents")
+        k = df["k"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        b = np.concatenate(([0], np.cumsum(k)[:-1]))
+        n = int(k.sum())
+        s = int((c * k).sum())
+        s1 = int((c * (k * b + k * (k + 1) // 2)).sum())
+        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
+                             "n": [n], "sum_cents": [s],
+                             "gini_num": [2 * s1 - (n + 1) * s]})
+
+    return hist.groupby("event_type").map_groups(per_type)
+
+
+SQL_GINI_COMPONENTS = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+g AS (SELECT event_type, cents, count(*) AS k
+      FROM c GROUP BY event_type, cents),
+w AS (SELECT event_type, cents, k,
+             COALESCE(CAST(sum(k) OVER (PARTITION BY event_type
+                                        ORDER BY cents
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS BIGINT), 0) AS b
+      FROM g),
+t AS (SELECT event_type,
+             CAST(sum(k) AS BIGINT) AS n,
+             CAST(sum(cents * k) AS BIGINT) AS s,
+             CAST(sum(cents * (k * b + k * (k + 1) // 2)) AS BIGINT) AS s1
+      FROM w GROUP BY event_type)
+SELECT event_type, n, s AS sum_cents,
+       2 * s1 - (n + 1) * s AS gini_num
+FROM t
+"""
+
+
+def q_anova_components(sf_dir: str):
+    """One-way ANOVA sufficient statistics: treatment = calendar day
+    within each event_type (the seasonality-vs-noise screen of a
+    metrics pipeline). All-integer per-cell scatter: for each
+    (event_type, d) the within-cell sum of squares times n is
+    ssw_num = n*sum(x^2) - (sum x)^2 (= n^2 * var). One partial
+    aggregation inside map_batches folds each block to per-cell
+    (n, s, ss) triples before the small groupby-sum -- the classic
+    combiner push-down; no row-level shuffle. Output:
+    (event_type, d, n, sum_cents, ssw_num)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        df = pd.DataFrame({"event_type": et.astype(str), "d": d,
+                           "n_p": 1, "s_p": c, "ss_p": c * c})
+        g = (df.groupby(["event_type", "d"], sort=False)
+             .agg(n_p=("n_p", "sum"), s_p=("s_p", "sum"),
+                  ss_p=("ss_p", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ev.map_batches(part, batch_format="pyarrow")
+           .groupby(["event_type", "d"])
+           .aggregate(Sum("n_p", alias_name="n"),
+                      Sum("s_p", alias_name="sum_cents"),
+                      Sum("ss_p", alias_name="ss")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        s = t["sum_cents"].to_numpy().astype(np.int64)
+        ss = t["ss"].to_numpy().astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "d": t["d"],
+                         "n": pa.array(n, pa.int64()),
+                         "sum_cents": pa.array(s, pa.int64()),
+                         "ssw_num": pa.array(n * ss - s * s, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ANOVA_COMPONENTS = """
+WITH c AS (SELECT event_type,
+                  CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT) AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+g AS (SELECT event_type, d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM c GROUP BY event_type, d)
+SELECT event_type, d, n, s AS sum_cents, n * ss - s * s AS ssw_num
+FROM g
+"""
+
+
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs count over each user's ordered event stream
+    (randomness screen on the value low bit: a stuck sensor or
+    duplicated feed shows up as too few runs). Per user, events ordered
+    by (ts, event_id); indicator = cents parity; output (user_id,
+    n_odd, n_even, n_runs) -- all integers, the z-score is a downstream
+    scalar. Scale shape: event_transitions' exchange -- one user-hash
+    shuffle, one lexsort segment scan per partition, per-user fold
+    inside the partition (no per-user map_groups tasks)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def runs(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        e = t["event_id"].to_numpy().astype(np.int64)
+        par = (np.round(t["value"].to_numpy() * 100).astype(np.int64)) & 1
+        o = np.lexsort((e, ts, u))
+        u, par = u[o], par[o]
+        if not u.size:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_odd": pa.array([], pa.int64()),
+                             "n_even": pa.array([], pa.int64()),
+                             "n_runs": pa.array([], pa.int64())})
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        change = np.concatenate(([True], par[1:] != par[:-1]))
+        run_start = (new_user | change).astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "odd": par,
+                           "even": 1 - par, "r": run_start})
+        g = (df.groupby("user_id", sort=False)
+             .agg(n_odd=("odd", "sum"), n_even=("even", "sum"),
+                  n_runs=("r", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(runs, batch_format="pyarrow")
+            .select_columns(["user_id", "n_odd", "n_even", "n_runs"]))
+
+
+SQL_RUNS_TEST = """
+WITH c AS (SELECT user_id, ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) % 2 AS par
+           FROM events),
+l AS (SELECT user_id, par,
+             lag(par) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev
+      FROM c)
+SELECT user_id,
+       CAST(sum(par) AS BIGINT) AS n_odd,
+       CAST(sum(1 - par) AS BIGINT) AS n_even,
+       CAST(sum(CASE WHEN prev IS NULL OR prev <> par
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+FROM l GROUP BY user_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -14727,6 +14912,9 @@ QUERIES = {
     "ri_audit": q_ri_audit,
     "modularity_components": q_modularity_components,
     "distance_histogram": q_distance_histogram,
+    "gini_components": q_gini_components,
+    "anova_components": q_anova_components,
+    "runs_test": q_runs_test,
 }
 
 ORACLE_SQL = {
@@ -14895,6 +15083,9 @@ ORACLE_SQL = {
     "ri_audit": SQL_RI_AUDIT,
     "modularity_components": SQL_MODULARITY_COMPONENTS,
     "distance_histogram": SQL_DISTANCE_HISTOGRAM,
+    "gini_components": SQL_GINI_COMPONENTS,
+    "anova_components": SQL_ANOVA_COMPONENTS,
+    "runs_test": SQL_RUNS_TEST,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -69,6 +69,7 @@ SUBSET = [
     "rect_union_area", "graph_diameter_lb", "char_collision_mass",
     "grid_transitions", "winsorized_sums", "ship_latency_hist",
     "ri_audit", "modularity_components", "distance_histogram",
+    "gini_components", "anova_components", "runs_test",
 ]
 
 
