@@ -524,6 +524,10 @@ def run_bench() -> dict:
     timed("gini_components", lambda: consume(Q.q_gini_components(sf_dir)))
     timed("anova_components", lambda: consume(Q.q_anova_components(sf_dir)))
     timed("runs_test", lambda: consume(Q.q_runs_test(sf_dir)))
+    timed("cusum_changepoint",
+          lambda: consume(Q.q_cusum_changepoint(sf_dir)))
+    timed("sssp_rounds", lambda: Q.q_sssp_rounds(sf_dir))
+    timed("scc_components", lambda: Q.q_scc_components(sf_dir))
 
     def finish() -> dict:
         out = {

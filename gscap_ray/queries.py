@@ -14650,6 +14650,285 @@ FROM l GROUP BY user_id
 
 
 
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM changepoint location per user (the level-shift detector of
+    a telemetry pipeline): with x = value-cents ordered by
+    (ts, event_id), the scaled CUSUM statistic T_k = n*prefix_k -
+    k*total is INTEGER (the rational S_k = prefix_k - k*mean multiplied
+    through by n -- the integer-output oracle trick on a sequential
+    scan). Output per user with >= 2 events: (user_id, n, k_star,
+    t_abs) where k_star is the smallest k in 1..n-1 maximizing |T_k|.
+    Scale shape: one user-hash shuffle, one lexsort segment scan per
+    partition -- prefix sums, reduceat totals, vectorized argmax."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def cusum(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "k_star": pa.array([], pa.int64()),
+                          "t_abs": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if not u.size:
+            return empty
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        e = t["event_id"].to_numpy().astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, c = u[o], c[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        seg = np.repeat(np.arange(starts.size), np.diff(
+            np.concatenate((starts, [u.size]))))
+        n = np.diff(np.concatenate((starts, [u.size])))[seg]
+        tot = np.add.reduceat(c, starts)[seg]
+        cs = np.cumsum(c)
+        base = np.concatenate(([0], cs[starts[1:] - 1]))[seg]
+        pre = cs - base
+        k = np.arange(u.size) - starts[seg] + 1
+        ta = np.abs(n * pre - k * tot)
+        m = k < n
+        if not m.any():
+            return empty
+        uu, kk, taa, nn = u[m], k[m], ta[m], n[m]
+        oo = np.lexsort((kk, -taa, uu))
+        uu, kk, taa, nn = uu[oo], kk[oo], taa[oo], nn[oo]
+        first = np.concatenate(([True], uu[1:] != uu[:-1]))
+        return pa.table({"user_id": pa.array(uu[first], pa.int64()),
+                         "n": pa.array(nn[first], pa.int64()),
+                         "k_star": pa.array(kk[first], pa.int64()),
+                         "t_abs": pa.array(taa[first], pa.int64())})
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(cusum, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "k_star", "t_abs"]))
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH c AS (SELECT user_id, ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+w AS (SELECT user_id,
+             CAST(sum(cents) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS k,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+      FROM c),
+t AS (SELECT user_id, n, k, abs(n * pre - k * tot) AS ta
+      FROM w WHERE k < n),
+r AS (SELECT user_id, n, k, ta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ta DESC, k) AS rn
+      FROM t)
+SELECT user_id, n, k AS k_star, ta AS t_abs FROM r WHERE rn = 1
+"""
+
+
+def _link_graph_dir(sf_dir: str):
+    """DIRECTED host-level link graph from the v4 html outlinks (the
+    q_link_pagerank extraction shared by the SCC / weighted-SSSP
+    family): distinct (src, dst) int64 pairs, self-loops dropped,
+    per-batch dedup before the exchange so the html payload never
+    leaves the map task. Returns (edges Dataset[src, dst], U)."""
+    from ray.data.aggregate import Count, Max
+
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+    href_re = re.compile(r'href="([^"]+)"')
+    idx_re = re.compile(r"-(\d+)\.example\.com")
+
+    def edges_part(t: pa.Table) -> pd.DataFrame:
+        src_host = pc.list_element(pc.split_pattern(t["url"], "/"), 2).to_pandas()
+        src = src_host.str.extract(idx_re, expand=False).astype(np.int64)
+        html = t["html"].to_pandas().str.decode("utf-8")
+        df = pd.DataFrame({"src": src, "href": html.str.findall(href_re)})
+        df = df.explode("href", ignore_index=True).dropna(subset=["href"])
+        df["dst"] = (df["href"].str.extract(idx_re, expand=False)
+                     .astype(np.int64))
+        df = df[df["src"] != df["dst"]][["src", "dst"]].drop_duplicates()
+        return df
+
+    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["src", "dst"]).materialize())
+    m = edges.aggregate(Max("src"), Max("dst"))
+    U = int(max(m["max(src)"], m["max(dst)"])) + 1
+    return edges, U
+
+
+def q_sssp_rounds(sf_dir: str):
+    """Weighted single-source shortest paths over the directed host
+    link graph, 6 Bellman-Ford relaxation rounds from host 0 (the
+    cost-bounded crawl-frontier generalization of q_link_bfs_hops).
+    Edge weight is the deterministic integer (src*7 + dst*13) % 19 + 1
+    so numpy and SQL agree exactly. Each round maps once over the
+    deduped edge set probing the broadcast O(nodes) distance vector
+    (the q_pagerank state assumption), folds candidate relaxations
+    through one small groupby-min, and stops early at a fixpoint.
+    Output: (host_idx, cost) for hosts reachable within 6 edges."""
+    import ray as _ray
+    from ray.data.aggregate import Min
+
+    edges, U = _link_graph_dir(sf_dir)
+    INF = np.int64(2**62)
+    dist = np.full(U, INF, np.int64)
+    dist[0] = 0
+    for _ in range(6):
+        ref = _ray.put(dist)
+
+        def relax(t: pa.Table, _ref=ref) -> pa.Table:
+            d = _ray.get(_ref)
+            s = t["src"].to_numpy().astype(np.int64)
+            g = t["dst"].to_numpy().astype(np.int64)
+            w = (s * 7 + g * 13) % 19 + 1
+            m = d[s] < INF
+            cand = d[s[m]] + w[m]
+            better = cand < d[g[m]]
+            return pa.table({"node": pa.array(g[m][better], pa.int64()),
+                             "c_p": pa.array(cand[better], pa.int64())})
+
+        upd = (edges.map_batches(relax, batch_format="pyarrow")
+               .groupby("node").aggregate(Min("c_p", alias_name="c"))
+               .to_pandas())
+        if not len(upd):
+            break
+        nd = upd["node"].to_numpy().astype(np.int64)
+        cd = upd["c"].to_numpy().astype(np.int64)
+        better = cd < dist[nd]
+        if not better.any():
+            break
+        dist[nd[better]] = cd[better]
+    reached = np.flatnonzero(dist < INF)
+    return pd.DataFrame({"host_idx": reached.astype(np.int64),
+                         "cost": dist[reached]})
+
+
+SQL_SSSP_ROUNDS = f"""
+WITH {_SQL_LINK_UND},
+ed AS (SELECT src, dst, (src * 7 + dst * 13) % 19 + 1 AS w
+       FROM e WHERE src <> dst),
+r0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS c),
+r1 AS (SELECT v, CAST(min(c) AS BIGINT) AS c FROM (
+    SELECT v, c FROM r0
+    UNION ALL
+    SELECT ed.dst, r0.c + ed.w FROM r0
+    JOIN ed ON ed.src = r0.v) GROUP BY v),
+r2 AS (SELECT v, CAST(min(c) AS BIGINT) AS c FROM (
+    SELECT v, c FROM r1
+    UNION ALL
+    SELECT ed.dst, r1.c + ed.w FROM r1
+    JOIN ed ON ed.src = r1.v) GROUP BY v),
+r3 AS (SELECT v, CAST(min(c) AS BIGINT) AS c FROM (
+    SELECT v, c FROM r2
+    UNION ALL
+    SELECT ed.dst, r2.c + ed.w FROM r2
+    JOIN ed ON ed.src = r2.v) GROUP BY v),
+r4 AS (SELECT v, CAST(min(c) AS BIGINT) AS c FROM (
+    SELECT v, c FROM r3
+    UNION ALL
+    SELECT ed.dst, r3.c + ed.w FROM r3
+    JOIN ed ON ed.src = r3.v) GROUP BY v),
+r5 AS (SELECT v, CAST(min(c) AS BIGINT) AS c FROM (
+    SELECT v, c FROM r4
+    UNION ALL
+    SELECT ed.dst, r4.c + ed.w FROM r4
+    JOIN ed ON ed.src = r4.v) GROUP BY v),
+r6 AS (SELECT v, CAST(min(c) AS BIGINT) AS c FROM (
+    SELECT v, c FROM r5
+    UNION ALL
+    SELECT ed.dst, r5.c + ed.w FROM r5
+    JOIN ed ON ed.src = r5.v) GROUP BY v)
+SELECT v AS host_idx, c AS cost FROM r6
+"""
+
+
+def q_scc_components(sf_dir: str):
+    """Strongly connected components of the directed host link graph —
+    the forward-backward min-label peeling algorithm (FW-BW-Trim,
+    Fleischer et al. / the Pregel coloring variant): per pass,
+    propagate min node id along edges to a forward fixpoint (f = min id
+    that reaches v) and along reversed edges (b = min id v reaches);
+    every node with f == b == m is provably in SCC(m) (m reaches v and
+    v reaches m), the whole SCC shares one (f, b) pair, and the SCC of
+    the smallest active id is always claimed, so each pass peels >= 1
+    component. Propagations are map_batches over the deduped edge set
+    probing broadcast O(nodes) label vectors (the q_pagerank state
+    assumption); at web scale the label vector shards by host hash.
+    Output: (host_idx, scc_id) over hosts incident to an edge."""
+    import ray as _ray
+    from ray.data.aggregate import Min
+
+    edges, U = _link_graph_dir(sf_dir)
+    epd = edges.to_pandas()
+    present = np.zeros(U, bool)
+    present[epd["src"].to_numpy()] = True
+    present[epd["dst"].to_numpy()] = True
+
+    def propagate(lab: np.ndarray, active: np.ndarray,
+                  reverse: bool) -> np.ndarray:
+        lab = lab.copy()
+        while True:
+            ref = _ray.put((lab, active))
+
+            def push(t: pa.Table, _ref=ref, _rev=reverse) -> pa.Table:
+                lb, act = _ray.get(_ref)
+                s = t["src"].to_numpy().astype(np.int64)
+                g = t["dst"].to_numpy().astype(np.int64)
+                if _rev:
+                    s, g = g, s
+                m = act[s] & act[g] & (lb[s] < lb[g])
+                return pa.table({"node": pa.array(g[m], pa.int64()),
+                                 "l_p": pa.array(lb[s][m], pa.int64())})
+
+            upd = (edges.map_batches(push, batch_format="pyarrow")
+                   .groupby("node").aggregate(Min("l_p", alias_name="l"))
+                   .to_pandas())
+            if not len(upd):
+                return lab
+            nd = upd["node"].to_numpy().astype(np.int64)
+            ld = upd["l"].to_numpy().astype(np.int64)
+            better = ld < lab[nd]
+            if not better.any():
+                return lab
+            lab[nd[better]] = ld[better]
+
+    scc = np.full(U, -1, np.int64)
+    active = present.copy()
+    ids = np.arange(U, dtype=np.int64)
+    while active.any():
+        f = propagate(np.where(active, ids, 2**62), active, reverse=False)
+        b = propagate(np.where(active, ids, 2**62), active, reverse=True)
+        done = active & (f == b)
+        scc[done] = f[done]
+        active &= ~done
+    out = np.flatnonzero(present)
+    return pd.DataFrame({"host_idx": out.astype(np.int64),
+                         "scc_id": scc[out]})
+
+
+SQL_SCC_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_LINK_UND},
+ed AS (SELECT src, dst FROM e WHERE src <> dst),
+nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ed
+                                  UNION ALL SELECT dst FROM ed)),
+tc(s, d) AS (SELECT src, dst FROM ed
+             UNION
+             SELECT tc.s, ed.dst FROM tc JOIN ed ON ed.src = tc.d),
+mut AS (SELECT n.v, n.v AS m FROM nodes n
+        UNION ALL
+        SELECT a.s AS v, a.d AS m
+        FROM tc a JOIN tc b ON a.s = b.d AND a.d = b.s)
+SELECT v AS host_idx, CAST(min(m) AS BIGINT) AS scc_id
+FROM mut GROUP BY v
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -14915,6 +15194,9 @@ QUERIES = {
     "gini_components": q_gini_components,
     "anova_components": q_anova_components,
     "runs_test": q_runs_test,
+    "cusum_changepoint": q_cusum_changepoint,
+    "sssp_rounds": q_sssp_rounds,
+    "scc_components": q_scc_components,
 }
 
 ORACLE_SQL = {
@@ -15086,6 +15368,9 @@ ORACLE_SQL = {
     "gini_components": SQL_GINI_COMPONENTS,
     "anova_components": SQL_ANOVA_COMPONENTS,
     "runs_test": SQL_RUNS_TEST,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "sssp_rounds": SQL_SSSP_ROUNDS,
+    "scc_components": SQL_SCC_COMPONENTS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

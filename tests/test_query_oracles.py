@@ -70,6 +70,7 @@ SUBSET = [
     "grid_transitions", "winsorized_sums", "ship_latency_hist",
     "ri_audit", "modularity_components", "distance_histogram",
     "gini_components", "anova_components", "runs_test",
+    "cusum_changepoint", "sssp_rounds", "scc_components",
 ]
 
 
