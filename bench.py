@@ -528,6 +528,11 @@ def run_bench() -> dict:
           lambda: consume(Q.q_cusum_changepoint(sf_dir)))
     timed("sssp_rounds", lambda: Q.q_sssp_rounds(sf_dir))
     timed("scc_components", lambda: Q.q_scc_components(sf_dir))
+    timed("polygon_centroids",
+          lambda: consume(Q.q_polygon_centroids(sf_dir)))
+    timed("group_diameter", lambda: consume(Q.q_group_diameter(sf_dir)))
+    timed("phonetic_buckets",
+          lambda: consume(Q.q_phonetic_buckets(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -14929,6 +14929,226 @@ FROM mut GROUP BY v
 
 
 
+def q_polygon_centroids(sf_dir: str):
+    """ST_Centroid over the 24-star-polygon layer: the shoelace centroid
+    numerators in EXACT quarter-degree integers (vertices are 0.25-deg
+    multiples, the q_polygon_areas trick) — a2_q = Σ cross_i = 2·area,
+    cx6_q = Σ (x_i + x_{i+1})·cross_i = 6·area·Cx, cy6_q likewise; the
+    float centroid is the downstream single division. One reshape +
+    cyclic vectorized products per batch; the kernel a billion-ring
+    layer would run per block."""
+    polys = _star_polygons()
+
+    def cents(t: pa.Table) -> pa.Table:
+        pid = t["place_id"].to_numpy().astype(np.int64)
+        lat = np.stack(t["ring_lat"].to_pandas().values)   # (n, 12)
+        lon = np.stack(t["ring_lon"].to_pandas().values)
+        # DuckDB round() is half-AWAY-from-zero; the .5-valued quarter
+        # coords make that visible here (translation-sensitive centroid,
+        # unlike the translation-invariant area sum).
+        x = (np.sign(lon) * np.floor(np.abs(lon * 4.0) + 0.5)).astype(np.int64)
+        y = (np.sign(lat) * np.floor(np.abs(lat * 4.0) + 0.5)).astype(np.int64)
+        xn = np.roll(x, -1, axis=1)
+        yn = np.roll(y, -1, axis=1)
+        cr = x * yn - xn * y
+        return pa.table({
+            "place_id": pa.array(pid, pa.int64()),
+            "a2_q": pa.array(cr.sum(axis=1), pa.int64()),
+            "cx6_q": pa.array(((x + xn) * cr).sum(axis=1), pa.int64()),
+            "cy6_q": pa.array(((y + yn) * cr).sum(axis=1), pa.int64())})
+
+    return rd.from_items(polys).map_batches(cents, batch_format="pyarrow")
+
+
+SQL_POLYGON_CENTROIDS = """
+WITH dirs AS (SELECT * FROM (VALUES (0,4,0),(1,3,2),(2,2,3),(3,0,4),(4,-2,3),
+                                    (5,-3,2),(6,-4,0),(7,-3,-2),(8,-2,-3),
+                                    (9,0,-4),(10,2,-3),(11,3,-2)) d(j, ux, uy)),
+centers AS (SELECT k AS place_id,
+                   (((k*7) % 15) * 37) % 120 - 60 + 0.5 + (k % 5) * 0.125 AS clat,
+                   (((k*7) % 15) * 91) % 300 - 150 + 0.5 + (k % 7) * 0.125 AS clon
+            FROM range(24) t(k)),
+verts AS (SELECT place_id, j,
+                 CAST(round((clon + (2 + (place_id + j) % 3) * ux * 0.25) * 4) AS BIGINT) AS x,
+                 CAST(round((clat + (2 + (place_id + j) % 3) * uy * 0.25) * 4) AS BIGINT) AS y
+          FROM centers CROSS JOIN dirs)
+SELECT a.place_id,
+       CAST(sum(a.x * b.y - b.x * a.y) AS BIGINT) AS a2_q,
+       CAST(sum((a.x + b.x) * (a.x * b.y - b.x * a.y)) AS BIGINT) AS cx6_q,
+       CAST(sum((a.y + b.y) * (a.x * b.y - b.x * a.y)) AS BIGINT) AS cy6_q
+FROM verts a JOIN verts b
+  ON a.place_id = b.place_id AND b.j = (a.j + 1) % 12
+GROUP BY a.place_id
+"""
+
+
+def q_group_diameter(sf_dir: str):
+    """Per-user trajectory diameter: max pairwise squared distance in
+    integer micro-degrees (the farthest-pair geometry primitive). The
+    per-group kernel prunes through the integer monotone-chain convex
+    hull first — the diameter is attained at hull vertices, so the
+    O(n²) pair scan runs over h ≪ n hull points (rotating-calipers'
+    pruning, kept exact). Scale shape: one user-hash shuffle, hulls
+    computed per user inside the partition (O(users) small loops over
+    vectorized sorts, never a cross-partition pair join). Oracle:
+    brute-force max over all within-user pairs. Output:
+    (user_id, n, d2_max) for users with ≥ 2 points."""
+
+    def hull_d2(x: np.ndarray, y: np.ndarray) -> int:
+        pts = np.unique(np.stack([x, y], axis=1), axis=0)
+        if len(pts) <= 2:
+            h = pts
+        else:
+            def half(p):
+                out = []
+                for v in p:
+                    while len(out) >= 2:
+                        ox, oy = out[-2]
+                        ax, ay = out[-1]
+                        if (ax - ox) * (v[1] - oy) - (ay - oy) * (v[0] - ox) <= 0:
+                            out.pop()
+                        else:
+                            break
+                    out.append((v[0], v[1]))
+                return out
+            lower = half(pts)
+            upper = half(pts[::-1])
+            h = np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+        dx = h[:, 0][:, None] - h[:, 0][None, :]
+        dy = h[:, 1][:, None] - h[:, 1][None, :]
+        return int((dx * dx + dy * dy).max())
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def diam(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        o = np.argsort(u, kind="stable")
+        u, x, y = u[o], x[o], y[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [u.size]))
+        uid, nn, dd = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            uid.append(u[s])
+            nn.append(e - s)
+            dd.append(hull_d2(x[s:e], y[s:e]))
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "n": pa.array(nn, pa.int64()),
+                         "d2_max": pa.array(dd, pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(diam, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "d2_max"]))
+
+
+SQL_GROUP_DIAMETER = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT user_id, event_id,
+             CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y
+      FROM p)
+SELECT a.user_id,
+       CAST(count(DISTINCT a.event_id) AS BIGINT) AS n,
+       CAST(max((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_max
+FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+GROUP BY a.user_id
+"""
+
+
+def q_phonetic_buckets(sf_dir: str):
+    """Phonetic blocking audit over the corpus vocabulary (the
+    Soundex-style record-linkage blocker): every distinct token plus
+    each long token's 4-char truncation (the q_typo_pairs dirty-query
+    vocabulary) maps to key = first letter + first 3 consonant-class
+    codes (b f p v→1, c g j k q s x z→2, d t→3, l→4, m n→5, r→6;
+    vowels/h/w/y→0 dropped after adjacent-run collapse, zero-padded).
+    Keys with ≥ 2 distinct tokens are the match candidates a phonetic
+    join would verify. Vocab work is ∝ distinct tokens (per-batch
+    dedup before the token exchange), never the corpus. Output:
+    (pkey, n_tok, min_tok, max_tok)."""
+    _tab = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                         "01230120022455012623010202")
+
+    def vocab(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        toks = pd.unique(np.concatenate(
+            s.str.strip().str.split().to_numpy()
+            if len(s) else [np.array([], object)]))
+        if toks.size:
+            m = (pd.Series(toks).str.fullmatch(r"[a-z]+")
+                 .fillna(False).to_numpy(dtype=bool))
+            toks = toks[m]
+        toks = pd.unique(np.concatenate(
+            [toks, np.array([x[:4] for x in toks if len(x) > 4], object)]))
+        return pa.table({"token": pa.array(toks.astype(object), pa.string())})
+
+    def keyed(t: pa.Table) -> pa.Table:
+        tok = pd.Series(t["token"].to_numpy(zero_copy_only=False))
+        code = tok.str.translate(_tab)
+        col = code.str.replace(r"(.)\1+", r"\1", regex=True)
+        drp = col.str.replace("0", "", regex=False)
+        off = np.where(code.str[0] != "0", 1, 0)
+        tail = pd.Series([d[o:o + 3] for d, o in zip(drp, off)])
+        key = tok.str[0] + tail.str.pad(3, side="right", fillchar="0")
+        return pa.table({"pkey": pa.array(key.to_numpy(object), pa.string()),
+                         "token": t["token"]})
+
+    from ray.data.aggregate import Count, Min, Max
+
+    agg = (_read(sf_dir, "documents", ["text"])
+           .map_batches(vocab, batch_format="pyarrow")
+           .groupby("token").aggregate(Count(alias_name="_c"))
+           .select_columns(["token"])
+           .map_batches(keyed, batch_format="pyarrow")
+           .groupby("pkey")
+           .aggregate(Count(alias_name="n_tok"),
+                      Min("token", alias_name="min_tok"),
+                      Max("token", alias_name="max_tok")))
+    return agg.filter(lambda r: r["n_tok"] >= 2)
+
+
+SQL_PHONETIC_BUCKETS = """
+WITH t AS (SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+w AS (SELECT DISTINCT unnest(toks) AS token FROM t),
+a AS (SELECT token FROM w WHERE regexp_matches(token, '^[a-z]+$')),
+v AS (SELECT DISTINCT token FROM (
+        SELECT token FROM a
+        UNION ALL
+        SELECT substr(token, 1, 4) FROM a WHERE length(token) > 4)),
+c AS (SELECT token,
+             translate(token, 'abcdefghijklmnopqrstuvwxyz',
+                       '01230120022455012623010202') AS code
+      FROM v),
+r AS (SELECT token, code,
+             replace(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(code,
+                     '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+                     '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+                     '66+', '6', 'g'), '0', '') AS drp
+      FROM c),
+k AS (SELECT token,
+             substr(token, 1, 1) ||
+             rpad(substr(drp,
+                         CASE WHEN substr(code, 1, 1) <> '0'
+                              THEN 2 ELSE 1 END, 3), 3, '0') AS pkey
+      FROM r)
+SELECT pkey, CAST(count(DISTINCT token) AS BIGINT) AS n_tok,
+       min(token) AS min_tok, max(token) AS max_tok
+FROM k GROUP BY pkey HAVING count(DISTINCT token) >= 2
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -15197,6 +15417,9 @@ QUERIES = {
     "cusum_changepoint": q_cusum_changepoint,
     "sssp_rounds": q_sssp_rounds,
     "scc_components": q_scc_components,
+    "polygon_centroids": q_polygon_centroids,
+    "group_diameter": q_group_diameter,
+    "phonetic_buckets": q_phonetic_buckets,
 }
 
 ORACLE_SQL = {
@@ -15371,6 +15594,9 @@ ORACLE_SQL = {
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "sssp_rounds": SQL_SSSP_ROUNDS,
     "scc_components": SQL_SCC_COMPONENTS,
+    "polygon_centroids": SQL_POLYGON_CENTROIDS,
+    "group_diameter": SQL_GROUP_DIAMETER,
+    "phonetic_buckets": SQL_PHONETIC_BUCKETS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -71,6 +71,7 @@ SUBSET = [
     "ri_audit", "modularity_components", "distance_histogram",
     "gini_components", "anova_components", "runs_test",
     "cusum_changepoint", "sssp_rounds", "scc_components",
+    "polygon_centroids", "group_diameter", "phonetic_buckets",
 ]
 
 
