@@ -533,6 +533,9 @@ def run_bench() -> dict:
     timed("group_diameter", lambda: consume(Q.q_group_diameter(sf_dir)))
     timed("phonetic_buckets",
           lambda: consume(Q.q_phonetic_buckets(sf_dir)))
+    timed("bootstrap_sums", lambda: consume(Q.q_bootstrap_sums(sf_dir)))
+    timed("chi2_cells", lambda: Q.q_chi2_cells(sf_dir))
+    timed("rake_keywords", lambda: consume(Q.q_rake_keywords(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -15149,6 +15149,184 @@ FROM k GROUP BY pkey HAVING count(DISTINCT token) >= 2
 
 
 
+def q_bootstrap_sums(sf_dir: str):
+    """Seeded bootstrap resampling per event_type (the CI machinery
+    jackknife_sums' leave-one-out scheme cannot give): B = 16
+    replicates, draw j of replicate r picks index
+    (r*1000003 + j*7919 + 12345) mod n into the type's value-cents
+    ordered by event_id — a pure integer hash both numpy and SQL
+    evaluate identically, so the replicate sums are byte-exact. The
+    per-type kernel materializes one (B, n) index matrix vectorized;
+    at corpus scale each type shards to its own map_groups task and the
+    draw matrix streams in B row-chunks. Output: (event_type, rep,
+    boot_sum)."""
+    B = 16
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def boot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id")
+        c = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        n = c.size
+        r = np.arange(B, dtype=np.int64)[:, None]
+        j = np.arange(n, dtype=np.int64)[None, :]
+        idx = (r * 1000003 + j * 7919 + 12345) % n
+        s = c[idx].sum(axis=1)
+        return pd.DataFrame({"event_type": df["event_type"].iloc[0],
+                             "rep": np.arange(B, dtype=np.int64),
+                             "boot_sum": s})
+
+    return (ev.groupby("event_type")
+            .map_groups(boot, batch_format="pandas"))
+
+
+SQL_BOOTSTRAP_SUMS = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                                          ORDER BY event_id) - 1
+                       AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM events),
+reps AS (SELECT DISTINCT event_type, n FROM c),
+draws AS (SELECT event_type, n, r.r AS rep,
+                 unnest(range(n)) AS j
+          FROM reps CROSS JOIN (SELECT unnest(range(16)) AS r) r),
+d AS (SELECT event_type, rep,
+             (rep * 1000003 + j * 7919 + 12345) % n AS idx
+      FROM draws)
+SELECT d.event_type, d.rep,
+       CAST(sum(c.cents) AS BIGINT) AS boot_sum
+FROM d JOIN c ON c.event_type = d.event_type AND c.rn = d.idx
+GROUP BY d.event_type, d.rep
+"""
+
+
+def q_chi2_cells(sf_dir: str):
+    """Chi-squared contingency components for event_type x day-of-week
+    (the independence screen of a traffic-mix monitor): per cell the
+    observed count o, row/col totals rt, ct, grand N, and the INTEGER
+    deviation dev = N*o - rt*ct (chi-squared = sum dev^2/(N*rt*ct) is
+    the downstream scalar — kept unsquared so int64 holds to sf >= 1).
+    One partial count inside map_batches folds each block to the tiny
+    cell space; margins derive from the cell table, no second pass.
+    Output: (event_type, dow, o, rt, ct, n_tot, dev)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        dow = (d + 4) % 7                       # 1970-01-01 was a Thursday
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        g = (pd.DataFrame({"event_type": et.astype(str), "dow": dow})
+             .groupby(["event_type", "dow"], sort=False)
+             .size().rename("o_p").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ev.map_batches(part, batch_format="pyarrow")
+             .groupby(["event_type", "dow"])
+             .aggregate(Sum("o_p", alias_name="o"))
+             .to_pandas())
+    rt = cells.groupby("event_type")["o"].sum()
+    ct = cells.groupby("dow")["o"].sum()
+    n_tot = int(cells["o"].sum())
+    cells["rt"] = cells["event_type"].map(rt).astype(np.int64)
+    cells["ct"] = cells["dow"].map(ct).astype(np.int64)
+    cells["n_tot"] = np.int64(n_tot)
+    cells["dev"] = (n_tot * cells["o"].astype(np.int64)
+                    - cells["rt"] * cells["ct"])
+    return cells[["event_type", "dow", "o", "rt", "ct", "n_tot", "dev"]]
+
+
+SQL_CHI2_CELLS = """
+WITH c AS (SELECT event_type,
+                  CAST((epoch_ms(date_trunc('day', ts)) // 86400000 + 4) % 7
+                       AS BIGINT) AS dow
+           FROM events),
+g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      FROM c GROUP BY event_type, dow),
+m AS (SELECT event_type, dow, o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+             CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+             CAST(sum(o) OVER () AS BIGINT) AS n_tot
+      FROM g)
+SELECT event_type, dow, o, rt, ct, n_tot, n_tot * o - rt * ct AS dev
+FROM m
+"""
+
+
+def q_rake_keywords(sf_dir: str):
+    """RAKE keyword statistics (Rose et al.): candidate phrases are the
+    maximal token runs between stopwords ('a', 'the'), each content
+    word scores freq (occurrences in phrases) and degree (sum of the
+    containing phrase's length over its occurrences — co-occurrence
+    degree including self); RAKE's keyword score is degree/freq
+    downstream. Fully distributed: each batch explodes to (doc, pos)
+    tokens, phrase ids are a per-doc cumulative stopword count, the
+    phrase-length join-back is a pandas transform inside the batch, and
+    only (token, freq_p, deg_p) partials reach the exchange. Output:
+    (token, freq, degree)."""
+    from ray.data.aggregate import Sum
+
+    STOP = ("a", "the")
+
+    def part(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        toks = s.str.strip().str.split()
+        df = pd.DataFrame({"doc": np.arange(len(s)), "tok": toks})
+        df = df.explode("tok", ignore_index=True).dropna(subset=["tok"])
+        if not len(df):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "freq_p": pa.array([], pa.int64()),
+                             "deg_p": pa.array([], pa.int64())})
+        stop = df["tok"].isin(STOP).to_numpy()
+        df["phrase"] = np.cumsum(stop)          # constant within a run
+        df = df[~stop]
+        plen = (df.groupby(["doc", "phrase"], sort=False)["tok"]
+                .transform("size").to_numpy(np.int64))
+        g = (pd.DataFrame({"token": df["tok"].to_numpy(object),
+                           "freq_p": 1, "deg_p": plen})
+             .groupby("token", sort=False)
+             .agg(freq_p=("freq_p", "sum"), deg_p=("deg_p", "sum"))
+             .reset_index())
+        return pa.table({"token": pa.array(g["token"].to_numpy(object),
+                                           pa.string()),
+                         "freq_p": pa.array(g["freq_p"].to_numpy(np.int64),
+                                            pa.int64()),
+                         "deg_p": pa.array(g["deg_p"].to_numpy(np.int64),
+                                           pa.int64())})
+
+    return (_read(sf_dir, "documents", ["text"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("freq_p", alias_name="freq"),
+                       Sum("deg_p", alias_name="degree")))
+
+
+SQL_RAKE_KEYWORDS = """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+e AS (SELECT doc_id, unnest(range(len(toks))) AS j, toks FROM t),
+x AS (SELECT doc_id, j, toks[CAST(j + 1 AS INT)] AS tok FROM e),
+p AS (SELECT doc_id, j, tok,
+             CAST(sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY j) AS BIGINT) AS phrase
+      FROM x),
+w AS (SELECT doc_id, phrase, tok,
+             CAST(count(*) OVER (PARTITION BY doc_id, phrase) AS BIGINT)
+                 AS plen
+      FROM p WHERE tok NOT IN ('a', 'the'))
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(plen) AS BIGINT) AS degree
+FROM w GROUP BY tok
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -15420,6 +15598,9 @@ QUERIES = {
     "polygon_centroids": q_polygon_centroids,
     "group_diameter": q_group_diameter,
     "phonetic_buckets": q_phonetic_buckets,
+    "bootstrap_sums": q_bootstrap_sums,
+    "chi2_cells": q_chi2_cells,
+    "rake_keywords": q_rake_keywords,
 }
 
 ORACLE_SQL = {
@@ -15597,6 +15778,9 @@ ORACLE_SQL = {
     "polygon_centroids": SQL_POLYGON_CENTROIDS,
     "group_diameter": SQL_GROUP_DIAMETER,
     "phonetic_buckets": SQL_PHONETIC_BUCKETS,
+    "bootstrap_sums": SQL_BOOTSTRAP_SUMS,
+    "chi2_cells": SQL_CHI2_CELLS,
+    "rake_keywords": SQL_RAKE_KEYWORDS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -72,6 +72,7 @@ SUBSET = [
     "gini_components", "anova_components", "runs_test",
     "cusum_changepoint", "sssp_rounds", "scc_components",
     "polygon_centroids", "group_diameter", "phonetic_buckets",
+    "bootstrap_sums", "chi2_cells", "rake_keywords",
 ]
 
 
