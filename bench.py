@@ -536,6 +536,9 @@ def run_bench() -> dict:
     timed("bootstrap_sums", lambda: consume(Q.q_bootstrap_sums(sf_dir)))
     timed("chi2_cells", lambda: Q.q_chi2_cells(sf_dir))
     timed("rake_keywords", lambda: consume(Q.q_rake_keywords(sf_dir)))
+    timed("haar_pyramid", lambda: consume(Q.q_haar_pyramid(sf_dir)))
+    timed("ewma_floor", lambda: consume(Q.q_ewma_floor(sf_dir)))
+    timed("winnow_select", lambda: consume(Q.q_winnow_select(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -15327,6 +15327,257 @@ FROM w GROUP BY tok
 
 
 
+def q_haar_pyramid(sf_dir: str):
+    """Unnormalized Haar wavelet pyramid over each user's 16-day event
+    count series (the multi-resolution screen of a telemetry store:
+    level-k details localize bursts at 2^k-day scale). Day 0 is the
+    dataset's min epoch-day (one tiny global aggregate); counts on the
+    dense 16-slot grid, then 4 levels of pairwise sums/differences —
+    all integers, so numpy and the SQL self-join ladder agree exactly.
+    Per partition the (users x 16) matrix is built once and every level
+    is one vectorized slice op. Output: (user_id, level, idx, coef)
+    with levels 1..4 = details, level 5 idx 0 = final approximation."""
+    from ray.data.aggregate import Min, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"user_id": t["user_id"],
+                         "d": pa.array(d, pa.int64())})
+
+    dd = ev.map_batches(days, batch_format="pyarrow")
+    d0 = int(dd.aggregate(Min("d"))["min(d)"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        off = t["d"].to_numpy().astype(np.int64) - d0
+        u = t["user_id"].to_numpy().astype(np.int64)
+        m = (off >= 0) & (off < 16)
+        g = (pd.DataFrame({"user_id": u[m], "slot": off[m]})
+             .groupby(["user_id", "slot"], sort=False)
+             .size().rename("c_p").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = (dd.map_batches(counts, batch_format="pyarrow")
+            .groupby(["user_id", "slot"])
+            .aggregate(Sum("c_p", alias_name="c")))
+
+    def pyramid(df: pd.DataFrame) -> pd.DataFrame:
+        users, uinv = np.unique(df["user_id"].to_numpy(np.int64),
+                                return_inverse=True)
+        v = np.zeros((users.size, 16), np.int64)
+        v[uinv, df["slot"].to_numpy(np.int64)] = df["c"].to_numpy(np.int64)
+        out_u, out_l, out_i, out_c = [], [], [], []
+        s = v
+        for level in range(1, 5):
+            a, b = s[:, 0::2], s[:, 1::2]
+            d = a - b
+            s = a + b
+            k = d.shape[1]
+            out_u.append(np.repeat(users, k))
+            out_l.append(np.full(users.size * k, level, np.int64))
+            out_i.append(np.tile(np.arange(k, dtype=np.int64), users.size))
+            out_c.append(d.ravel())
+        out_u.append(users)
+        out_l.append(np.full(users.size, 5, np.int64))
+        out_i.append(np.zeros(users.size, np.int64))
+        out_c.append(s[:, 0])
+        return pd.DataFrame({"user_id": np.concatenate(out_u),
+                             "level": np.concatenate(out_l),
+                             "idx": np.concatenate(out_i),
+                             "coef": np.concatenate(out_c)})
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    return (grid.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(pyramid, batch_format="pandas")
+            .select_columns(["user_id", "level", "idx", "coef"]))
+
+
+SQL_HAAR_PYRAMID = """
+WITH d AS (SELECT user_id,
+                  CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+                      AS day
+           FROM events),
+base AS (SELECT min(day) AS d0 FROM d),
+cnt AS (SELECT user_id, day - (SELECT d0 FROM base) AS slot,
+               CAST(count(*) AS BIGINT) AS c
+        FROM d WHERE day - (SELECT d0 FROM base) BETWEEN 0 AND 15
+        GROUP BY user_id, slot),
+users AS (SELECT DISTINCT user_id FROM cnt),
+grid AS (SELECT u.user_id, g.slot, COALESCE(cnt.c, 0) AS v
+         FROM users u
+         CROSS JOIN (SELECT unnest(range(16)) AS slot) g
+         LEFT JOIN cnt ON cnt.user_id = u.user_id AND cnt.slot = g.slot),
+l1 AS (SELECT a.user_id, a.slot // 2 AS i, a.v + b.v AS s, a.v - b.v AS dt
+       FROM grid a JOIN grid b
+         ON b.user_id = a.user_id AND a.slot % 2 = 0 AND b.slot = a.slot + 1),
+l2 AS (SELECT a.user_id, a.i // 2 AS i, a.s + b.s AS s, a.s - b.s AS dt
+       FROM l1 a JOIN l1 b
+         ON b.user_id = a.user_id AND a.i % 2 = 0 AND b.i = a.i + 1),
+l3 AS (SELECT a.user_id, a.i // 2 AS i, a.s + b.s AS s, a.s - b.s AS dt
+       FROM l2 a JOIN l2 b
+         ON b.user_id = a.user_id AND a.i % 2 = 0 AND b.i = a.i + 1),
+l4 AS (SELECT a.user_id, a.i // 2 AS i, a.s + b.s AS s, a.s - b.s AS dt
+       FROM l3 a JOIN l3 b
+         ON b.user_id = a.user_id AND a.i % 2 = 0 AND b.i = a.i + 1)
+SELECT user_id, CAST(1 AS BIGINT) AS level, i AS idx, dt AS coef FROM l1
+UNION ALL
+SELECT user_id, 2, i, dt FROM l2
+UNION ALL
+SELECT user_id, 3, i, dt FROM l3
+UNION ALL
+SELECT user_id, 4, i, dt FROM l4
+UNION ALL
+SELECT user_id, 5, i, s FROM l4
+"""
+
+
+def q_ewma_floor(sf_dir: str):
+    """Integer-floor exponentially weighted moving average per user
+    (alpha = 1/4 in exact floor arithmetic: e_t = (3*e_{t-1} + x_t)//4,
+    e_0 = x_0 — the IEEE-free EWMA that byte-matches a recursive SQL
+    CTE). The inherently sequential recursion is vectorized ACROSS
+    users: per partition, one lexsort groups each user's run, then the
+    scan iterates max-run-length times doing one vectorized step over
+    ALL users' t-th elements — O(max_n) numpy passes, no per-row
+    Python. Output: (user_id, n, ewma_last)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def scan(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if not u.size:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "ewma_last": pa.array([], pa.int64())})
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        e = t["event_id"].to_numpy().astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, c = u[o], c[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        seglen = np.diff(np.concatenate((starts, [u.size])))
+        ew = c[starts].copy()
+        for step in range(1, int(seglen.max())):
+            act = seglen > step
+            ew[act] = (3 * ew[act] + c[starts[act] + step]) // 4
+        return pa.table({"user_id": pa.array(u[starts], pa.int64()),
+                         "n": pa.array(seglen, pa.int64()),
+                         "ewma_last": pa.array(ew, pa.int64())})
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(scan, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "ewma_last"]))
+
+
+SQL_EWMA_FLOOR = """
+WITH RECURSIVE c AS (
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS rn
+    FROM events),
+rec(user_id, rn, e) AS (
+    SELECT user_id, rn, cents FROM c WHERE rn = 1
+    UNION ALL
+    SELECT c.user_id, c.rn, (3 * rec.e + c.cents) // 4
+    FROM rec JOIN c ON c.user_id = rec.user_id AND c.rn = rec.rn + 1)
+SELECT user_id, CAST(max(rn) AS BIGINT) AS n,
+       CAST(arg_max(e, rn) AS BIGINT) AS ewma_last
+FROM rec GROUP BY user_id
+"""
+
+
+def q_winnow_select(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer et al., MOSS): over
+    each document's token-hash sequence (md5 mod 2^30, the
+    q_fingerprints hash), every window of 4 consecutive hashes selects
+    its RIGHTMOST minimum; the distinct selected (pos, hash) pairs are
+    the document's fingerprint sketch, guaranteeing a shared match for
+    any duplicate run >= 4 tokens. The rightmost-min tie-break folds
+    into ONE integer key h*65536 + (65535 - pos) (pos < 65536 by the
+    corpus schema), so both sides take a plain sliding min: numpy does
+    it batch-flat with one stride trick (doc-crossing windows are
+    exactly the pos < 3 rows, dropped), SQL with one window-frame min.
+    Output: (doc_id, pos, h) distinct."""
+    from .functions.text import md5_token_hash64
+
+    def sel(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        docs, hs, pos = [], [], []
+        for i, x in enumerate(txt):
+            toks = (x or "").strip().split()
+            if not toks:
+                continue
+            hv = (md5_token_hash64(toks)
+                  % np.uint64(1 << 30)).astype(np.int64)
+            docs.append(np.full(hv.size, did[i], np.int64))
+            hs.append(hv)
+            pos.append(np.arange(hv.size, dtype=np.int64))
+        if not docs:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        dv = np.concatenate(docs)
+        hv = np.concatenate(hs)
+        pv = np.concatenate(pos)
+        key = hv * 65536 + (65535 - pv)
+        if key.size < 4:
+            win = np.empty((0,), np.int64)
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+            win = sliding_window_view(key, 4).min(axis=1)
+        keep = pv[3:] >= 3 if key.size >= 4 else np.empty((0,), bool)
+        sk = np.unique(
+            dv[3:][keep] * (1 << 47) + win[keep]) if win.size else             np.empty((0,), np.int64)
+        d_out = sk >> 47
+        k_out = sk & ((1 << 47) - 1)
+        return pa.table({"doc_id": pa.array(d_out, pa.int64()),
+                         "pos": pa.array(65535 - (k_out % 65536), pa.int64()),
+                         "h": pa.array(k_out // 65536, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return (_read_split(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(sel, batch_format="pyarrow")
+            .groupby(["doc_id", "pos", "h"])
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["doc_id", "pos", "h"]))
+
+
+SQL_WINNOW_SELECT = """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+e AS (SELECT doc_id, unnest(range(len(toks))) AS j, toks FROM t),
+x AS (SELECT doc_id, j,
+             CAST(md5_number_lower(toks[CAST(j + 1 AS INT)]) % 1073741824
+                  AS BIGINT) AS h
+      FROM e),
+k AS (SELECT doc_id, j, h, h * 65536 + (65535 - j) AS key FROM x),
+w AS (SELECT doc_id, j,
+             min(key) OVER (PARTITION BY doc_id ORDER BY j
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+      FROM k WHERE TRUE
+      QUALIFY j >= 3)
+SELECT DISTINCT doc_id,
+       65535 - (mk % 65536) AS pos,
+       mk // 65536 AS h
+FROM w
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -15601,6 +15852,9 @@ QUERIES = {
     "bootstrap_sums": q_bootstrap_sums,
     "chi2_cells": q_chi2_cells,
     "rake_keywords": q_rake_keywords,
+    "haar_pyramid": q_haar_pyramid,
+    "ewma_floor": q_ewma_floor,
+    "winnow_select": q_winnow_select,
 }
 
 ORACLE_SQL = {
@@ -15781,6 +16035,9 @@ ORACLE_SQL = {
     "bootstrap_sums": SQL_BOOTSTRAP_SUMS,
     "chi2_cells": SQL_CHI2_CELLS,
     "rake_keywords": SQL_RAKE_KEYWORDS,
+    "haar_pyramid": SQL_HAAR_PYRAMID,
+    "ewma_floor": SQL_EWMA_FLOOR,
+    "winnow_select": SQL_WINNOW_SELECT,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -73,6 +73,7 @@ SUBSET = [
     "cusum_changepoint", "sssp_rounds", "scc_components",
     "polygon_centroids", "group_diameter", "phonetic_buckets",
     "bootstrap_sums", "chi2_cells", "rake_keywords",
+    "haar_pyramid", "ewma_floor", "winnow_select",
 ]
 
 
