@@ -539,6 +539,12 @@ def run_bench() -> dict:
     timed("haar_pyramid", lambda: consume(Q.q_haar_pyramid(sf_dir)))
     timed("ewma_floor", lambda: consume(Q.q_ewma_floor(sf_dir)))
     timed("winnow_select", lambda: consume(Q.q_winnow_select(sf_dir)))
+    timed("zonal_stats", lambda: consume(Q.q_zonal_stats(sf_dir)))
+    timed("power_iteration", lambda: Q.q_power_iteration(sf_dir))
+    timed("sinuosity_components",
+          lambda: consume(Q.q_sinuosity_components(sf_dir)))
+    timed("sorted_neighborhood_pairs",
+          lambda: Q.q_sorted_neighborhood_pairs(sf_dir))
 
     def finish() -> dict:
         out = {

@@ -15578,6 +15578,280 @@ FROM w
 
 
 
+def q_zonal_stats(sf_dir: str):
+    """Raster zonal statistics (the ST_SummaryStats / zonal-histogram
+    companion of q_raster_sample): 24 deterministic integer pixel-space
+    zones aggregate the coarse field's RAW integer hash
+    h = (gy*2654435761 + gx*40503 + 42*97) mod 2^31 (the
+    functions/raster.py generator before its float scaling) over every
+    covered 0.5-degree pixel. Zones are the small side (broadcast by
+    construction); each zone's pixel block enumerates vectorized via
+    one meshgrid — the per-tile gather a real layer would run per
+    batch. Output: (zone_id, n_px, sum_h, min_h, max_h)."""
+    A, B, M, SEED = 2654435761, 40503, 2147483648, 42
+    zones = [{"zone_id": k,
+              "gy0": (k * 37) % 200 - 100,
+              "gx0": (k * 91) % 600 - 300,
+              "hh": 8 + (k % 3) * 2,
+              "ww": 12 + (k % 5) * 2} for k in range(24)]
+
+    def zonal(t: pa.Table) -> pa.Table:
+        zid = t["zone_id"].to_numpy().astype(np.int64)
+        gy0 = t["gy0"].to_numpy().astype(np.int64)
+        gx0 = t["gx0"].to_numpy().astype(np.int64)
+        hh = t["hh"].to_numpy().astype(np.int64)
+        ww = t["ww"].to_numpy().astype(np.int64)
+        out = {"zone_id": [], "n_px": [], "sum_h": [],
+               "min_h": [], "max_h": []}
+        for i in range(zid.size):                # 24 zones, not data rows
+            gy = gy0[i] + np.arange(hh[i], dtype=np.int64)[:, None]
+            gx = gx0[i] + np.arange(ww[i], dtype=np.int64)[None, :]
+            h = (gy * A + gx * B + SEED * 97) % M
+            out["zone_id"].append(zid[i])
+            out["n_px"].append(h.size)
+            out["sum_h"].append(int(h.sum()))
+            out["min_h"].append(int(h.min()))
+            out["max_h"].append(int(h.max()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return rd.from_items(zones).map_batches(zonal, batch_format="pyarrow")
+
+
+SQL_ZONAL_STATS = """
+WITH z AS (SELECT k AS zone_id,
+                  (k * 37) % 200 - 100 AS gy0,
+                  (k * 91) % 600 - 300 AS gx0,
+                  8 + (k % 3) * 2 AS hh,
+                  12 + (k % 5) * 2 AS ww
+           FROM range(24) t(k)),
+zy AS (SELECT zone_id, gy0 + unnest(range(hh)) AS gy, gx0, ww FROM z),
+zxy AS (SELECT zone_id, gy, gx0 + unnest(range(ww)) AS gx FROM zy),
+px AS (SELECT zone_id,
+              (((gy * 2654435761 + gx * 40503 + 42 * 97) % 2147483648)
+               + 2147483648) % 2147483648 AS h
+       FROM zxy)
+SELECT zone_id, CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(h) AS BIGINT) AS sum_h,
+       CAST(min(h) AS BIGINT) AS min_h,
+       CAST(max(h) AS BIGINT) AS max_h
+FROM px GROUP BY zone_id
+"""
+
+
+def q_power_iteration(sf_dir: str):
+    """Dominant-eigenvector power iteration over the embedding Gram
+    matrix in EXACT integer fixed-point (the PCA top-component loop a
+    feature pipeline runs): G = Qᵀ Q over milli-quantized 8-dim
+    embedding prefixes (q_embedding_gram's one-pass distributed
+    partials — the ONLY data-scale stage), then 5 rounds of w = G·v
+    with renormalization v' = floor(w / (max|w|//2^20 + 1)) — the
+    divisor keeps |v| < 2^20 so w stays < 2^63 forever, and floor
+    division is replicated in SQL by the ((w%d)+d)%d non-negative-mod
+    identity (DuckDB // truncates, numpy floors). Output: (dim, v)
+    after round 5."""
+    from ray.data.aggregate import Sum
+
+    K = 8
+
+    def gram(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_pandas().to_numpy())[:, :K]
+        q = np.round(m.astype(np.float64) * 1000.0).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.nonzero(np.ones((K, K), bool))
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64) + 1, pa.int64()),
+            "j": pa.array(ju.astype(np.int64) + 1, pa.int64()),
+            "s_p": pa.array(g[iu, ju], pa.int64())})
+
+    gm = (_read(sf_dir, "embeddings", ["embedding"])
+          .map_batches(gram, batch_format="pyarrow")
+          .groupby(["i", "j"]).aggregate(Sum("s_p", alias_name="s"))
+          .to_pandas())
+    G = np.zeros((K, K), np.int64)
+    G[gm["i"].to_numpy() - 1, gm["j"].to_numpy() - 1] = gm["s"].to_numpy()
+    v = np.ones(K, np.int64)
+    for _ in range(5):                       # O(1) driver math on an 8x8
+        w = G @ v
+        d = np.abs(w).max() // 1048576 + 1
+        v = w // d
+    return pd.DataFrame({"dim": np.arange(1, K + 1, dtype=np.int64),
+                         "v": v})
+
+
+SQL_POWER_ITERATION = """
+WITH q AS (SELECT a.i AS i, b.j AS j,
+                  CAST(round(embedding[CAST(a.i AS INT)] * 1000) AS BIGINT)
+                  * CAST(round(embedding[CAST(b.j AS INT)] * 1000) AS BIGINT)
+                      AS p
+           FROM embeddings
+           CROSS JOIN range(1, 9) a(i) CROSS JOIN range(1, 9) b(j)),
+gm AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS s FROM q GROUP BY i, j),
+v0 AS (SELECT unnest(range(1, 9)) AS i, CAST(1 AS BIGINT) AS v),
+w1 AS (SELECT g.i, CAST(sum(g.s * v0.v) AS BIGINT) AS w
+      FROM gm g JOIN v0 ON v0.i = g.j GROUP BY g.i),
+d1 AS (SELECT max(abs(w)) // 1048576 + 1 AS d FROM w1),
+v1 AS (SELECT i, (w - ((w % d) + d) % d) // d AS v
+      FROM w1, d1),
+w2 AS (SELECT g.i, CAST(sum(g.s * v1.v) AS BIGINT) AS w
+      FROM gm g JOIN v1 ON v1.i = g.j GROUP BY g.i),
+d2 AS (SELECT max(abs(w)) // 1048576 + 1 AS d FROM w2),
+v2 AS (SELECT i, (w - ((w % d) + d) % d) // d AS v
+      FROM w2, d2),
+w3 AS (SELECT g.i, CAST(sum(g.s * v2.v) AS BIGINT) AS w
+      FROM gm g JOIN v2 ON v2.i = g.j GROUP BY g.i),
+d3 AS (SELECT max(abs(w)) // 1048576 + 1 AS d FROM w3),
+v3 AS (SELECT i, (w - ((w % d) + d) % d) // d AS v
+      FROM w3, d3),
+w4 AS (SELECT g.i, CAST(sum(g.s * v3.v) AS BIGINT) AS w
+      FROM gm g JOIN v3 ON v3.i = g.j GROUP BY g.i),
+d4 AS (SELECT max(abs(w)) // 1048576 + 1 AS d FROM w4),
+v4 AS (SELECT i, (w - ((w % d) + d) % d) // d AS v
+      FROM w4, d4),
+w5 AS (SELECT g.i, CAST(sum(g.s * v4.v) AS BIGINT) AS w
+      FROM gm g JOIN v4 ON v4.i = g.j GROUP BY g.i),
+d5 AS (SELECT max(abs(w)) // 1048576 + 1 AS d FROM w5),
+v5 AS (SELECT i, (w - ((w % d) + d) % d) // d AS v
+      FROM w5, d5)
+SELECT i AS dim, v FROM v5
+"""
+
+
+def q_sinuosity_components(sf_dir: str):
+    """Trajectory sinuosity sufficient statistics per user (path
+    tortuosity: the route-quality / GPS-noise screen): over the
+    (ts, event_id)-ordered micro-degree track, the integer sum of
+    squared step lengths and the squared net displacement — sinuosity²
+    ~ sum_step_d2/net_d2 downstream. One user-hash shuffle, one lexsort
+    segment scan (diff + reduceat), no joins. Output:
+    (user_id, n, sum_step_d2, net_d2) for users with >= 2 points."""
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def sin_scan(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "sum_step_d2": pa.array([], pa.int64()),
+                          "net_d2": pa.array([], pa.int64())})
+        if not u.size:
+            return empty
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        e = t["event_id"].to_numpy().astype(np.int64)
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, x, y = u[o], x[o], y[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [u.size]))
+        seglen = ends - starts
+        dx, dy = np.diff(x), np.diff(y)
+        d2 = dx * dx + dy * dy
+        d2[ends[:-1] - 1] = 0                 # kill cross-user steps
+        cs = np.concatenate(([0], np.cumsum(d2)))
+        step = cs[ends - 1] - cs[starts]
+        nx, ny = x[ends - 1] - x[starts], y[ends - 1] - y[starts]
+        m = seglen >= 2
+        return pa.table({
+            "user_id": pa.array(u[starts][m], pa.int64()),
+            "n": pa.array(seglen[m], pa.int64()),
+            "sum_step_d2": pa.array(step[m], pa.int64()),
+            "net_d2": pa.array((nx * nx + ny * ny)[m], pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(sin_scan, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "sum_step_d2", "net_d2"]))
+
+
+SQL_SINUOSITY_COMPONENTS = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT user_id, ts, event_id,
+             CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM p),
+st AS (SELECT user_id,
+              x - lag(x) OVER (PARTITION BY user_id ORDER BY rn) AS dx,
+              y - lag(y) OVER (PARTITION BY user_id ORDER BY rn) AS dy
+       FROM s),
+agg AS (SELECT user_id,
+               CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sum_step_d2
+        FROM st WHERE dx IS NOT NULL GROUP BY user_id),
+np_ AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               arg_min(x, rn) AS x0, arg_max(x, rn) AS x1,
+               arg_min(y, rn) AS y0, arg_max(y, rn) AS y1
+        FROM s GROUP BY user_id)
+SELECT np_.user_id, np_.n, agg.sum_step_d2,
+       (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) AS net_d2
+FROM np_ JOIN agg ON agg.user_id = np_.user_id
+WHERE np_.n >= 2
+"""
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo SNM, the third
+    record-linkage blocker beside q_typo_pairs' deletion keys and
+    q_phonetic_buckets' consonant classes): the corpus vocabulary plus
+    4-char truncations sorts lexicographically once, and every pair
+    within a window of 3 positions becomes a match candidate. Vocab
+    collection is ∝ distinct tokens (per-batch dedup before the token
+    exchange); the windowed pairing runs on the vocab-sized sorted
+    list. Output: (tok_a, tok_b, gap), gap 1 or 2."""
+    from ray.data.aggregate import Count
+
+    def vocab(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        toks = pd.unique(np.concatenate(
+            s.str.strip().str.split().to_numpy()
+            if len(s) else [np.array([], object)]))
+        if toks.size:
+            m = (pd.Series(toks).str.fullmatch(r"[a-z]+")
+                 .fillna(False).to_numpy(dtype=bool))
+            toks = toks[m]
+        toks = pd.unique(np.concatenate(
+            [toks, np.array([x[:4] for x in toks if len(x) > 4], object)]))
+        return pa.table({"token": pa.array(toks.astype(object), pa.string())})
+
+    vc = (_read(sf_dir, "documents", ["text"])
+          .map_batches(vocab, batch_format="pyarrow")
+          .groupby("token").aggregate(Count(alias_name="_c"))
+          .to_pandas())                       # vocab-sized, not corpus-sized
+    toks = np.sort(vc["token"].to_numpy(dtype=object))
+    a, b, g = [], [], []
+    for gap in (1, 2):
+        if toks.size > gap:
+            a.append(toks[:-gap])
+            b.append(toks[gap:])
+            g.append(np.full(toks.size - gap, gap, np.int64))
+    if not a:
+        return pd.DataFrame({"tok_a": [], "tok_b": [], "gap": []})
+    return pd.DataFrame({"tok_a": np.concatenate(a),
+                         "tok_b": np.concatenate(b),
+                         "gap": np.concatenate(g)})
+
+
+SQL_SORTED_NEIGHBORHOOD_PAIRS = """
+WITH t AS (SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+w AS (SELECT DISTINCT unnest(toks) AS token FROM t),
+a AS (SELECT token FROM w WHERE regexp_matches(token, '^[a-z]+$')),
+v AS (SELECT DISTINCT token FROM (
+        SELECT token FROM a
+        UNION ALL
+        SELECT substr(token, 1, 4) FROM a WHERE length(token) > 4)),
+r AS (SELECT token,
+             CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS rk
+      FROM v)
+SELECT x.token AS tok_a, y.token AS tok_b, y.rk - x.rk AS gap
+FROM r x JOIN r y ON y.rk - x.rk IN (1, 2)
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -15855,6 +16129,10 @@ QUERIES = {
     "haar_pyramid": q_haar_pyramid,
     "ewma_floor": q_ewma_floor,
     "winnow_select": q_winnow_select,
+    "zonal_stats": q_zonal_stats,
+    "power_iteration": q_power_iteration,
+    "sinuosity_components": q_sinuosity_components,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
 }
 
 ORACLE_SQL = {
@@ -16038,6 +16316,10 @@ ORACLE_SQL = {
     "haar_pyramid": SQL_HAAR_PYRAMID,
     "ewma_floor": SQL_EWMA_FLOOR,
     "winnow_select": SQL_WINNOW_SELECT,
+    "zonal_stats": SQL_ZONAL_STATS,
+    "power_iteration": SQL_POWER_ITERATION,
+    "sinuosity_components": SQL_SINUOSITY_COMPONENTS,
+    "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -74,6 +74,8 @@ SUBSET = [
     "polygon_centroids", "group_diameter", "phonetic_buckets",
     "bootstrap_sums", "chi2_cells", "rake_keywords",
     "haar_pyramid", "ewma_floor", "winnow_select",
+    "zonal_stats", "power_iteration", "sinuosity_components",
+    "sorted_neighborhood_pairs",
 ]
 
 
