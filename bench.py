@@ -545,6 +545,9 @@ def run_bench() -> dict:
           lambda: consume(Q.q_sinuosity_components(sf_dir)))
     timed("sorted_neighborhood_pairs",
           lambda: Q.q_sorted_neighborhood_pairs(sf_dir))
+    timed("grouping_sets", lambda: Q.q_grouping_sets(sf_dir))
+    timed("l_diversity", lambda: consume(Q.q_l_diversity(sf_dir)))
+    timed("clustering_coeff", lambda: Q.q_clustering_coeff(sf_dir))
 
     def finish() -> dict:
         out = {

@@ -15852,6 +15852,192 @@ FROM r x JOIN r y ON y.rk - x.rk IN (1, 2)
 
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((type, dow), (type), (dow), ()) over events — the
+    multi-grain OLAP aggregate between q_rollup_sales (hierarchical)
+    and q_cube_counts (full lattice). Ray computes it the way engines
+    do: the finest grain aggregates ONCE from data (per-batch combiner
+    fold), and every coarser set re-aggregates the tiny cell table —
+    the data-scale pass happens exactly once. gid is the standard
+    GROUPING bitmask (type bit 1, dow bit 0); aggregated-away keys take
+    sentinels ('__all__' / -1). Output: (event_type, dow, gid, n,
+    sum_cents)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        dow = (d + 4) % 7
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        g = (pd.DataFrame({"event_type": et.astype(str), "dow": dow,
+                           "n_p": 1, "s_p": c})
+             .groupby(["event_type", "dow"], sort=False)
+             .agg(n_p=("n_p", "sum"), s_p=("s_p", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n_p", alias_name="n"),
+                       Sum("s_p", alias_name="sum_cents"))
+            .to_pandas())                      # cell-table-sized (35 rows)
+    fine["n"] = fine["n"].astype(np.int64)
+    fine["sum_cents"] = fine["sum_cents"].astype(np.int64)
+    g0 = fine.assign(gid=np.int64(0))
+    g1 = (fine.groupby("event_type", as_index=False)[["n", "sum_cents"]]
+          .sum().assign(dow=np.int64(-1), gid=np.int64(1)))
+    g2 = (fine.groupby("dow", as_index=False)[["n", "sum_cents"]]
+          .sum().assign(event_type="__all__", gid=np.int64(2)))
+    g3 = pd.DataFrame({"event_type": ["__all__"], "dow": [np.int64(-1)],
+                       "n": [fine["n"].sum()],
+                       "sum_cents": [fine["sum_cents"].sum()],
+                       "gid": [np.int64(3)]})
+    cols = ["event_type", "dow", "gid", "n", "sum_cents"]
+    return pd.concat([g0[cols], g1[cols], g2[cols], g3[cols]],
+                     ignore_index=True)
+
+
+SQL_GROUPING_SETS = """
+WITH c AS (SELECT event_type,
+                  CAST((epoch_ms(date_trunc('day', ts)) // 86400000 + 4) % 7
+                       AS BIGINT) AS dow,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT coalesce(event_type, '__all__') AS event_type,
+       CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+       CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM c
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+"""
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit over the location release (Machanavajjhala et
+    al. — the q_k_anonymity companion): for every quasi-identifier
+    group (0.1-degree cell, day), the group size k AND the number of
+    DISTINCT sensitive values (event_type) — groups with l = 1 leak the
+    sensitive attribute even when k-anonymous. Two-level aggregation:
+    (cell, day, type) counts fold per batch, then one tiny second
+    groupby derives k = Σ and l = count — exact distinct without a
+    distinct shuffle. Output: (cell_key, d, k, l)."""
+    from ray.data.aggregate import Count, Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        cy = np.floor(lat * 10.0).astype(np.int64) + 900
+        cx = np.floor(lon * 10.0).astype(np.int64) + 1800
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        g = (pd.DataFrame({"cell_key": cy * 3600 + cx, "d": d,
+                           "event_type": et.astype(str)})
+             .groupby(["cell_key", "d", "event_type"], sort=False)
+             .size().rename("c_p").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (_points_ds(sf_dir)
+             .map_batches(part, batch_format="pyarrow")
+             .groupby(["cell_key", "d", "event_type"])
+             .aggregate(Sum("c_p", alias_name="c")))
+    return (cells.groupby(["cell_key", "d"])
+            .aggregate(Sum("c", alias_name="k"),
+                       Count(alias_name="l")))
+
+
+SQL_L_DIVERSITY = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT (CAST(floor(lat * 10) AS BIGINT) + 900) * 3600
+             + CAST(floor(lon * 10) AS BIGINT) + 1800 AS cell_key,
+             CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT) AS d,
+             event_type
+      FROM p),
+g AS (SELECT cell_key, d, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM s GROUP BY cell_key, d, event_type)
+SELECT cell_key, d, CAST(sum(c) AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS l
+FROM g GROUP BY cell_key, d
+"""
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient sufficient statistics per host over
+    the undirected link graph (the triadic-closure profile beside
+    q_triangle_count's global count and q_edge_support's per-edge
+    truss): per node its degree, tri2 = 2·(triangles through v) and
+    wedges2 = deg·(deg−1); the coefficient is tri2/wedges2 downstream
+    — all integer. Per-edge support |N(lo) ∩ N(hi)| is computed
+    map-side against the broadcast CSR (q_edge_support's kernel /
+    O(nodes+edges) state, the q_pagerank assumption), then each edge
+    scatter-adds its support to BOTH endpoints and one small groupby
+    folds. Output: (host_idx, deg, tri2, wedges2)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    und, U = _link_graph_und(sf_dir)
+    epd = und.to_pandas()                    # edge-set-sized (q_pagerank)
+    lo = epd["lo"].to_numpy(np.int64)
+    hi = epd["hi"].to_numpy(np.int64)
+    deg = np.bincount(lo, minlength=U) + np.bincount(hi, minlength=U)
+    nbr = [[] for _ in range(U)]
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        nbr[a].append(b)
+        nbr[b].append(a)
+    csr_off = np.zeros(U + 1, np.int64)
+    csr_off[1:] = np.cumsum([len(x) for x in nbr])
+    csr_adj = np.concatenate([np.sort(np.array(x, np.int64)) for x in nbr])         if U else np.empty(0, np.int64)
+    ref = _ray.put((csr_off, csr_adj))
+
+    def support(t: pa.Table) -> pa.Table:
+        off, adj = _ray.get(ref)
+        a = t["lo"].to_numpy().astype(np.int64)
+        b = t["hi"].to_numpy().astype(np.int64)
+        node, s_p = [], []
+        for i in range(a.size):              # edge-batch loop, O(deg) each
+            na = adj[off[a[i]]:off[a[i] + 1]]
+            nb = adj[off[b[i]]:off[b[i] + 1]]
+            s = np.intersect1d(na, nb, assume_unique=True).size
+            node.extend((a[i], b[i]))
+            s_p.extend((s, s))
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "s_p": pa.array(s_p, pa.int64())})
+
+    tri = (und.map_batches(support, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("s_p", alias_name="tri2"))
+           .to_pandas())
+    tri2 = np.zeros(U, np.int64)
+    tri2[tri["node"].to_numpy(np.int64)] = tri["tri2"].to_numpy(np.int64)
+    present = np.flatnonzero(deg > 0)
+    dg = deg[present].astype(np.int64)
+    return pd.DataFrame({"host_idx": present.astype(np.int64),
+                         "deg": dg, "tri2": tri2[present],
+                         "wedges2": dg * (dg - 1)})
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_SQL_LINK_UND},
+dg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY a),
+sup AS (SELECT u.lo, u.hi, CAST(count(*) AS BIGINT) AS s
+        FROM u
+        JOIN adj x ON x.a = u.lo
+        JOIN adj y ON y.a = u.hi AND y.b = x.b
+        GROUP BY u.lo, u.hi),
+ends AS (SELECT lo AS v, s FROM sup UNION ALL SELECT hi, s FROM sup),
+t2 AS (SELECT v, CAST(sum(s) AS BIGINT) AS tri2 FROM ends GROUP BY v)
+SELECT dg.v AS host_idx, dg.deg,
+       COALESCE(t2.tri2, 0) AS tri2,
+       dg.deg * (dg.deg - 1) AS wedges2
+FROM dg LEFT JOIN t2 ON t2.v = dg.v
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -16133,6 +16319,9 @@ QUERIES = {
     "power_iteration": q_power_iteration,
     "sinuosity_components": q_sinuosity_components,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "grouping_sets": q_grouping_sets,
+    "l_diversity": q_l_diversity,
+    "clustering_coeff": q_clustering_coeff,
 }
 
 ORACLE_SQL = {
@@ -16320,6 +16509,9 @@ ORACLE_SQL = {
     "power_iteration": SQL_POWER_ITERATION,
     "sinuosity_components": SQL_SINUOSITY_COMPONENTS,
     "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "l_diversity": SQL_L_DIVERSITY,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -76,6 +76,7 @@ SUBSET = [
     "haar_pyramid", "ewma_floor", "winnow_select",
     "zonal_stats", "power_iteration", "sinuosity_components",
     "sorted_neighborhood_pairs",
+    "grouping_sets", "l_diversity", "clustering_coeff",
 ]
 
 
