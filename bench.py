@@ -548,6 +548,8 @@ def run_bench() -> dict:
     timed("grouping_sets", lambda: Q.q_grouping_sets(sf_dir))
     timed("l_diversity", lambda: consume(Q.q_l_diversity(sf_dir)))
     timed("clustering_coeff", lambda: Q.q_clustering_coeff(sf_dir))
+    timed("dag_layers", lambda: Q.q_dag_layers(sf_dir))
+    timed("mutual_nn", lambda: consume(Q.q_mutual_nn(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -16038,6 +16038,168 @@ FROM dg LEFT JOIN t2 ON t2.v = dg.v
 
 
 
+def q_dag_layers(sf_dir: str):
+    """Topological (longest-path) layering of the link graph's SCC
+    condensation — the schedule-depth / dependency-wave primitive that
+    completes the SCC family: contract each strongly connected
+    component (q_scc_components' FW-BW peeling) to one node, keep the
+    inter-component edges (a DAG by construction), and compute
+    layer(c) = length of the longest path reaching c by iterated
+    max-relaxation over the broadcast layer vector with early fixpoint
+    stop (rounds ≤ condensation depth). The oracle enumerates (node,
+    pathlen) pairs with a UNION-deduped recursive CTE — O(V·depth)
+    working set — and takes the max. Output: (scc_id, layer)."""
+    import ray as _ray
+    from ray.data.aggregate import Max
+
+    labels = q_scc_components(sf_dir)
+    U = int(labels["host_idx"].max()) + 1
+    scc = np.full(U, -1, np.int64)
+    scc[labels["host_idx"].to_numpy(np.int64)] = \
+        labels["scc_id"].to_numpy(np.int64)
+    edges, _ = _link_graph_dir(sf_dir)
+    sref = _ray.put(scc)
+
+    def contract(t: pa.Table, _ref=sref) -> pa.Table:
+        sc = _ray.get(_ref)
+        a = sc[t["src"].to_numpy().astype(np.int64)]
+        b = sc[t["dst"].to_numpy().astype(np.int64)]
+        m = a != b
+        k = np.unique(a[m] * np.int64(1 << 32) + b[m])
+        return pa.table({"cs": pa.array(k >> 32, pa.int64()),
+                         "cd": pa.array(k & ((1 << 32) - 1), pa.int64())})
+
+    cd = (edges.map_batches(contract, batch_format="pyarrow")
+          .groupby(["cs", "cd"]).aggregate(Max("cs", alias_name="_m"))
+          .select_columns(["cs", "cd"]).to_pandas())   # condensation-sized
+    comps = np.unique(scc[scc >= 0])
+    layer = {int(c): 0 for c in comps}
+    cs = cd["cs"].to_numpy(np.int64)
+    ds = cd["cd"].to_numpy(np.int64)
+    changed = True
+    while changed:                      # rounds ≤ condensation depth
+        changed = False
+        for s, d in zip(cs.tolist(), ds.tolist()):
+            if layer[s] + 1 > layer[d]:
+                layer[d] = layer[s] + 1
+                changed = True
+    return pd.DataFrame({"scc_id": comps.astype(np.int64),
+                         "layer": np.array([layer[int(c)] for c in comps],
+                                           np.int64)})
+
+
+SQL_DAG_LAYERS = f"""
+WITH RECURSIVE {_SQL_LINK_UND},
+ed AS (SELECT src, dst FROM e WHERE src <> dst),
+nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ed
+                                  UNION ALL SELECT dst FROM ed)),
+tc(s, d) AS (SELECT src, dst FROM ed
+             UNION
+             SELECT tc.s, ed.dst FROM tc JOIN ed ON ed.src = tc.d),
+mut AS (SELECT n.v, n.v AS m FROM nodes n
+        UNION ALL
+        SELECT a.s AS v, a.d AS m
+        FROM tc a JOIN tc b ON a.s = b.d AND a.d = b.s),
+scc AS (SELECT v, CAST(min(m) AS BIGINT) AS c FROM mut GROUP BY v),
+cde AS (SELECT DISTINCT sa.c AS cs, sb.c AS cd
+        FROM ed JOIN scc sa ON sa.v = ed.src
+                JOIN scc sb ON sb.v = ed.dst
+        WHERE sa.c <> sb.c),
+lp(v, l) AS (SELECT DISTINCT c, CAST(0 AS BIGINT) FROM scc
+             UNION
+             SELECT cde.cd, lp.l + 1 FROM lp JOIN cde ON cde.cs = lp.v)
+SELECT v AS scc_id, CAST(max(l) AS BIGINT) AS layer
+FROM lp GROUP BY v
+"""
+
+
+def q_mutual_nn(sf_dir: str):
+    """Mutual-nearest-neighbour crossmatch (the astronomy/geo catalogue
+    matcher: a pair links only if each side is the other's nearest):
+    catalogue A = even event_ids, B = odd, per user; integer
+    micro-degree d2, ties broken to the smallest candidate event_id.
+    Per-user the d2 block is vectorized both directions; a pair
+    survives iff a = nn(b) AND b = nn(a). Scale shape: one user-hash
+    shuffle, per-user bounded blocks (cell-blocked candidate pruning is
+    the q_knn_join path at catalogue scale). Output:
+    (user_id, a_id, b_id, d2)."""
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def match(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "d2": pa.array([], pa.int64())})
+        if not u.size:
+            return empty
+        e = t["event_id"].to_numpy().astype(np.int64)
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        o = np.lexsort((e, u))
+        u, e, x, y = u[o], e[o], x[o], y[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [u.size]))
+        ou, oa, ob, od = [], [], [], []
+        for s, t0 in zip(starts, ends):
+            ev, xx, yy = e[s:t0], x[s:t0], y[s:t0]
+            am = ev % 2 == 0
+            if not am.any() or am.all():
+                continue
+            ea, xa, ya = ev[am], xx[am], yy[am]      # sorted by event_id
+            eb, xb, yb = ev[~am], xx[~am], yy[~am]
+            d2 = (xa[:, None] - xb[None, :]) ** 2 \
+                + (ya[:, None] - yb[None, :]) ** 2
+            nn_ab = d2.argmin(axis=1)       # first min = smallest b_id
+            nn_ba = d2.argmin(axis=0)       # first min = smallest a_id
+            ai = np.arange(ea.size)
+            mutual = nn_ba[nn_ab[ai]] == ai
+            ou.append(np.full(int(mutual.sum()), u[s], np.int64))
+            oa.append(ea[ai[mutual]])
+            ob.append(eb[nn_ab[ai[mutual]]])
+            od.append(d2[ai[mutual], nn_ab[ai[mutual]]])
+        if not ou:
+            return empty
+        return pa.table({"user_id": pa.array(np.concatenate(ou), pa.int64()),
+                         "a_id": pa.array(np.concatenate(oa), pa.int64()),
+                         "b_id": pa.array(np.concatenate(ob), pa.int64()),
+                         "d2": pa.array(np.concatenate(od), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(match, batch_format="pyarrow")
+            .select_columns(["user_id", "a_id", "b_id", "d2"]))
+
+
+SQL_MUTUAL_NN = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT user_id, event_id,
+             CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y
+      FROM p),
+a AS (SELECT * FROM s WHERE event_id % 2 = 0),
+b AS (SELECT * FROM s WHERE event_id % 2 = 1),
+ab AS (SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+       FROM a JOIN b ON b.user_id = a.user_id),
+nna AS (SELECT user_id, a_id, b_id, d2,
+               row_number() OVER (PARTITION BY user_id, a_id
+                                  ORDER BY d2, b_id) AS rk
+        FROM ab),
+nnb AS (SELECT user_id, a_id, b_id,
+               row_number() OVER (PARTITION BY user_id, b_id
+                                  ORDER BY d2, a_id) AS rk
+        FROM ab)
+SELECT x.user_id, x.a_id, x.b_id, x.d2
+FROM (SELECT * FROM nna WHERE rk = 1) x
+JOIN (SELECT * FROM nnb WHERE rk = 1) y
+  ON y.user_id = x.user_id AND y.a_id = x.a_id AND y.b_id = x.b_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -16322,6 +16484,8 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "l_diversity": q_l_diversity,
     "clustering_coeff": q_clustering_coeff,
+    "dag_layers": q_dag_layers,
+    "mutual_nn": q_mutual_nn,
 }
 
 ORACLE_SQL = {
@@ -16512,6 +16676,8 @@ ORACLE_SQL = {
     "grouping_sets": SQL_GROUPING_SETS,
     "l_diversity": SQL_L_DIVERSITY,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "dag_layers": SQL_DAG_LAYERS,
+    "mutual_nn": SQL_MUTUAL_NN,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -77,6 +77,7 @@ SUBSET = [
     "zonal_stats", "power_iteration", "sinuosity_components",
     "sorted_neighborhood_pairs",
     "grouping_sets", "l_diversity", "clustering_coeff",
+    "dag_layers", "mutual_nn",
 ]
 
 
