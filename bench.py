@@ -550,6 +550,9 @@ def run_bench() -> dict:
     timed("clustering_coeff", lambda: Q.q_clustering_coeff(sf_dir))
     timed("dag_layers", lambda: Q.q_dag_layers(sf_dir))
     timed("mutual_nn", lambda: consume(Q.q_mutual_nn(sf_dir)))
+    timed("lorenz_deciles", lambda: consume(Q.q_lorenz_deciles(sf_dir)))
+    timed("inversion_counts",
+          lambda: consume(Q.q_inversion_counts(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -16200,6 +16200,142 @@ JOIN (SELECT * FROM nnb WHERE rk = 1) y
 
 
 
+def q_lorenz_deciles(sf_dir: str):
+    """Exact Lorenz curve at deciles per event_type (q_gini_components'
+    curve form — the concentration profile a revenue audit plots): for
+    k = 1..10, the sum of the r_k = k*n//10 smallest value-cents,
+    computed in closed form from the SAME distinct-cents histogram the
+    Gini numerator uses (full buckets below the covering bucket + the
+    exact partial (r_k - below)·cents) — no per-row sort, the shuffle
+    carries distinct values only. Output: (event_type, k, r_k,
+    lorenz_sum) — all integers."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(c, pa.int64())})
+
+    hist = (ev.map_batches(cents, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Count(alias_name="k")))
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents")
+        cnt = df["k"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        cumc = np.cumsum(cnt)
+        cums = np.cumsum(c * cnt)
+        n = int(cumc[-1])
+        ks = np.arange(1, 11, dtype=np.int64)
+        rk = ks * n // 10
+        i = np.searchsorted(cumc, rk, side="left")   # covering bucket
+        below_c = np.where(i > 0, cumc[i - 1], 0)
+        below_s = np.where(i > 0, cums[i - 1], 0)
+        ls = below_s + (rk - below_c) * c[i]
+        return pd.DataFrame({"event_type": df["event_type"].iloc[0],
+                             "k": ks, "r_k": rk, "lorenz_sum": ls})
+
+    return hist.groupby("event_type").map_groups(per_type)
+
+
+SQL_LORENZ_DECILES = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+g AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS kcnt
+      FROM c GROUP BY event_type, cents),
+w AS (SELECT event_type, cents, kcnt,
+             CAST(sum(kcnt) OVER (PARTITION BY event_type ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+             CAST(sum(cents * kcnt) OVER (PARTITION BY event_type
+                                          ORDER BY cents
+                                          ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cs
+      FROM g),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM c
+      GROUP BY event_type),
+d AS (SELECT n.event_type, t.k, t.k * n.n // 10 AS r_k
+      FROM n CROSS JOIN (SELECT unnest(range(1, 11)) AS k) t)
+SELECT d.event_type, d.k, d.r_k,
+       w.cs - (w.cc - d.r_k) * w.cents AS lorenz_sum
+FROM d JOIN w ON w.event_type = d.event_type
+             AND w.cc - w.kcnt < d.r_k AND d.r_k <= w.cc
+"""
+
+
+def q_inversion_counts(sf_dir: str):
+    """Exact inversion count of each user's value sequence in time
+    order (the sortedness / monotone-trend audit — Kendall's tau
+    numerator): pairs i < j (by ts, event_id) with cents_i > cents_j,
+    plus the tie-pair count needed to normalize tau. Per-user blocks
+    are vectorized O(n_u²) comparisons (the merge-count path replaces
+    the block at catalogue scale); one user-hash shuffle, no joins.
+    Output: (user_id, n, inversions, ties)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def inv(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "inversions": pa.array([], pa.int64()),
+                          "ties": pa.array([], pa.int64())})
+        if not u.size:
+            return empty
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        e = t["event_id"].to_numpy().astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, c = u[o], c[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [u.size]))
+        uid, nn, iv, tz = [], [], [], []
+        for s, t0 in zip(starts, ends):
+            v = c[s:t0]
+            m = v[:, None] > v[None, :]
+            tri = np.triu(np.ones((v.size, v.size), bool), 1)
+            uid.append(u[s])
+            nn.append(v.size)
+            iv.append(int((m & tri).sum()))
+            tz.append(int(((v[:, None] == v[None, :]) & tri).sum()))
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "n": pa.array(nn, pa.int64()),
+                         "inversions": pa.array(iv, pa.int64()),
+                         "ties": pa.array(tz, pa.int64())})
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(inv, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "inversions", "ties"]))
+
+
+SQL_INVERSION_COUNTS = """
+WITH c AS (SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS BIGINT) AS rn
+           FROM events),
+pr AS (SELECT a.user_id,
+              CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END AS iv,
+              CASE WHEN a.cents = b.cents THEN 1 ELSE 0 END AS tz
+       FROM c a JOIN c b ON b.user_id = a.user_id AND a.rn < b.rn)
+SELECT user_id,
+       CAST((SELECT max(rn) FROM c c2
+             WHERE c2.user_id = pr.user_id) AS BIGINT) AS n,
+       CAST(sum(iv) AS BIGINT) AS inversions,
+       CAST(sum(tz) AS BIGINT) AS ties
+FROM pr GROUP BY user_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -16486,6 +16622,8 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "dag_layers": q_dag_layers,
     "mutual_nn": q_mutual_nn,
+    "lorenz_deciles": q_lorenz_deciles,
+    "inversion_counts": q_inversion_counts,
 }
 
 ORACLE_SQL = {
@@ -16678,6 +16816,8 @@ ORACLE_SQL = {
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "dag_layers": SQL_DAG_LAYERS,
     "mutual_nn": SQL_MUTUAL_NN,
+    "lorenz_deciles": SQL_LORENZ_DECILES,
+    "inversion_counts": SQL_INVERSION_COUNTS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -78,6 +78,7 @@ SUBSET = [
     "sorted_neighborhood_pairs",
     "grouping_sets", "l_diversity", "clustering_coeff",
     "dag_layers", "mutual_nn",
+    "lorenz_deciles", "inversion_counts",
 ]
 
 
