@@ -553,6 +553,8 @@ def run_bench() -> dict:
     timed("lorenz_deciles", lambda: consume(Q.q_lorenz_deciles(sf_dir)))
     timed("inversion_counts",
           lambda: consume(Q.q_inversion_counts(sf_dir)))
+    timed("idw_estimate", lambda: consume(Q.q_idw_estimate(sf_dir)))
+    timed("xcorr_lags", lambda: Q.q_xcorr_lags(sf_dir))
 
     def finish() -> dict:
         out = {

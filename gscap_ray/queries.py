@@ -11880,6 +11880,9 @@ FROM k GROUP BY packed
 
 # --------------------------------------------- graph: truss / core peeling ---
 
+_LINK_MEMO: dict = {}          # (pages_dir, kind) -> (edges Dataset, U)
+
+
 def _link_graph_und(sf_dir: str):
     """Undirected host-level link graph from the REAL html outlinks (the
     same WAT-style extraction as q_html_links / q_link_pagerank): hrefs
@@ -11887,8 +11890,15 @@ def _link_graph_und(sf_dir: str):
     to (lo, hi), self-loops dropped, per-batch then global dedup. The
     html payload never enters the exchange — each batch folds to distinct
     int64 pairs first. Returns (edges Dataset[lo, hi], U) with
-    U = max host index + 1 over the edge set."""
+    U = max host index + 1 over the edge set. The materialized edge
+    Dataset is memoized per pages dir — the whole graph-query family
+    (pagerank / k-core / SCC / truss / layers) shares ONE extraction
+    pass per process instead of re-reading the page dump each query."""
     from ray.data.aggregate import Count, Max
+
+    memo_key = (_pages_dir_for(sf_dir), "und")
+    if memo_key in _LINK_MEMO:
+        return _LINK_MEMO[memo_key]
 
     ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
     href_re = re.compile(r'href="([^"]+)"')
@@ -11916,6 +11926,7 @@ def _link_graph_und(sf_dir: str):
              .select_columns(["lo", "hi"]).materialize())
     m = edges.aggregate(Max("lo"), Max("hi"))
     U = int(max(m["max(lo)"], m["max(hi)"])) + 1
+    _LINK_MEMO[memo_key] = (edges, U)
     return edges, U
 
 
@@ -14735,8 +14746,14 @@ def _link_graph_dir(sf_dir: str):
     q_link_pagerank extraction shared by the SCC / weighted-SSSP
     family): distinct (src, dst) int64 pairs, self-loops dropped,
     per-batch dedup before the exchange so the html payload never
-    leaves the map task. Returns (edges Dataset[src, dst], U)."""
+    leaves the map task. Returns (edges Dataset[src, dst], U); the
+    materialized edge Dataset is memoized per pages dir (one extraction
+    pass per process, as in _link_graph_und)."""
     from ray.data.aggregate import Count, Max
+
+    memo_key = (_pages_dir_for(sf_dir), "dir")
+    if memo_key in _LINK_MEMO:
+        return _LINK_MEMO[memo_key]
 
     ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
     href_re = re.compile(r'href="([^"]+)"')
@@ -14758,6 +14775,7 @@ def _link_graph_dir(sf_dir: str):
              .select_columns(["src", "dst"]).materialize())
     m = edges.aggregate(Max("src"), Max("dst"))
     U = int(max(m["max(src)"], m["max(dst)"])) + 1
+    _LINK_MEMO[memo_key] = (edges, U)
     return edges, U
 
 
@@ -16336,6 +16354,170 @@ FROM pr GROUP BY user_id
 
 
 
+def q_idw_estimate(sf_dir: str):
+    """Inverse-distance-weighted interpolation at the 24 star-polygon
+    centers (the kriging-lite context-surface estimator): weights are
+    the INTEGER truncation w = 10^13 // (d2 + 10^6) over points within
+    the 30000-micro-degree radius (the +10^6 regularizer caps w at 10^7
+    so num stays in int64 at any density, and makes the float 1/d²
+    exact and order-free: the weighted numerator/denominator are plain
+    int64 sums; the estimate num/den is the downstream single
+    division).
+    Points join centers by replicating each batch against the broadcast
+    24-row center table — one vectorized (batch x 24) d2 block, partial
+    sums fold per batch. Output: (place_id, n_in, num, den)."""
+    from ray.data.aggregate import Sum
+
+    K = np.int64(10_000_000_000_000)
+    C = np.int64(1_000_000)
+    R2 = np.int64(30000) ** 2
+    ks = np.arange(24, dtype=np.int64)
+    v = (ks * 7) % 15
+    cx = ((v * 37) % 120 - 60) * 100000 + 50000 + (ks % 5) * 12500
+    cy = ((v * 91) % 300 - 150) * 100000 + 50000 + (ks % 7) * 12500
+    pid = ks
+
+    def part(t: pa.Table) -> pa.Table:
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        d2 = (x[:, None] - cx[None, :]) ** 2 + (y[:, None] - cy[None, :]) ** 2
+        pi, ci = np.nonzero(d2 <= R2)
+        w = K // (d2[pi, ci] + C)
+        g = (pd.DataFrame({"place_id": pid[ci], "n_p": 1,
+                           "num_p": w * c[pi], "den_p": w})
+             .groupby("place_id", sort=False)
+             .agg(n_p=("n_p", "sum"), num_p=("num_p", "sum"),
+                  den_p=("den_p", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (_points_ds(sf_dir)
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("place_id")
+            .aggregate(Sum("n_p", alias_name="n_in"),
+                       Sum("num_p", alias_name="num"),
+                       Sum("den_p", alias_name="den")))
+
+
+SQL_IDW_ESTIMATE = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM p),
+centers AS (SELECT k AS place_id,
+                   CAST(round(((((k*7) % 15) * 37) % 120 - 60 + 0.5
+                               + (k % 5) * 0.125) * 100000) AS BIGINT) AS cx,
+                   CAST(round(((((k*7) % 15) * 91) % 300 - 150 + 0.5
+                               + (k % 7) * 0.125) * 100000) AS BIGINT) AS cy
+            FROM range(24) t(k)),
+j AS (SELECT c.place_id,
+             10000000000000 // ((s.x - c.cx) * (s.x - c.cx)
+                                + (s.y - c.cy) * (s.y - c.cy) + 1000000) AS w,
+             s.cents
+      FROM s JOIN centers c
+        ON (s.x - c.cx) * (s.x - c.cx) + (s.y - c.cy) * (s.y - c.cy)
+           <= 900000000)
+SELECT place_id, CAST(count(*) AS BIGINT) AS n_in,
+       CAST(sum(w * cents) AS BIGINT) AS num,
+       CAST(sum(w) AS BIGINT) AS den
+FROM j GROUP BY place_id
+"""
+
+
+def q_xcorr_lags(sf_dir: str):
+    """Cross-correlation sufficient statistics between the 'click' and
+    'purchase' daily count series at lags 0..3 (the lead-lag CCF of a
+    conversion monitor, exact-integer form): with a, b the dense
+    16-day grids (q_haar_pyramid's window), emit per lag the raw dot
+    Σ a_d·b_{d+lag}, the overlap n, and each side's sum and sum of
+    squares over the overlap — Pearson-at-lag is downstream algebra.
+    The only data-scale pass is one (type, day) count fold; the lag
+    algebra runs on the 32-value table. Output: (lag, n, dot,
+    sum_a, sum_b, ss_a, ss_b)."""
+    from ray.data.aggregate import Min, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"event_type": t["event_type"],
+                         "d": pa.array(d, pa.int64())})
+
+    dd = ev.map_batches(days, batch_format="pyarrow")
+    d0 = int(dd.aggregate(Min("d"))["min(d)"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        off = t["d"].to_numpy().astype(np.int64) - d0
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        m = (off >= 0) & (off < 16) & np.isin(et.astype(str),
+                                              ("click", "purchase"))
+        g = (pd.DataFrame({"event_type": et[m].astype(str),
+                           "slot": off[m]})
+             .groupby(["event_type", "slot"], sort=False)
+             .size().rename("c_p").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = (dd.map_batches(counts, batch_format="pyarrow")
+            .groupby(["event_type", "slot"])
+            .aggregate(Sum("c_p", alias_name="c"))
+            .to_pandas())                      # 32-value table
+    a = np.zeros(16, np.int64)
+    b = np.zeros(16, np.int64)
+    ga = grid[grid["event_type"] == "click"]
+    gb = grid[grid["event_type"] == "purchase"]
+    a[ga["slot"].to_numpy(np.int64)] = ga["c"].to_numpy(np.int64)
+    b[gb["slot"].to_numpy(np.int64)] = gb["c"].to_numpy(np.int64)
+    rows = []
+    for lag in range(4):
+        aa = a[:16 - lag]
+        bb = b[lag:]
+        rows.append({"lag": lag, "n": aa.size,
+                     "dot": int((aa * bb).sum()),
+                     "sum_a": int(aa.sum()), "sum_b": int(bb.sum()),
+                     "ss_a": int((aa * aa).sum()),
+                     "ss_b": int((bb * bb).sum())})
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_XCORR_LAGS = """
+WITH d AS (SELECT event_type,
+                  CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+                      AS day
+           FROM events),
+base AS (SELECT min(day) AS d0 FROM d),
+cnt AS (SELECT event_type, day - (SELECT d0 FROM base) AS slot,
+               CAST(count(*) AS BIGINT) AS c
+        FROM d
+        WHERE day - (SELECT d0 FROM base) BETWEEN 0 AND 15
+          AND event_type IN ('click', 'purchase')
+        GROUP BY event_type, slot),
+grid AS (SELECT g.slot,
+                COALESCE(max(CASE WHEN event_type = 'click' THEN c END), 0)
+                    AS a,
+                COALESCE(max(CASE WHEN event_type = 'purchase' THEN c END), 0)
+                    AS b
+         FROM (SELECT unnest(range(16)) AS slot) g
+         LEFT JOIN cnt ON cnt.slot = g.slot
+         GROUP BY g.slot),
+lags AS (SELECT unnest(range(4)) AS lag),
+j AS (SELECT l.lag, x.a, y.b
+      FROM lags l
+      JOIN grid x ON x.slot <= 15 - l.lag
+      JOIN grid y ON y.slot = x.slot + l.lag)
+SELECT lag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(a * b) AS BIGINT) AS dot,
+       CAST(sum(a) AS BIGINT) AS sum_a,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum(a * a) AS BIGINT) AS ss_a,
+       CAST(sum(b * b) AS BIGINT) AS ss_b
+FROM j GROUP BY lag
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -16624,6 +16806,8 @@ QUERIES = {
     "mutual_nn": q_mutual_nn,
     "lorenz_deciles": q_lorenz_deciles,
     "inversion_counts": q_inversion_counts,
+    "idw_estimate": q_idw_estimate,
+    "xcorr_lags": q_xcorr_lags,
 }
 
 ORACLE_SQL = {
@@ -16818,6 +17002,8 @@ ORACLE_SQL = {
     "mutual_nn": SQL_MUTUAL_NN,
     "lorenz_deciles": SQL_LORENZ_DECILES,
     "inversion_counts": SQL_INVERSION_COUNTS,
+    "idw_estimate": SQL_IDW_ESTIMATE,
+    "xcorr_lags": SQL_XCORR_LAGS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
