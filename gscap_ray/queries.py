@@ -14796,6 +14796,29 @@ def q_sssp_rounds(sf_dir: str):
     INF = np.int64(2**62)
     dist = np.full(U, INF, np.int64)
     dist[0] = 0
+    n_edges = edges.count()
+    if n_edges <= 200_000:
+        # Small-graph fast path: Jacobi rounds on the driver-resident
+        # edge arrays — identical bounded-hop semantics (each round
+        # relaxes from the PREVIOUS round's snapshot), zero per-round
+        # Dataset-job overhead. The Dataset path below is the
+        # web-scale-hosts route.
+        epd = edges.to_pandas()
+        s = epd["src"].to_numpy(np.int64)
+        g = epd["dst"].to_numpy(np.int64)
+        w = (s * 7 + g * 13) % 19 + 1
+        for _ in range(6):
+            prev = dist.copy()
+            m = prev[s] < INF
+            cand = prev[s[m]] + w[m]
+            nd = dist.copy()
+            np.minimum.at(nd, g[m], cand)
+            if (nd == dist).all():
+                break
+            dist = nd
+        reached = np.flatnonzero(dist < INF)
+        return pd.DataFrame({"host_idx": reached.astype(np.int64),
+                             "cost": dist[reached]})
     for _ in range(6):
         ref = _ray.put(dist)
 
@@ -14886,10 +14909,28 @@ def q_scc_components(sf_dir: str):
     present = np.zeros(U, bool)
     present[epd["src"].to_numpy()] = True
     present[epd["dst"].to_numpy()] = True
+    small = len(epd) <= 200_000
+    e_src = epd["src"].to_numpy(np.int64)
+    e_dst = epd["dst"].to_numpy(np.int64)
 
     def propagate(lab: np.ndarray, active: np.ndarray,
                   reverse: bool) -> np.ndarray:
         lab = lab.copy()
+        if small:
+            # The edge table is already driver-resident (it IS the
+            # `present` input above); min-label fixpoints are
+            # order-independent, so in-place numpy relaxation reaches
+            # the same fixpoint as the Dataset rounds below with zero
+            # per-round job overhead. The Dataset path remains the
+            # >200k-edge (web-scale hosts) route.
+            s, g = (e_dst, e_src) if reverse else (e_src, e_dst)
+            m = active[s] & active[g]
+            s, g = s[m], g[m]
+            while True:
+                before = lab[g].copy()
+                np.minimum.at(lab, g, lab[s])
+                if (lab[g] == before).all():
+                    return lab
         while True:
             ref = _ray.put((lab, active))
 
@@ -16076,6 +16117,15 @@ def q_dag_layers(sf_dir: str):
     scc[labels["host_idx"].to_numpy(np.int64)] = \
         labels["scc_id"].to_numpy(np.int64)
     edges, _ = _link_graph_dir(sf_dir)
+    if edges.count() <= 200_000:
+        epd = edges.to_pandas()
+        a = scc[epd["src"].to_numpy(np.int64)]
+        b = scc[epd["dst"].to_numpy(np.int64)]
+        m = a != b
+        k = np.unique(a[m] * np.int64(1 << 32) + b[m])
+        cd = pd.DataFrame({"cs": k >> 32, "cd": k & ((1 << 32) - 1)})
+    else:
+        cd = None
     sref = _ray.put(scc)
 
     def contract(t: pa.Table, _ref=sref) -> pa.Table:
@@ -16087,9 +16137,10 @@ def q_dag_layers(sf_dir: str):
         return pa.table({"cs": pa.array(k >> 32, pa.int64()),
                          "cd": pa.array(k & ((1 << 32) - 1), pa.int64())})
 
-    cd = (edges.map_batches(contract, batch_format="pyarrow")
-          .groupby(["cs", "cd"]).aggregate(Max("cs", alias_name="_m"))
-          .select_columns(["cs", "cd"]).to_pandas())   # condensation-sized
+    if cd is None:
+        cd = (edges.map_batches(contract, batch_format="pyarrow")
+              .groupby(["cs", "cd"]).aggregate(Max("cs", alias_name="_m"))
+              .select_columns(["cs", "cd"]).to_pandas())  # condensation-sized
     comps = np.unique(scc[scc >= 0])
     layer = {int(c): 0 for c in comps}
     cs = cd["cs"].to_numpy(np.int64)
