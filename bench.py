@@ -555,6 +555,7 @@ def run_bench() -> dict:
           lambda: consume(Q.q_inversion_counts(sf_dir)))
     timed("idw_estimate", lambda: consume(Q.q_idw_estimate(sf_dir)))
     timed("xcorr_lags", lambda: Q.q_xcorr_lags(sf_dir))
+    timed("set_cover_greedy", lambda: Q.q_set_cover_greedy(sf_dir))
 
     def finish() -> dict:
         out = {

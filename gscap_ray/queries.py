@@ -16569,6 +16569,111 @@ FROM j GROUP BY lag
 
 
 
+def q_set_cover_greedy(sf_dir: str):
+    """Greedy maximum-coverage corpus selection (the submodular
+    data-selection primitive of LLM corpus curation — pick the source
+    covering the most yet-uncovered vocabulary, 3 rounds): universe =
+    distinct (host, token) pairs of the page dump. Per round the gain
+    of every host over UNCOVERED tokens folds in one token-hash
+    shuffle: tokens co-locate with all their hosts, so the covered
+    flag (any incident host already picked) is a per-partition
+    vectorized isin — no broadcast of the (data-scale) covered-token
+    set, only the (tiny) picked-host list travels. Ties break to the
+    smallest host id. Output: (round, host, gain)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "text"])
+    idx_re = re.compile(r"-(\d+)\.example\.com")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        host_s = pc.list_element(pc.split_pattern(t["url"], "/"), 2).to_pandas()
+        host = host_s.str.extract(idx_re, expand=False).astype(np.int64)
+        txt = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        df = pd.DataFrame({"host": host,
+                           "tok": txt.str.strip().str.split()})
+        df = df.explode("tok", ignore_index=True).dropna(subset=["tok"])
+        df = df.drop_duplicates(["host", "tok"])
+        df["part"] = (pd.util.hash_array(df["tok"].to_numpy(dtype=object))
+                      % 64).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    htok = (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["part", "host", "tok"])
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["part", "host", "tok"])
+            .materialize())
+
+    picked: list[int] = []
+    out_r, out_h, out_g = [], [], []
+    for rnd in range(1, 4):
+        pk = tuple(picked)
+
+        def gains(df: pd.DataFrame, _p=pk) -> pd.DataFrame:
+            covered_toks = df.loc[df["host"].isin(_p), "tok"].unique()
+            live = df[~df["tok"].isin(covered_toks)]
+            g = (live.groupby("host", sort=False)
+                 .size().rename("g_p").reset_index())
+            return g
+
+        gsum = (htok.groupby("part").map_groups(gains, batch_format="pandas")
+                .groupby("host").aggregate(Sum("g_p", alias_name="gain"))
+                .to_pandas())
+        gsum = gsum[~gsum["host"].isin(picked)]
+        if not len(gsum) or int(gsum["gain"].max()) <= 0:
+            break
+        gsum = gsum.sort_values(["gain", "host"],
+                                ascending=[False, True])
+        h = int(gsum["host"].iloc[0])
+        out_r.append(rnd)
+        out_h.append(h)
+        out_g.append(int(gsum["gain"].iloc[0]))
+        picked.append(h)
+    return pd.DataFrame({"round": np.array(out_r, np.int64),
+                         "host": np.array(out_h, np.int64),
+                         "gain": np.array(out_g, np.int64)})
+
+
+SQL_SET_COVER_GREEDY = """
+WITH pg AS (SELECT url, text
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+htok AS (SELECT DISTINCT
+                CAST(regexp_extract(split_part(url, '/', 3),
+                                    '-(\\d+)\\.example\\.com', 1)
+                     AS BIGINT) AS host,
+                unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+') END)
+                    AS tok
+         FROM pg),
+g1 AS (SELECT host, CAST(count(*) AS BIGINT) AS gain
+       FROM htok GROUP BY host),
+p1 AS (SELECT host, gain FROM g1 ORDER BY gain DESC, host LIMIT 1),
+c1 AS (SELECT DISTINCT tok FROM htok
+       WHERE host = (SELECT host FROM p1)),
+g2 AS (SELECT host, CAST(count(*) AS BIGINT) AS gain
+       FROM htok
+       WHERE host <> (SELECT host FROM p1)
+         AND tok NOT IN (SELECT tok FROM c1)
+       GROUP BY host),
+p2 AS (SELECT host, gain FROM g2 ORDER BY gain DESC, host LIMIT 1),
+c2 AS (SELECT tok FROM c1
+       UNION
+       SELECT DISTINCT tok FROM htok WHERE host = (SELECT host FROM p2)),
+g3 AS (SELECT host, CAST(count(*) AS BIGINT) AS gain
+       FROM htok
+       WHERE host NOT IN (SELECT host FROM p1 UNION ALL
+                          SELECT host FROM p2)
+         AND tok NOT IN (SELECT tok FROM c2)
+       GROUP BY host),
+p3 AS (SELECT host, gain FROM g3 ORDER BY gain DESC, host LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS round, host, gain FROM p1
+UNION ALL
+SELECT 2, host, gain FROM p2
+UNION ALL
+SELECT 3, host, gain FROM p3
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -16859,6 +16964,7 @@ QUERIES = {
     "inversion_counts": q_inversion_counts,
     "idw_estimate": q_idw_estimate,
     "xcorr_lags": q_xcorr_lags,
+    "set_cover_greedy": q_set_cover_greedy,
 }
 
 ORACLE_SQL = {
@@ -17055,6 +17161,7 @@ ORACLE_SQL = {
     "inversion_counts": SQL_INVERSION_COUNTS,
     "idw_estimate": SQL_IDW_ESTIMATE,
     "xcorr_lags": SQL_XCORR_LAGS,
+    "set_cover_greedy": SQL_SET_COVER_GREEDY,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

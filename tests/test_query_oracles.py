@@ -79,7 +79,7 @@ SUBSET = [
     "grouping_sets", "l_diversity", "clustering_coeff",
     "dag_layers", "mutual_nn",
     "lorenz_deciles", "inversion_counts",
-    "idw_estimate", "xcorr_lags",
+    "idw_estimate", "xcorr_lags", "set_cover_greedy",
 ]
 
 
