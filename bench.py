@@ -556,6 +556,9 @@ def run_bench() -> dict:
     timed("idw_estimate", lambda: consume(Q.q_idw_estimate(sf_dir)))
     timed("xcorr_lags", lambda: Q.q_xcorr_lags(sf_dir))
     timed("set_cover_greedy", lambda: Q.q_set_cover_greedy(sf_dir))
+    timed("mmr_select", lambda: Q.q_mmr_select(sf_dir))
+    timed("value_band_join",
+          lambda: consume(Q.q_value_band_join(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -16674,6 +16674,198 @@ SELECT 3, host, gain FROM p3
 
 
 
+def q_mmr_select(sf_dir: str):
+    """Maximal-Marginal-Relevance selection (Carbonell-Goldstein — the
+    diversity-aware retrieval/curation picker): from the candidate pool
+    vec_id % 10 == 1, greedily pick 5 vectors maximizing
+    2*dot(q, c) minus the max dot to any picked vector, over milli-quantized
+    8-dim prefixes (exact int64 dots; q = vec 0; empty-set penalty =
+    0; ties to the smallest vec_id). Candidate scoring is one
+    vectorized matmul per batch against the broadcast (tiny) picked
+    matrix — the relevance column is computed once, only the penalty
+    re-scores per round. Output: (round, vec_id, score)."""
+    K = 8
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy().astype(np.int64)
+        return t.filter(pa.array((v % 10 == 1) | (v == 0)))
+
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(keep, batch_format="pyarrow")
+           .to_pandas())                    # candidate-pool-sized pull
+    emb = emb.sort_values("vec_id")
+    vid = emb["vec_id"].to_numpy(np.int64)
+    q = np.round(np.stack(emb["embedding"].to_numpy())[:, :K]
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    qv = q[vid == 0][0]
+    cm = vid % 10 == 1
+    cid, cq = vid[cm], q[cm]
+    rel = cq @ qv                            # 2*rel - penalty is the score
+    picked_rows = []
+    picked_vecs = np.empty((0, K), np.int64)
+    live = np.ones(cid.size, bool)
+    for rnd in range(1, 6):
+        pen = (cq @ picked_vecs.T).max(axis=1) if len(picked_rows)             else np.zeros(cid.size, np.int64)
+        score = 2 * rel - pen
+        score[~live] = np.iinfo(np.int64).min
+        i = int(np.argmax(score))            # first max = smallest vec_id
+        picked_rows.append({"round": rnd, "vec_id": int(cid[i]),
+                            "score": int(score[i])})
+        picked_vecs = np.vstack([picked_vecs, cq[i]])
+        live[i] = False
+    return pd.DataFrame(picked_rows).astype(np.int64)
+
+
+SQL_MMR_SELECT = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cand AS (SELECT vec_id FROM e WHERE vec_id % 10 = 1),
+qdot AS (SELECT c.vec_id,
+                CAST(list_sum(list_transform(range(1, 9), k ->
+                    CAST(round(a.embedding[CAST(k AS INT)] * 1000) AS BIGINT)
+                  * CAST(round(b.embedding[CAST(k AS INT)] * 1000) AS BIGINT)))
+                     AS BIGINT) AS d
+         FROM cand c
+         JOIN e a ON a.vec_id = c.vec_id
+         JOIN e b ON b.vec_id = 0),
+dot AS (SELECT x.vec_id AS a, y.vec_id AS b,
+               CAST(list_sum(list_transform(range(1, 9), k ->
+                   CAST(round(ea.embedding[CAST(k AS INT)] * 1000) AS BIGINT)
+                 * CAST(round(eb.embedding[CAST(k AS INT)] * 1000) AS BIGINT)))
+                    AS BIGINT) AS d
+        FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+        JOIN e ea ON ea.vec_id = x.vec_id
+        JOIN e eb ON eb.vec_id = y.vec_id),
+s1 AS (SELECT vec_id, 2 * d AS score FROM qdot),
+p1 AS (SELECT vec_id, score FROM s1 ORDER BY score DESC, vec_id LIMIT 1),
+pen2 AS (SELECT c.vec_id, max(dd.d) AS pen
+           FROM cand c
+           JOIN dot dd ON dd.a = c.vec_id
+                      AND dd.b IN (SELECT vec_id FROM p1)
+           GROUP BY c.vec_id),
+s2 AS (SELECT c.vec_id, 2 * qd.d - pen2.pen AS score
+         FROM cand c
+         JOIN qdot qd ON qd.vec_id = c.vec_id
+         JOIN pen2 ON pen2.vec_id = c.vec_id
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)),
+p2 AS (SELECT vec_id, score FROM s2
+         ORDER BY score DESC, vec_id LIMIT 1),
+pen3 AS (SELECT c.vec_id, max(dd.d) AS pen
+           FROM cand c
+           JOIN dot dd ON dd.a = c.vec_id
+                      AND dd.b IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)
+           GROUP BY c.vec_id),
+s3 AS (SELECT c.vec_id, 2 * qd.d - pen3.pen AS score
+         FROM cand c
+         JOIN qdot qd ON qd.vec_id = c.vec_id
+         JOIN pen3 ON pen3.vec_id = c.vec_id
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)),
+p3 AS (SELECT vec_id, score FROM s3
+         ORDER BY score DESC, vec_id LIMIT 1),
+pen4 AS (SELECT c.vec_id, max(dd.d) AS pen
+           FROM cand c
+           JOIN dot dd ON dd.a = c.vec_id
+                      AND dd.b IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3)
+           GROUP BY c.vec_id),
+s4 AS (SELECT c.vec_id, 2 * qd.d - pen4.pen AS score
+         FROM cand c
+         JOIN qdot qd ON qd.vec_id = c.vec_id
+         JOIN pen4 ON pen4.vec_id = c.vec_id
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3)),
+p4 AS (SELECT vec_id, score FROM s4
+         ORDER BY score DESC, vec_id LIMIT 1),
+pen5 AS (SELECT c.vec_id, max(dd.d) AS pen
+           FROM cand c
+           JOIN dot dd ON dd.a = c.vec_id
+                      AND dd.b IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)
+           GROUP BY c.vec_id),
+s5 AS (SELECT c.vec_id, 2 * qd.d - pen5.pen AS score
+         FROM cand c
+         JOIN qdot qd ON qd.vec_id = c.vec_id
+         JOIN pen5 ON pen5.vec_id = c.vec_id
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)),
+p5 AS (SELECT vec_id, score FROM s5
+         ORDER BY score DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS round, vec_id, score FROM p1
+UNION ALL
+SELECT 2, vec_id, score FROM p2
+UNION ALL
+SELECT 3, vec_id, score FROM p3
+UNION ALL
+SELECT 4, vec_id, score FROM p4
+UNION ALL
+SELECT 5, vec_id, score FROM p5
+"""
+
+
+def q_value_band_join(sf_dir: str):
+    """Numeric epsilon-band join (|a.cents - b.cents| <= 300) between
+    each user's 'click' and 'purchase' events — the classic band-join
+    blocked WITHOUT a cross product: cents bucket to width-512 cells and
+    each left row replicates to its bucket and both neighbours (band <
+    width guarantees every qualifying pair shares a replicated key);
+    one (user, bucket) equi-join then the exact band filter. The same
+    replicate-to-band-cells shape as the rect/distance joins, on a
+    VALUE axis. Output: (user_id, n_pairs)."""
+    from ray.data.aggregate import Sum
+
+    W = 512
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object).astype(str)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        am = et == "click"
+        bm = et == "purchase"
+        ua, ca = u[am], c[am]
+        rep_u = np.repeat(ua, 3)
+        rep_c = np.repeat(ca, 3)
+        rep_b = (rep_c // W) + np.tile(np.array([-1, 0, 1], np.int64),
+                                       ua.size)
+        uu = np.concatenate([rep_u, u[bm]])
+        bb = np.concatenate([rep_b, c[bm] // W])
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "bucket": pa.array(bb, pa.int64()),
+            "cents": pa.array(np.concatenate([rep_c, c[bm]]), pa.int64()),
+            "side": pa.array(np.concatenate([np.zeros(rep_u.size, np.int64),
+                                             np.ones(int(bm.sum()),
+                                                     np.int64)]),
+                             pa.int64()),
+            "part": pa.array((uu * 31 + bb) & 63, pa.int64())})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"user_id": np.array([], np.int64),
+                                 "n_p": np.array([], np.int64)})
+        m = a.merge(b, on=["user_id", "bucket"])
+        m = m[(m["cents_x"] - m["cents_y"]).abs() <= 300]
+        g = m.groupby("user_id", sort=False).size().rename("n_p")
+        return g.reset_index()[["user_id", "n_p"]]
+
+    return (ev.map_batches(sides, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(pairs, batch_format="pandas")
+            .groupby("user_id").aggregate(Sum("n_p", alias_name="n_pairs")))
+
+
+SQL_VALUE_BAND_JOIN = """
+WITH c AS (SELECT user_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+a AS (SELECT user_id, cents FROM c WHERE event_type = 'click'),
+b AS (SELECT user_id, cents FROM c WHERE event_type = 'purchase')
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON b.user_id = a.user_id
+            AND abs(a.cents - b.cents) <= 300
+GROUP BY a.user_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -16965,6 +17157,8 @@ QUERIES = {
     "idw_estimate": q_idw_estimate,
     "xcorr_lags": q_xcorr_lags,
     "set_cover_greedy": q_set_cover_greedy,
+    "mmr_select": q_mmr_select,
+    "value_band_join": q_value_band_join,
 }
 
 ORACLE_SQL = {
@@ -17162,6 +17356,8 @@ ORACLE_SQL = {
     "idw_estimate": SQL_IDW_ESTIMATE,
     "xcorr_lags": SQL_XCORR_LAGS,
     "set_cover_greedy": SQL_SET_COVER_GREEDY,
+    "mmr_select": SQL_MMR_SELECT,
+    "value_band_join": SQL_VALUE_BAND_JOIN,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

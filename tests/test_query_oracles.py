@@ -80,6 +80,7 @@ SUBSET = [
     "dag_layers", "mutual_nn",
     "lorenz_deciles", "inversion_counts",
     "idw_estimate", "xcorr_lags", "set_cover_greedy",
+    "mmr_select", "value_band_join",
 ]
 
 
