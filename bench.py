@@ -559,6 +559,8 @@ def run_bench() -> dict:
     timed("mmr_select", lambda: Q.q_mmr_select(sf_dir))
     timed("value_band_join",
           lambda: consume(Q.q_value_band_join(sf_dir)))
+    timed("rolling_ols", lambda: consume(Q.q_rolling_ols(sf_dir)))
+    timed("skip_bigrams", lambda: consume(Q.q_skip_bigrams(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -16866,6 +16866,169 @@ GROUP BY a.user_id
 
 
 
+def q_rolling_ols(sf_dir: str):
+    """Rolling 7-day OLS trend sufficient statistics per user (the
+    windowed-regression feature of a metrics store: slope =
+    (n·sxy − sx·sy)/(n·sxx − sx²) downstream): daily cents totals per
+    (user, epoch-day), then for every observed day the window over the
+    trailing 6 calendar days — exact integer (n, sx, sy, sxx, sxy)
+    computed from per-user cumulative sums with one searchsorted per
+    partition (the RANGE-frame window without a sort-based window
+    operator); the oracle is the literal RANGE BETWEEN 6 PRECEDING
+    frame. Output: (user_id, d, n, sx, sy, sxx, sxy)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        g = (pd.DataFrame({"user_id": t["user_id"].to_numpy(), "d": d,
+                           "y_p": c})
+             .groupby(["user_id", "d"], sort=False)["y_p"]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = (ev.map_batches(daily, batch_format="pyarrow")
+            .groupby(["user_id", "d"])
+            .aggregate(Sum("y_p", alias_name="y")))
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def windows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({k: pa.array([], pa.int64()) for k in
+                          ("user_id", "d", "n", "sx", "sy", "sxx", "sxy")})
+        if not u.size:
+            return empty
+        d = t["d"].to_numpy().astype(np.int64)
+        y = t["y"].to_numpy().astype(np.int64)
+        o = np.lexsort((d, u))
+        u, d, y = u[o], d[o], y[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        seg = np.repeat(np.arange(starts.size), np.diff(
+            np.concatenate((starts, [u.size]))))
+        c1 = np.cumsum(np.ones_like(d))
+        cx = np.cumsum(d)
+        cy = np.cumsum(y)
+        cxx = np.cumsum(d * d)
+        cxy = np.cumsum(d * y)
+        # window start index per row: first idx in the user's segment
+        # with day >= d - 6 (per-segment searchsorted, vectorized by
+        # shifting days so segments can't interleave)
+        big = d.max() - d.min() + 8
+        key = seg.astype(np.int64) * big + (d - d.min())
+        lo = np.searchsorted(key, seg.astype(np.int64) * big
+                             + (d - 6 - d.min()), side="left")
+        def wsum(cs):
+            base = np.where(lo > 0, cs[lo - 1], 0)
+            return cs - base
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "d": pa.array(d, pa.int64()),
+                         "n": pa.array(wsum(c1), pa.int64()),
+                         "sx": pa.array(wsum(cx), pa.int64()),
+                         "sy": pa.array(wsum(cy), pa.int64()),
+                         "sxx": pa.array(wsum(cxx), pa.int64()),
+                         "sxy": pa.array(wsum(cxy), pa.int64())})
+
+    return (grid.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(windows, batch_format="pyarrow")
+            .select_columns(["user_id", "d", "n", "sx", "sy",
+                             "sxx", "sxy"]))
+
+
+SQL_ROLLING_OLS = """
+WITH c AS (SELECT user_id,
+                  CAST(epoch_ms(date_trunc('day', ts)) // 86400000
+                       AS BIGINT) AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+g AS (SELECT user_id, d, CAST(sum(cents) AS BIGINT) AS y
+      FROM c GROUP BY user_id, d)
+SELECT user_id, d,
+       CAST(count(*) OVER win AS BIGINT) AS n,
+       CAST(sum(d) OVER win AS BIGINT) AS sx,
+       CAST(sum(y) OVER win AS BIGINT) AS sy,
+       CAST(sum(d * d) OVER win AS BIGINT) AS sxx,
+       CAST(sum(d * y) OVER win AS BIGINT) AS sxy
+FROM g
+WINDOW win AS (PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_skip_bigrams(sf_dir: str):
+    """Skip-bigram counts over each user's ordered event stream (the
+    gappy sequential-pattern primitive behind session-intent mining:
+    pairs at distance 1 OR 2, so one interleaved noise event cannot
+    hide a pattern). Same exchange as q_event_transitions — one
+    user-hash shuffle, vectorized shift-compare segment scan, per-batch
+    partial (src, dst, gap) counts folded by one small groupby-sum.
+    Output: (src, dst, gap, n)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def skips(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": (t["ts"].to_numpy(zero_copy_only=False)
+                   .astype("datetime64[us]").astype(np.int64)),
+            "e": t["event_id"].to_numpy(),
+            "y": t["event_type"].to_numpy(zero_copy_only=False),
+        }).sort_values(["u", "ts", "e"], kind="stable")
+        u = df["u"].to_numpy()
+        y = df["y"].to_numpy(object)
+        frames = []
+        for gap in (1, 2):
+            if u.size <= gap:
+                continue
+            m = u[gap:] == u[:-gap]
+            frames.append(pd.DataFrame({"src": y[:-gap][m],
+                                        "dst": y[gap:][m],
+                                        "gap": gap}))
+        if not frames:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string()),
+                             "gap": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        bc = (pd.concat(frames, ignore_index=True)
+              .value_counts().rename("n_p").reset_index())
+        return pa.table({
+            "src": pa.array(bc["src"].to_numpy(object), pa.string()),
+            "dst": pa.array(bc["dst"].to_numpy(object), pa.string()),
+            "gap": pa.array(bc["gap"].to_numpy(np.int64), pa.int64()),
+            "n_p": pa.array(bc["n_p"].to_numpy(np.int64), pa.int64())})
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(skips, batch_format="pyarrow")
+            .groupby(["src", "dst", "gap"])
+            .aggregate(Sum("n_p", alias_name="n")))
+
+
+SQL_SKIP_BIGRAMS = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS d1,
+                  lead(event_type, 2) OVER w AS d2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT event_type AS src, d1 AS dst, CAST(1 AS BIGINT) AS gap
+      FROM s WHERE d1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, d2, 2 FROM s WHERE d2 IS NOT NULL)
+SELECT src, dst, gap, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY src, dst, gap
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -17159,6 +17322,8 @@ QUERIES = {
     "set_cover_greedy": q_set_cover_greedy,
     "mmr_select": q_mmr_select,
     "value_band_join": q_value_band_join,
+    "rolling_ols": q_rolling_ols,
+    "skip_bigrams": q_skip_bigrams,
 }
 
 ORACLE_SQL = {
@@ -17358,6 +17523,8 @@ ORACLE_SQL = {
     "set_cover_greedy": SQL_SET_COVER_GREEDY,
     "mmr_select": SQL_MMR_SELECT,
     "value_band_join": SQL_VALUE_BAND_JOIN,
+    "rolling_ols": SQL_ROLLING_OLS,
+    "skip_bigrams": SQL_SKIP_BIGRAMS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

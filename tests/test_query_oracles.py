@@ -81,6 +81,7 @@ SUBSET = [
     "lorenz_deciles", "inversion_counts",
     "idw_estimate", "xcorr_lags", "set_cover_greedy",
     "mmr_select", "value_band_join",
+    "rolling_ols", "skip_bigrams",
 ]
 
 
