@@ -561,6 +561,9 @@ def run_bench() -> dict:
           lambda: consume(Q.q_value_band_join(sf_dir)))
     timed("rolling_ols", lambda: consume(Q.q_rolling_ols(sf_dir)))
     timed("skip_bigrams", lambda: consume(Q.q_skip_bigrams(sf_dir)))
+    timed("hampel_outliers",
+          lambda: consume(Q.q_hampel_outliers(sf_dir)))
+    timed("ppr_rounds", lambda: Q.q_ppr_rounds(sf_dir))
 
     def finish() -> dict:
         out = {

@@ -17029,6 +17029,166 @@ FROM p GROUP BY src, dst, gap
 
 
 
+def q_hampel_outliers(sf_dir: str):
+    """Hampel robust outlier audit per user (median/MAD — the filter
+    that survives the corrupted tails a mean/stddev gate dies on):
+    exact LOWER median med = sorted(cents)[(n-1)//2], exact MAD =
+    lower median of |cents - med|, outliers = points with deviation
+    > 3*MAD — every statistic an ORDER STATISTIC, so all-integer and
+    byte-reproducible. Per partition both selections are one lexsort +
+    segment indexing (no per-user loops); the oracle replays them as
+    two row_number selections. Output: (user_id, n, med, mad, n_out)."""
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def hampel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({k: pa.array([], pa.int64()) for k in
+                          ("user_id", "n", "med", "mad", "n_out")})
+        if not u.size:
+            return empty
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        o = np.lexsort((c, u))
+        u, c = u[o], c[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        n = np.diff(np.concatenate((starts, [u.size])))
+        med = c[starts + (n - 1) // 2]
+        seg = np.repeat(np.arange(starts.size), n)
+        ad = np.abs(c - med[seg])
+        o2 = np.lexsort((ad, u))
+        ad2 = ad[o2]
+        mad = ad2[starts + (n - 1) // 2]
+        outs = (ad > 3 * mad[seg]).astype(np.int64)
+        n_out = np.add.reduceat(outs, starts)
+        return pa.table({"user_id": pa.array(u[starts], pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "med": pa.array(med, pa.int64()),
+                         "mad": pa.array(mad, pa.int64()),
+                         "n_out": pa.array(n_out, pa.int64())})
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(hampel, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "med", "mad", "n_out"]))
+
+
+SQL_HAMPEL_OUTLIERS = """
+WITH c AS (SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT user_id, cents,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cents) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM c),
+med AS (SELECT user_id, n, cents AS med FROM r
+        WHERE rn = (n - 1) // 2 + 1),
+dev AS (SELECT c.user_id, abs(c.cents - med.med) AS ad, med.med, med.n
+        FROM c JOIN med ON med.user_id = c.user_id),
+r2 AS (SELECT user_id, ad, med, n,
+              CAST(row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ad) AS BIGINT) AS rn
+       FROM dev),
+mad AS (SELECT user_id, ad AS mad FROM r2 WHERE rn = (n - 1) // 2 + 1)
+SELECT d.user_id, d.n, d.med, mad.mad,
+       CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_out
+FROM dev d JOIN mad ON mad.user_id = d.user_id
+GROUP BY d.user_id, d.n, d.med, mad.mad
+"""
+
+
+def q_ppr_rounds(sf_dir: str):
+    """Personalized PageRank from host 0 over the directed link graph
+    (the seed-anchored authority score of link-spam / related-host
+    discovery): q_link_pagerank's integer fixed-point loop with the
+    teleport mass restarting ONLY at the seed (r0 = 10^6 at host 0;
+    each round adds 0.15*10^6 at the seed instead of everywhere), 3
+    rounds. Same scale shape: the deduped edge set is the only data in
+    the loop, the O(nodes) rank vector broadcasts per round. Output:
+    (host_idx, ppr_micro)."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    edges, U = _link_graph_dir(sf_dir)
+    deg = edges.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
+    outdeg = np.zeros(U, np.int64)
+    outdeg[deg["src"].to_numpy()] = deg["d"].to_numpy()
+    rank = np.zeros(U, np.int64)
+    rank[0] = 1_000_000
+
+    for _ in range(3):
+        ref = _ray.put((rank, outdeg))
+
+        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+            r, d = _ray.get(_ref)
+            s = t["src"].to_numpy()
+            cv = (r[s] * 85) // (100 * d[s])
+            dst = t["dst"].to_numpy()
+            uq, inv = np.unique(dst, return_inverse=True)
+            acc = np.zeros(uq.shape[0], np.int64)
+            np.add.at(acc, inv, cv)
+            return pa.table({"dst": pa.array(uq, pa.int64()),
+                             "c": pa.array(acc, pa.int64())})
+
+        agg = (edges.map_batches(contrib, batch_format="pyarrow")
+               .groupby("dst").aggregate(Sum("c", alias_name="s"))
+               .to_pandas())
+        rank = np.zeros(U, np.int64)
+        rank[0] = 150_000
+        rank[agg["dst"].to_numpy()] += agg["s"].to_numpy().astype(np.int64)
+    return pd.DataFrame({"host_idx": np.arange(U, dtype=np.int64),
+                         "ppr_micro": rank})
+
+
+SQL_PPR_ROUNDS = """
+WITH pg AS (SELECT url, decode(html) AS h
+            FROM read_parquet('/tmp/gscap_pages_sf0.01/*.parquet')),
+l AS (SELECT CAST(regexp_extract(split_part(url, '/', 3),
+                                 '-(\\d+)\\.example\\.com', 1) AS BIGINT) AS src,
+             unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+      FROM pg),
+e AS (SELECT DISTINCT src,
+             CAST(regexp_extract(href, '-(\\d+)\\.example\\.com', 1)
+                  AS BIGINT) AS dst
+      FROM l),
+g AS (SELECT src, dst FROM e WHERE src != dst),
+n AS (SELECT unnest(generate_series(
+          0, (SELECT greatest(max(src), max(dst)) FROM g))) AS uid),
+d AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+r0 AS (SELECT uid, CASE WHEN uid = 0 THEN 1000000::BIGINT
+                        ELSE 0::BIGINT END AS pr FROM n),
+r1 AS (SELECT n.uid,
+              CAST(CASE WHEN n.uid = 0 THEN 150000 ELSE 0 END
+                   + COALESCE(sum((r0.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r0 ON r0.uid = g.src
+       GROUP BY n.uid),
+r2 AS (SELECT n.uid,
+              CAST(CASE WHEN n.uid = 0 THEN 150000 ELSE 0 END
+                   + COALESCE(sum((r1.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r1 ON r1.uid = g.src
+       GROUP BY n.uid),
+r3 AS (SELECT n.uid,
+              CAST(CASE WHEN n.uid = 0 THEN 150000 ELSE 0 END
+                   + COALESCE(sum((r2.pr * 85) // (100 * d.deg)), 0)
+                   AS BIGINT) AS pr
+       FROM n LEFT JOIN g ON g.dst = n.uid
+              LEFT JOIN d ON d.src = g.src
+              LEFT JOIN r2 ON r2.uid = g.src
+       GROUP BY n.uid)
+SELECT uid AS host_idx, pr AS ppr_micro FROM r3
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -17324,6 +17484,8 @@ QUERIES = {
     "value_band_join": q_value_band_join,
     "rolling_ols": q_rolling_ols,
     "skip_bigrams": q_skip_bigrams,
+    "hampel_outliers": q_hampel_outliers,
+    "ppr_rounds": q_ppr_rounds,
 }
 
 ORACLE_SQL = {
@@ -17525,6 +17687,8 @@ ORACLE_SQL = {
     "value_band_join": SQL_VALUE_BAND_JOIN,
     "rolling_ols": SQL_ROLLING_OLS,
     "skip_bigrams": SQL_SKIP_BIGRAMS,
+    "hampel_outliers": SQL_HAMPEL_OUTLIERS,
+    "ppr_rounds": SQL_PPR_ROUNDS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -82,6 +82,7 @@ SUBSET = [
     "idw_estimate", "xcorr_lags", "set_cover_greedy",
     "mmr_select", "value_band_join",
     "rolling_ols", "skip_bigrams",
+    "hampel_outliers", "ppr_rounds",
 ]
 
 
