@@ -564,6 +564,9 @@ def run_bench() -> dict:
     timed("hampel_outliers",
           lambda: consume(Q.q_hampel_outliers(sf_dir)))
     timed("ppr_rounds", lambda: Q.q_ppr_rounds(sf_dir))
+    timed("truss_peel", lambda: Q.q_truss_peel(sf_dir))
+    timed("sde_components", lambda: consume(Q.q_sde_components(sf_dir)))
+    timed("roc_points", lambda: consume(Q.q_roc_points(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -17189,6 +17189,210 @@ SELECT uid AS host_idx, pr AS ppr_micro FROM r3
 
 
 
+def q_truss_peel(sf_dir: str):
+    """k-truss peeling over the undirected link graph (the cohesive-core
+    extraction that survives where degree-based k-core keeps hub spokes):
+    3 rounds of [compute per-edge triangle support on the SURVIVING set,
+    drop edges with support < 2 (in no triangle)], then the final
+    support on the survivors — the 4-truss fixed-point step. Support is
+    q_edge_support's kernel (|N(lo) ∩ N(hi)| against the broadcast CSR
+    of the current survivor set); each peel round re-broadcasts only
+    the shrinking edge list. Output: (lo, hi, support) for surviving
+    edges."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    und, U = _link_graph_und(sf_dir)
+    epd = und.to_pandas()                  # edge-set-sized (q_pagerank)
+    lo = epd["lo"].to_numpy(np.int64)
+    hi = epd["hi"].to_numpy(np.int64)
+
+    def support_of(lo_, hi_):
+        nbr = [[] for _ in range(U)]
+        for a, b in zip(lo_.tolist(), hi_.tolist()):
+            nbr[a].append(b)
+            nbr[b].append(a)
+        adj = [np.sort(np.array(x, np.int64)) for x in nbr]
+        s = np.empty(lo_.size, np.int64)
+        for i in range(lo_.size):          # edge-set loop, O(deg) each
+            s[i] = np.intersect1d(adj[lo_[i]], adj[hi_[i]],
+                                  assume_unique=True).size
+        return s
+
+    for _ in range(3):
+        s = support_of(lo, hi)
+        keep = s >= 2
+        lo, hi = lo[keep], hi[keep]
+    s = support_of(lo, hi)
+    return pd.DataFrame({"lo": lo, "hi": hi, "support": s})
+
+
+SQL_TRUSS_PEEL = f"""
+WITH {_SQL_LINK_UND},
+adj1 AS (SELECT lo AS a, hi AS b FROM u
+          UNION ALL SELECT hi, lo FROM u),
+sup1 AS (SELECT t.lo, t.hi, CAST(count(y.b) AS BIGINT) AS s
+           FROM u t
+           LEFT JOIN adj1 x ON x.a = t.lo
+           LEFT JOIN adj1 y ON y.a = t.hi AND y.b = x.b
+           GROUP BY t.lo, t.hi),
+u1 AS (SELECT lo, hi FROM sup1 WHERE s >= 2),
+adj2 AS (SELECT lo AS a, hi AS b FROM u1
+          UNION ALL SELECT hi, lo FROM u1),
+sup2 AS (SELECT t.lo, t.hi, CAST(count(y.b) AS BIGINT) AS s
+           FROM u1 t
+           LEFT JOIN adj2 x ON x.a = t.lo
+           LEFT JOIN adj2 y ON y.a = t.hi AND y.b = x.b
+           GROUP BY t.lo, t.hi),
+u2 AS (SELECT lo, hi FROM sup2 WHERE s >= 2),
+adj3 AS (SELECT lo AS a, hi AS b FROM u2
+          UNION ALL SELECT hi, lo FROM u2),
+sup3 AS (SELECT t.lo, t.hi, CAST(count(y.b) AS BIGINT) AS s
+           FROM u2 t
+           LEFT JOIN adj3 x ON x.a = t.lo
+           LEFT JOIN adj3 y ON y.a = t.hi AND y.b = x.b
+           GROUP BY t.lo, t.hi),
+u3 AS (SELECT lo, hi FROM sup3 WHERE s >= 2),
+adj4 AS (SELECT lo AS a, hi AS b FROM u3 UNION ALL SELECT hi, lo FROM u3),
+sup4 AS (SELECT t.lo, t.hi, CAST(count(y.b) AS BIGINT) AS s
+         FROM u3 t
+         LEFT JOIN adj4 x ON x.a = t.lo
+         LEFT JOIN adj4 y ON y.a = t.hi AND y.b = x.b
+         GROUP BY t.lo, t.hi)
+SELECT lo, hi, s AS support FROM sup4
+"""
+
+
+def q_sde_components(sf_dir: str):
+    """Standard-deviational-ellipse sufficient statistics per user (the
+    directional-dispersion summary of spatial epidemiology): centered
+    second moments multiplied through by n so everything stays int64 —
+    mxx = n·Σdx² − (Σdx)², myy likewise, mxy = n·Σdxdy − Σdx·Σdy over
+    micro-degree offsets from each user's integer cluster anchor (the
+    n-scaling absorbs the mean subtraction exactly; |d| ≤ 1000 keeps
+    the identity far inside int64). One combiner fold per batch, one
+    tiny groupby. Output: (user_id, n, mxx, myy, mxy)."""
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        base_x = ((u * 37) % 120 - 60) * 100000 + 50000
+        base_y = ((u * 91) % 300 - 150) * 100000 + 50000
+        dx, dy = x - base_x, y - base_y          # |d| <= 1000 micro
+        g = (pd.DataFrame({"user_id": u, "n_p": 1, "sx_p": dx, "sy_p": dy,
+                           "sxx_p": dx * dx, "syy_p": dy * dy,
+                           "sxy_p": dx * dy})
+             .groupby("user_id", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (_points_ds(sf_dir)
+           .map_batches(part, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("n_p", alias_name="n"),
+                      Sum("sx_p", alias_name="sx"),
+                      Sum("sy_p", alias_name="sy"),
+                      Sum("sxx_p", alias_name="sxx"),
+                      Sum("syy_p", alias_name="syy"),
+                      Sum("sxy_p", alias_name="sxy")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        sx = t["sx"].to_numpy().astype(np.int64)
+        sy = t["sy"].to_numpy().astype(np.int64)
+        sxx = t["sxx"].to_numpy().astype(np.int64)
+        syy = t["syy"].to_numpy().astype(np.int64)
+        sxy = t["sxy"].to_numpy().astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "n": pa.array(n, pa.int64()),
+                         "mxx": pa.array(n * sxx - sx * sx, pa.int64()),
+                         "myy": pa.array(n * syy - sy * sy, pa.int64()),
+                         "mxy": pa.array(n * sxy - sx * sy, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SDE_COMPONENTS = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT user_id,
+             CAST(round(lat * 100000) AS BIGINT)
+               - (((user_id * 37) % 120 - 60) * 100000 + 50000) AS dx,
+             CAST(round(lon * 100000) AS BIGINT)
+               - (((user_id * 91) % 300 - 150) * 100000 + 50000) AS dy
+      FROM p),
+g AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM s GROUP BY user_id)
+SELECT user_id, n,
+       n * sxx - sx * sx AS mxx,
+       n * syy - sy * sy AS myy,
+       n * sxy - sx * sy AS mxy
+FROM g
+"""
+
+
+def q_roc_points(sf_dir: str):
+    """Exact ROC/confusion sweep (the classifier-eval primitive): using
+    value-cents as the score and event_type = 'purchase' as the
+    positive label, the (tp, fp, tn, fn) counts at 8 fixed thresholds
+    t = 4000·k — one pass, per-batch 4-way counts folded by a tiny
+    groupby (the AUC trapezoid is downstream algebra). Output:
+    (t, tp, fp, tn, fn)."""
+    from ray.data.aggregate import Sum
+
+    TH = np.arange(1, 9, dtype=np.int64) * 4000
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object).astype(str)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        pos = et == "purchase"
+        pred = c[:, None] > TH[None, :]          # (rows, 8)
+        tp = (pred & pos[:, None]).sum(axis=0)
+        fp = (pred & ~pos[:, None]).sum(axis=0)
+        fn = (~pred & pos[:, None]).sum(axis=0)
+        tn = (~pred & ~pos[:, None]).sum(axis=0)
+        return pa.table({"t": pa.array(TH, pa.int64()),
+                         "tp_p": pa.array(tp.astype(np.int64), pa.int64()),
+                         "fp_p": pa.array(fp.astype(np.int64), pa.int64()),
+                         "tn_p": pa.array(tn.astype(np.int64), pa.int64()),
+                         "fn_p": pa.array(fn.astype(np.int64), pa.int64())})
+
+    return (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("t")
+            .aggregate(Sum("tp_p", alias_name="tp"),
+                       Sum("fp_p", alias_name="fp"),
+                       Sum("tn_p", alias_name="tn"),
+                       Sum("fn_p", alias_name="fn")))
+
+
+SQL_ROC_POINTS = """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           FROM events),
+th AS (SELECT (k + 1) * 4000 AS t FROM range(8) r(k))
+SELECT th.t,
+       CAST(sum(CASE WHEN cents > th.t AND pos = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN cents > th.t AND pos = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN cents <= th.t AND pos = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tn,
+       CAST(sum(CASE WHEN cents <= th.t AND pos = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn
+FROM c CROSS JOIN th
+GROUP BY th.t
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -17486,6 +17690,9 @@ QUERIES = {
     "skip_bigrams": q_skip_bigrams,
     "hampel_outliers": q_hampel_outliers,
     "ppr_rounds": q_ppr_rounds,
+    "truss_peel": q_truss_peel,
+    "sde_components": q_sde_components,
+    "roc_points": q_roc_points,
 }
 
 ORACLE_SQL = {
@@ -17689,6 +17896,9 @@ ORACLE_SQL = {
     "skip_bigrams": SQL_SKIP_BIGRAMS,
     "hampel_outliers": SQL_HAMPEL_OUTLIERS,
     "ppr_rounds": SQL_PPR_ROUNDS,
+    "truss_peel": SQL_TRUSS_PEEL,
+    "sde_components": SQL_SDE_COMPONENTS,
+    "roc_points": SQL_ROC_POINTS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -83,6 +83,7 @@ SUBSET = [
     "mmr_select", "value_band_join",
     "rolling_ols", "skip_bigrams",
     "hampel_outliers", "ppr_rounds",
+    "truss_peel", "sde_components", "roc_points",
 ]
 
 
