@@ -567,6 +567,8 @@ def run_bench() -> dict:
     timed("truss_peel", lambda: Q.q_truss_peel(sf_dir))
     timed("sde_components", lambda: consume(Q.q_sde_components(sf_dir)))
     timed("roc_points", lambda: consume(Q.q_roc_points(sf_dir)))
+    timed("viterbi_cost", lambda: consume(Q.q_viterbi_cost(sf_dir)))
+    timed("emd_1d", lambda: Q.q_emd_1d(sf_dir))
 
     def finish() -> dict:
         out = {

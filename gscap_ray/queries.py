@@ -17393,6 +17393,179 @@ GROUP BY th.t
 
 
 
+def q_viterbi_cost(sf_dir: str):
+    """Integer Viterbi decode cost over each user's step stream (the
+    2-state stay/move HMM smoother of trajectory segmentation, exact
+    arithmetic form): observation m_i = [step d2 > 200-micro threshold];
+    unit emission cost when the state disagrees with m_i, unit
+    transition cost on a state switch; the DP
+    cS_i = min(cS, cM+1) + m_i, cM_i = min(cM, cS+1) + (1-m_i) is
+    inherently sequential, so it vectorizes ACROSS users (the
+    q_ewma_floor pattern: O(max steps) numpy passes over all users'
+    i-th steps) and the oracle replays it as a recursive CTE carrying
+    both state costs as columns. Output: (user_id, n_steps,
+    viterbi_cost)."""
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def decode(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({k: pa.array([], pa.int64()) for k in
+                          ("user_id", "n_steps", "viterbi_cost")})
+        if not u.size:
+            return empty
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        e = t["event_id"].to_numpy().astype(np.int64)
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, x, y = u[o], x[o], y[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        seglen = np.diff(np.concatenate((starts, [u.size])))
+        dx, dy = np.diff(x), np.diff(y)
+        m_all = ((dx * dx + dy * dy) > 40000).astype(np.int64)
+        nsteps = seglen - 1
+        keep = nsteps > 0
+        ks, kn = starts[keep], nsteps[keep]
+        cs = np.zeros(ks.size, np.int64)
+        cm = np.zeros(ks.size, np.int64)
+        for t_i in range(int(kn.max()) if kn.size else 0):
+            act = kn > t_i
+            mi = m_all[ks[act] + t_i]
+            ns = np.minimum(cs[act], cm[act] + 1) + mi
+            nm = np.minimum(cm[act], cs[act] + 1) + (1 - mi)
+            cs[act], cm[act] = ns, nm
+        return pa.table({
+            "user_id": pa.array(u[ks], pa.int64()),
+            "n_steps": pa.array(kn, pa.int64()),
+            "viterbi_cost": pa.array(np.minimum(cs, cm), pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(decode, batch_format="pyarrow")
+            .select_columns(["user_id", "n_steps", "viterbi_cost"]))
+
+
+SQL_VITERBI_COST = f"""
+WITH RECURSIVE p AS ({_PTS_SQL}),
+s AS (SELECT user_id, ts, event_id,
+             CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y
+      FROM p),
+st AS (SELECT user_id,
+              CAST(row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1
+                   AS BIGINT) AS rn,
+              x - lag(x) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dx,
+              y - lag(y) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dy
+       FROM s),
+steps AS (SELECT user_id, rn,
+                 CASE WHEN dx * dx + dy * dy > 40000
+                      THEN 1 ELSE 0 END AS m
+          FROM st WHERE rn >= 1),
+rec(user_id, rn, cs, cm) AS (
+    SELECT user_id, rn, CAST(m AS BIGINT), CAST(1 - m AS BIGINT)
+    FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT s2.user_id, s2.rn,
+           least(rec.cs, rec.cm + 1) + s2.m,
+           least(rec.cm, rec.cs + 1) + (1 - s2.m)
+    FROM rec JOIN steps s2
+      ON s2.user_id = rec.user_id AND s2.rn = rec.rn + 1)
+SELECT user_id, CAST(max(rn) AS BIGINT) AS n_steps,
+       CAST(least(arg_max(cs, rn), arg_max(cm, rn)) AS BIGINT)
+           AS viterbi_cost
+FROM rec GROUP BY user_id
+"""
+
+
+def q_emd_1d(sf_dir: str):
+    """Exact 1-D earth-mover distance between the click and purchase
+    value distributions (the Wasserstein drift monitor beside
+    q_ks_distance's sup-norm): cents bucketed to width-64 cells; with
+    unequal masses the cross-scaled integer form
+    emd_scaled = Σ_k |cumA_k·n_b − cumB_k·n_a| · (bucket_{k+1} −
+    bucket_k) is exact int64 (divide by n_a·n_b·64 downstream for the
+    normalized EMD). One (side, bucket) count fold is the only
+    data-scale pass; the cum-scan runs on the ~900-bucket table.
+    Output: one row (n_a, n_b, emd_scaled)."""
+    from ray.data.aggregate import Sum
+
+    W = 64
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object).astype(str)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        m = (et == "click") | (et == "purchase")
+        g = (pd.DataFrame({"side": (et[m] == "purchase").astype(np.int64),
+                           "bucket": c[m] // W})
+             .groupby(["side", "bucket"], sort=False)
+             .size().rename("c_p").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby(["side", "bucket"])
+            .aggregate(Sum("c_p", alias_name="c"))
+            .to_pandas())                     # bucket-table-sized
+    a = hist[hist["side"] == 0].sort_values("bucket")
+    b = hist[hist["side"] == 1].sort_values("bucket")
+    bk = np.unique(hist["bucket"].to_numpy(np.int64))
+    ca = np.zeros(bk.size, np.int64)
+    cb = np.zeros(bk.size, np.int64)
+    ca[np.searchsorted(bk, a["bucket"].to_numpy(np.int64))] = \
+        a["c"].to_numpy(np.int64)
+    cb[np.searchsorted(bk, b["bucket"].to_numpy(np.int64))] = \
+        b["c"].to_numpy(np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    cum_a = np.cumsum(ca)
+    cum_b = np.cumsum(cb)
+    gap = np.diff(bk)
+    emd = int((np.abs(cum_a[:-1] * nb - cum_b[:-1] * na) * gap).sum())
+    return pd.DataFrame({"n_a": [na], "n_b": [nb],
+                         "emd_scaled": [emd]}).astype(np.int64)
+
+
+SQL_EMD_1D = """
+WITH c AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS side,
+                  CAST(round(value * 100) AS BIGINT) // 64 AS bucket
+           FROM events
+           WHERE event_type IN ('click', 'purchase')),
+g AS (SELECT side, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY side, bucket),
+bk AS (SELECT DISTINCT bucket FROM g),
+h AS (SELECT bk.bucket,
+             COALESCE((SELECT n FROM g WHERE g.side = 0
+                       AND g.bucket = bk.bucket), 0) AS ca,
+             COALESCE((SELECT n FROM g WHERE g.side = 1
+                       AND g.bucket = bk.bucket), 0) AS cb
+      FROM bk),
+w AS (SELECT bucket,
+             CAST(sum(ca) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_b,
+             lead(bucket) OVER (ORDER BY bucket) AS nxt
+      FROM h),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b FROM h)
+SELECT tot.n_a, tot.n_b,
+       CAST(sum(abs(w.cum_a * tot.n_b - w.cum_b * tot.n_a)
+                * (w.nxt - w.bucket)) AS BIGINT) AS emd_scaled
+FROM w, tot WHERE w.nxt IS NOT NULL
+GROUP BY tot.n_a, tot.n_b
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -17693,6 +17866,8 @@ QUERIES = {
     "truss_peel": q_truss_peel,
     "sde_components": q_sde_components,
     "roc_points": q_roc_points,
+    "viterbi_cost": q_viterbi_cost,
+    "emd_1d": q_emd_1d,
 }
 
 ORACLE_SQL = {
@@ -17899,6 +18074,8 @@ ORACLE_SQL = {
     "truss_peel": SQL_TRUSS_PEEL,
     "sde_components": SQL_SDE_COMPONENTS,
     "roc_points": SQL_ROC_POINTS,
+    "viterbi_cost": SQL_VITERBI_COST,
+    "emd_1d": SQL_EMD_1D,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -84,6 +84,7 @@ SUBSET = [
     "rolling_ols", "skip_bigrams",
     "hampel_outliers", "ppr_rounds",
     "truss_peel", "sde_components", "roc_points",
+    "viterbi_cost", "emd_1d",
 ]
 
 
