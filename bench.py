@@ -569,6 +569,9 @@ def run_bench() -> dict:
     timed("roc_points", lambda: consume(Q.q_roc_points(sf_dir)))
     timed("viterbi_cost", lambda: consume(Q.q_viterbi_cost(sf_dir)))
     timed("emd_1d", lambda: Q.q_emd_1d(sf_dir))
+    timed("source_jaccard", lambda: Q.q_source_jaccard(sf_dir))
+    timed("largest_rectangle",
+          lambda: consume(Q.q_largest_rectangle(sf_dir)))
 
     def finish() -> dict:
         out = {

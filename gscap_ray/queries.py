@@ -17566,6 +17566,167 @@ GROUP BY tot.n_a, tot.n_b
 
 
 
+def q_source_jaccard(sf_dir: str):
+    """All-pairs source-vocabulary Jaccard (the corpus-mix overlap
+    matrix of data curation — which feeds duplicate which): each
+    distinct token folds to a 20-bit SOURCE BITMASK (one groupby), the
+    bitmask histogram is the tiny intermediate, and every pair's
+    |A∩B| / |A∪B| integers are mask algebra over that histogram — the
+    pair matrix never touches tokens. Output: (src_a, src_b, inter,
+    uni) for src_a < src_b."""
+    from ray.data.aggregate import Sum
+
+    S = 20
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False)).fillna("")
+        src = pd.Series(t["source"].to_numpy(zero_copy_only=False))
+        idx = src.str[3:].astype(np.int64)
+        df = pd.DataFrame({"idx": idx, "tok": s.str.strip().str.split()})
+        df = df.explode("tok", ignore_index=True).dropna(subset=["tok"])
+        df = df.drop_duplicates(["idx", "tok"])
+        df["mask_p"] = np.int64(1) << df["idx"].to_numpy(np.int64)
+        df["kpart"] = (pd.util.hash_array(df["tok"].to_numpy(dtype=object))
+                       % 64).astype(np.int32)
+        return pa.Table.from_pandas(df[["kpart", "tok", "mask_p"]],
+                                    preserve_index=False)
+
+    def masks(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("tok", sort=False)["mask_p"]
+             .agg(lambda v: int(np.bitwise_or.reduce(v.to_numpy(np.int64))))
+             .rename("mask").reset_index())
+        h = g.groupby("mask", sort=False).size().rename("cnt").reset_index()
+        return h[["mask", "cnt"]]
+
+    hist = (_read(sf_dir, "documents", ["source", "text"])
+            .map_batches(pairs_part, batch_format="pyarrow")
+            .groupby("kpart").map_groups(masks, batch_format="pandas")
+            .groupby("mask").aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas())                     # mask-histogram-sized
+    mk = hist["mask"].to_numpy(np.int64)
+    cnt = hist["n"].to_numpy(np.int64)
+    rows = []
+    for i in range(S):
+        for j in range(i + 1, S):
+            bi, bj = np.int64(1) << i, np.int64(1) << j
+            inter = int(cnt[(mk & bi > 0) & (mk & bj > 0)].sum())
+            uni = int(cnt[(mk & bi > 0) | (mk & bj > 0)].sum())
+            if uni:
+                rows.append((f"src{i}", f"src{j}", inter, uni))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "inter", "uni"])
+
+
+SQL_SOURCE_JACCARD = """
+WITH t AS (SELECT CAST(substr(source, 4) AS BIGINT) AS idx,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+e AS (SELECT DISTINCT idx, unnest(toks) AS tok FROM t),
+m AS (SELECT tok, CAST(bit_or(1::BIGINT << CAST(idx AS INT)) AS BIGINT)
+                 AS mask
+      FROM e GROUP BY tok),
+p AS (SELECT a.i, b.j
+      FROM range(20) a(i) CROSS JOIN range(20) b(j) WHERE b.j > a.i)
+SELECT 'src' || CAST(p.i AS VARCHAR) AS src_a,
+       'src' || CAST(p.j AS VARCHAR) AS src_b,
+       CAST(sum(CASE WHEN (m.mask & (1::BIGINT << CAST(p.i AS INT))) > 0
+                      AND (m.mask & (1::BIGINT << CAST(p.j AS INT))) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+       CAST(sum(CASE WHEN (m.mask & (1::BIGINT << CAST(p.i AS INT))) > 0
+                       OR (m.mask & (1::BIGINT << CAST(p.j AS INT))) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS uni
+FROM p CROSS JOIN m
+GROUP BY p.i, p.j
+HAVING sum(CASE WHEN (m.mask & (1::BIGINT << CAST(p.i AS INT))) > 0
+                  OR (m.mask & (1::BIGINT << CAST(p.j AS INT))) > 0
+                THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_largest_rectangle(sf_dir: str):
+    """Largest rectangle under each user's 16-day activity histogram
+    (the max-sustained-load window: the biggest count level held over
+    the widest span — the histogram DP classic): area = max over spans
+    [i, j] of min(c_i..c_j)·(j−i+1) on the dense q_haar_pyramid grid.
+    The per-user kernel vectorizes ACROSS users as 16 rolling-min
+    passes over the (users × 16) matrix (the monotone-stack O(n) scan
+    replaces it on long series); the oracle brute-forces the 136 spans
+    relationally. Output: (user_id, max_area)."""
+    from ray.data.aggregate import Min, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"user_id": t["user_id"],
+                         "d": pa.array(d, pa.int64())})
+
+    dd = ev.map_batches(days, batch_format="pyarrow")
+    d0 = int(dd.aggregate(Min("d"))["min(d)"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        off = t["d"].to_numpy().astype(np.int64) - d0
+        u = t["user_id"].to_numpy().astype(np.int64)
+        m = (off >= 0) & (off < 16)
+        g = (pd.DataFrame({"user_id": u[m], "slot": off[m]})
+             .groupby(["user_id", "slot"], sort=False)
+             .size().rename("c_p").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = (dd.map_batches(counts, batch_format="pyarrow")
+            .groupby(["user_id", "slot"])
+            .aggregate(Sum("c_p", alias_name="c")))
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def rect(df: pd.DataFrame) -> pd.DataFrame:
+        users, uinv = np.unique(df["user_id"].to_numpy(np.int64),
+                                return_inverse=True)
+        v = np.zeros((users.size, 16), np.int64)
+        v[uinv, df["slot"].to_numpy(np.int64)] = df["c"].to_numpy(np.int64)
+        best = np.zeros(users.size, np.int64)
+        wmin = v.copy()
+        for w in range(1, 17):
+            if w > 1:
+                wmin = np.minimum(wmin[:, :-1], v[:, w - 1:])
+            best = np.maximum(best, wmin.max(axis=1) * w)
+        return pd.DataFrame({"user_id": users, "max_area": best})
+
+    return (grid.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(rect, batch_format="pandas")
+            .select_columns(["user_id", "max_area"]))
+
+
+SQL_LARGEST_RECTANGLE = """
+WITH d AS (SELECT user_id,
+                  CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+                      AS day
+           FROM events),
+base AS (SELECT min(day) AS d0 FROM d),
+cnt AS (SELECT user_id, day - (SELECT d0 FROM base) AS slot,
+               CAST(count(*) AS BIGINT) AS c
+        FROM d WHERE day - (SELECT d0 FROM base) BETWEEN 0 AND 15
+        GROUP BY user_id, slot),
+users AS (SELECT DISTINCT user_id FROM cnt),
+grid AS (SELECT u.user_id, g.slot, COALESCE(cnt.c, 0) AS v
+         FROM users u
+         CROSS JOIN (SELECT unnest(range(16)) AS slot) g
+         LEFT JOIN cnt ON cnt.user_id = u.user_id AND cnt.slot = g.slot),
+spans AS (SELECT a.i, b.j
+          FROM range(16) a(i) CROSS JOIN range(16) b(j) WHERE b.j >= a.i),
+areas AS (SELECT g.user_id, s.i, s.j,
+                 CAST(min(g.v) * (s.j - s.i + 1) AS BIGINT) AS area
+          FROM spans s JOIN grid g ON g.slot BETWEEN s.i AND s.j
+          GROUP BY g.user_id, s.i, s.j)
+SELECT user_id, CAST(max(area) AS BIGINT) AS max_area
+FROM areas GROUP BY user_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -17868,6 +18029,8 @@ QUERIES = {
     "roc_points": q_roc_points,
     "viterbi_cost": q_viterbi_cost,
     "emd_1d": q_emd_1d,
+    "source_jaccard": q_source_jaccard,
+    "largest_rectangle": q_largest_rectangle,
 }
 
 ORACLE_SQL = {
@@ -18076,6 +18239,8 @@ ORACLE_SQL = {
     "roc_points": SQL_ROC_POINTS,
     "viterbi_cost": SQL_VITERBI_COST,
     "emd_1d": SQL_EMD_1D,
+    "source_jaccard": SQL_SOURCE_JACCARD,
+    "largest_rectangle": SQL_LARGEST_RECTANGLE,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

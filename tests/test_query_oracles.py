@@ -85,6 +85,7 @@ SUBSET = [
     "hampel_outliers", "ppr_rounds",
     "truss_peel", "sde_components", "roc_points",
     "viterbi_cost", "emd_1d",
+    "source_jaccard", "largest_rectangle",
 ]
 
 
