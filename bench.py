@@ -572,6 +572,9 @@ def run_bench() -> dict:
     timed("source_jaccard", lambda: Q.q_source_jaccard(sf_dir))
     timed("largest_rectangle",
           lambda: consume(Q.q_largest_rectangle(sf_dir)))
+    timed("lis_lengths", lambda: consume(Q.q_lis_lengths(sf_dir)))
+    timed("mase_components",
+          lambda: consume(Q.q_mase_components(sf_dir)))
 
     def finish() -> dict:
         out = {

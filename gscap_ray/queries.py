@@ -17727,6 +17727,161 @@ FROM areas GROUP BY user_id
 
 
 
+def q_lis_lengths(sf_dir: str):
+    """Longest strictly-increasing subsequence of each user's value
+    stream (the trend-persistence / sortedness-depth statistic that
+    q_inversion_counts' pair counts cannot give): patience sorting per
+    user — O(n log n) searchsorted-replace on the tails array — inside
+    one user-hash partition. The oracle grows (rn, cents, len) chains
+    with a UNION-deduped recursive CTE (working set bounded by
+    rows x LIS-depth, not by the chain count). Output:
+    (user_id, n, lis_len)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def lis(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({k: pa.array([], pa.int64()) for k in
+                          ("user_id", "n", "lis_len")})
+        if not u.size:
+            return empty
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        e = t["event_id"].to_numpy().astype(np.int64)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, c = u[o], c[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [u.size]))
+        uid, nn, ll = [], [], []
+        for s, t0 in zip(starts, ends):
+            tails: list[int] = []
+            for x in c[s:t0].tolist():         # O(n log n) patience
+                i = int(np.searchsorted(np.asarray(tails, np.int64), x,
+                                        side="left"))
+                if i == len(tails):
+                    tails.append(x)
+                else:
+                    tails[i] = x
+            uid.append(u[s])
+            nn.append(t0 - s)
+            ll.append(len(tails))
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "n": pa.array(nn, pa.int64()),
+                         "lis_len": pa.array(ll, pa.int64())})
+
+    return (ev.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(lis, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "lis_len"]))
+
+
+SQL_LIS_LENGTHS = """
+WITH RECURSIVE c AS (
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+    FROM events),
+chain(user_id, rn, cents, len) AS (
+    SELECT user_id, rn, cents, CAST(1 AS BIGINT) FROM c
+    UNION
+    SELECT c.user_id, c.rn, c.cents, chain.len + 1
+    FROM chain JOIN c ON c.user_id = chain.user_id
+                     AND c.rn > chain.rn AND c.cents > chain.cents)
+SELECT c2.user_id, c2.n, ml.lis_len
+FROM (SELECT user_id, CAST(max(len) AS BIGINT) AS lis_len
+      FROM chain GROUP BY user_id) ml
+JOIN (SELECT DISTINCT user_id, n FROM c) c2 ON c2.user_id = ml.user_id
+"""
+
+
+def q_mase_components(sf_dir: str):
+    """Seasonal-naive forecast error components per user (the MASE
+    denominator/numerator pair of forecast evaluation): over the dense
+    16-day activity grid, sae_seasonal = Σ_{d>=7} |c_d − c_{d−7}| and
+    sae_naive1 = Σ_{d>=1} |c_d − c_{d−1}| — exact integers; MASE-style
+    ratios are downstream algebra. One (user, day) count fold, then the
+    lag algebra runs vectorized on the (users × 16) matrix per
+    partition. Output: (user_id, sae_seasonal, sae_naive1)."""
+    from ray.data.aggregate import Min, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"user_id": t["user_id"],
+                         "d": pa.array(d, pa.int64())})
+
+    dd = ev.map_batches(days, batch_format="pyarrow")
+    d0 = int(dd.aggregate(Min("d"))["min(d)"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        off = t["d"].to_numpy().astype(np.int64) - d0
+        u = t["user_id"].to_numpy().astype(np.int64)
+        m = (off >= 0) & (off < 16)
+        g = (pd.DataFrame({"user_id": u[m], "slot": off[m]})
+             .groupby(["user_id", "slot"], sort=False)
+             .size().rename("c_p").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = (dd.map_batches(counts, batch_format="pyarrow")
+            .groupby(["user_id", "slot"])
+            .aggregate(Sum("c_p", alias_name="c")))
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def mase(df: pd.DataFrame) -> pd.DataFrame:
+        users, uinv = np.unique(df["user_id"].to_numpy(np.int64),
+                                return_inverse=True)
+        v = np.zeros((users.size, 16), np.int64)
+        v[uinv, df["slot"].to_numpy(np.int64)] = df["c"].to_numpy(np.int64)
+        seas = np.abs(v[:, 7:] - v[:, :-7]).sum(axis=1)
+        nav = np.abs(v[:, 1:] - v[:, :-1]).sum(axis=1)
+        return pd.DataFrame({"user_id": users,
+                             "sae_seasonal": seas, "sae_naive1": nav})
+
+    return (grid.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(mase, batch_format="pandas")
+            .select_columns(["user_id", "sae_seasonal", "sae_naive1"]))
+
+
+SQL_MASE_COMPONENTS = """
+WITH d AS (SELECT user_id,
+                  CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT)
+                      AS day
+           FROM events),
+base AS (SELECT min(day) AS d0 FROM d),
+cnt AS (SELECT user_id, day - (SELECT d0 FROM base) AS slot,
+               CAST(count(*) AS BIGINT) AS c
+        FROM d WHERE day - (SELECT d0 FROM base) BETWEEN 0 AND 15
+        GROUP BY user_id, slot),
+users AS (SELECT DISTINCT user_id FROM cnt),
+grid AS (SELECT u.user_id, g.slot, COALESCE(cnt.c, 0) AS v
+         FROM users u
+         CROSS JOIN (SELECT unnest(range(16)) AS slot) g
+         LEFT JOIN cnt ON cnt.user_id = u.user_id AND cnt.slot = g.slot)
+SELECT a.user_id,
+       CAST(sum(CASE WHEN a.slot >= 7
+                     THEN abs(a.v - s7.v) ELSE 0 END) AS BIGINT)
+           AS sae_seasonal,
+       CAST(sum(CASE WHEN a.slot >= 1
+                     THEN abs(a.v - s1.v) ELSE 0 END) AS BIGINT)
+           AS sae_naive1
+FROM grid a
+LEFT JOIN grid s7 ON s7.user_id = a.user_id AND s7.slot = a.slot - 7
+LEFT JOIN grid s1 ON s1.user_id = a.user_id AND s1.slot = a.slot - 1
+GROUP BY a.user_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -18031,6 +18186,8 @@ QUERIES = {
     "emd_1d": q_emd_1d,
     "source_jaccard": q_source_jaccard,
     "largest_rectangle": q_largest_rectangle,
+    "lis_lengths": q_lis_lengths,
+    "mase_components": q_mase_components,
 }
 
 ORACLE_SQL = {
@@ -18241,6 +18398,8 @@ ORACLE_SQL = {
     "emd_1d": SQL_EMD_1D,
     "source_jaccard": SQL_SOURCE_JACCARD,
     "largest_rectangle": SQL_LARGEST_RECTANGLE,
+    "lis_lengths": SQL_LIS_LENGTHS,
+    "mase_components": SQL_MASE_COMPONENTS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -86,6 +86,7 @@ SUBSET = [
     "truss_peel", "sde_components", "roc_points",
     "viterbi_cost", "emd_1d",
     "source_jaccard", "largest_rectangle",
+    "lis_lengths", "mase_components",
 ]
 
 
