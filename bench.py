@@ -575,6 +575,8 @@ def run_bench() -> dict:
     timed("lis_lengths", lambda: consume(Q.q_lis_lengths(sf_dir)))
     timed("mase_components",
           lambda: consume(Q.q_mase_components(sf_dir)))
+    timed("qq_deciles", lambda: Q.q_qq_deciles(sf_dir))
+    timed("quadrat_csr", lambda: Q.q_quadrat_csr(sf_dir))
 
     def finish() -> dict:
         out = {

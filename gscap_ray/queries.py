@@ -17882,6 +17882,115 @@ GROUP BY a.user_id
 
 
 
+def q_qq_deciles(sf_dir: str):
+    """Exact Q-Q lattice between the click and purchase value
+    distributions (the distribution-drift diagnostic plotted as a Q-Q
+    line; q_emd_1d integrates the same gap): for k = 1..9 the exact
+    order statistics qa, qb at rank k*n//10 of each side, located in
+    closed form from the per-side distinct-cents histograms (the
+    q_lorenz_deciles selection) — no per-row sort, integers end to end.
+    Output: (k, r_a, q_a, r_b, q_b)."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object).astype(str)
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        m = (et == "click") | (et == "purchase")
+        return pa.table({
+            "side": pa.array((et[m] == "purchase").astype(np.int64),
+                             pa.int64()),
+            "cents": pa.array(c[m], pa.int64())})
+
+    hist = (ev.map_batches(cents, batch_format="pyarrow")
+            .groupby(["side", "cents"])
+            .aggregate(Count(alias_name="k"))
+            .to_pandas())                     # distinct-value-sized
+
+    def select(side: int, ranks: np.ndarray) -> np.ndarray:
+        h = hist[hist["side"] == side].sort_values("cents")
+        cum = h["k"].to_numpy(np.int64).cumsum()
+        vals = h["cents"].to_numpy(np.int64)
+        return vals[np.searchsorted(cum, ranks, side="left")]
+
+    na = int(hist.loc[hist["side"] == 0, "k"].sum())
+    nb = int(hist.loc[hist["side"] == 1, "k"].sum())
+    ks = np.arange(1, 10, dtype=np.int64)
+    ra = ks * na // 10
+    rb = ks * nb // 10
+    return pd.DataFrame({"k": ks, "r_a": ra, "q_a": select(0, ra),
+                         "r_b": rb, "q_b": select(1, rb)})
+
+
+SQL_QQ_DECILES = """
+WITH c AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS side,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE event_type IN ('click', 'purchase')),
+g AS (SELECT side, cents, CAST(count(*) AS BIGINT) AS kc
+      FROM c GROUP BY side, cents),
+w AS (SELECT side, cents, kc,
+             CAST(sum(kc) OVER (PARTITION BY side ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+      FROM g),
+n AS (SELECT side, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY side),
+d AS (SELECT t.k,
+             (SELECT k * n.n // 10 FROM n WHERE side = 0) AS r_a,
+             (SELECT k * n.n // 10 FROM n WHERE side = 1) AS r_b
+      FROM (SELECT unnest(range(1, 10)) AS k) t)
+SELECT d.k, d.r_a, wa.cents AS q_a, d.r_b, wb.cents AS q_b
+FROM d
+JOIN w wa ON wa.side = 0 AND wa.cc - wa.kc < d.r_a AND d.r_a <= wa.cc
+JOIN w wb ON wb.side = 1 AND wb.cc - wb.kc < d.r_b AND d.r_b <= wb.cc
+"""
+
+
+def q_quadrat_csr(sf_dir: str):
+    """Quadrat-count CSR test sufficient statistics (the
+    complete-spatial-randomness screen of point-pattern analysis):
+    1-degree quadrats over the full lat/lon frame (64,800 cells, empty
+    cells included by CONSTRUCTION — n_q is the frame size, so only
+    occupied-cell counts travel), exact integer Σc and Σc² — the
+    variance-to-mean ratio (index of dispersion) is downstream algebra.
+    One partial count fold per batch, one tiny groupby. Output: one row
+    (n_q, n_pts, sum_c2)."""
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        cy = np.floor(t["lat"].to_numpy()).astype(np.int64) + 90
+        cx = np.floor(t["lon"].to_numpy()).astype(np.int64) + 180
+        g = (pd.DataFrame({"cell": cy * 360 + cx})
+             .groupby("cell", sort=False).size().rename("c_p")
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (_points_ds(sf_dir)
+             .map_batches(part, batch_format="pyarrow")
+             .groupby("cell").aggregate(Sum("c_p", alias_name="c"))
+             .to_pandas())                    # occupied-cells-sized
+    c = cells["c"].to_numpy(np.int64)
+    return pd.DataFrame({"n_q": [np.int64(180 * 360)],
+                         "n_pts": [int(c.sum())],
+                         "sum_c2": [int((c * c).sum())]}).astype(np.int64)
+
+
+SQL_QUADRAT_CSR = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT (CAST(floor(lat) AS BIGINT) + 90) * 360
+             + CAST(floor(lon) AS BIGINT) + 180 AS cell
+      FROM p),
+g AS (SELECT cell, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY cell)
+SELECT CAST(64800 AS BIGINT) AS n_q,
+       CAST(sum(c) AS BIGINT) AS n_pts,
+       CAST(sum(c * c) AS BIGINT) AS sum_c2
+FROM g
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -18188,6 +18297,8 @@ QUERIES = {
     "largest_rectangle": q_largest_rectangle,
     "lis_lengths": q_lis_lengths,
     "mase_components": q_mase_components,
+    "qq_deciles": q_qq_deciles,
+    "quadrat_csr": q_quadrat_csr,
 }
 
 ORACLE_SQL = {
@@ -18400,6 +18511,8 @@ ORACLE_SQL = {
     "largest_rectangle": SQL_LARGEST_RECTANGLE,
     "lis_lengths": SQL_LIS_LENGTHS,
     "mase_components": SQL_MASE_COMPONENTS,
+    "qq_deciles": SQL_QQ_DECILES,
+    "quadrat_csr": SQL_QUADRAT_CSR,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -87,6 +87,7 @@ SUBSET = [
     "viterbi_cost", "emd_1d",
     "source_jaccard", "largest_rectangle",
     "lis_lengths", "mase_components",
+    "qq_deciles", "quadrat_csr",
 ]
 
 
