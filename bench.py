@@ -577,6 +577,9 @@ def run_bench() -> dict:
           lambda: consume(Q.q_mase_components(sf_dir)))
     timed("qq_deciles", lambda: Q.q_qq_deciles(sf_dir))
     timed("quadrat_csr", lambda: Q.q_quadrat_csr(sf_dir))
+    timed("link_prediction_cn", lambda: Q.q_link_prediction_cn(sf_dir))
+    timed("clark_evans_components",
+          lambda: consume(Q.q_clark_evans_components(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -17991,6 +17991,126 @@ FROM g
 
 
 
+def q_link_prediction_cn(sf_dir: str):
+    """Common-neighbours link prediction over the undirected host graph
+    (the missing-edge recommender primitive): for every NON-adjacent
+    host pair with at least one shared neighbour, the CN count and the
+    resource-allocation index in exact integer form
+    ra_scaled = Σ_w 10^6 // deg(w) over the shared neighbours w.
+    Candidate pairs generate by the wedge route (each node's
+    neighbour-pair expansion, the q_edge_support shape) — never the
+    node cross product; existing edges anti-join away. Output:
+    (u, v, cn, ra_scaled) for u < v."""
+    und, U = _link_graph_und(sf_dir)
+    epd = und.to_pandas()                  # edge-set-sized (q_pagerank)
+    lo = epd["lo"].to_numpy(np.int64)
+    hi = epd["hi"].to_numpy(np.int64)
+    deg = np.bincount(lo, minlength=U) + np.bincount(hi, minlength=U)
+    w = np.int64(1_000_000) // np.maximum(deg, 1)
+    nbr = [[] for _ in range(U)]
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        nbr[a].append(b)
+        nbr[b].append(a)
+    eset = set((int(a), int(b)) for a, b in zip(lo, hi))
+    from collections import defaultdict
+    cn = defaultdict(int)
+    ra = defaultdict(int)
+    for c, ns in enumerate(nbr):           # wedge expansion per node
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                if p not in eset and p[0] != p[1]:
+                    cn[p] += 1
+                    ra[p] += int(w[c])
+    rows = sorted(cn)
+    return pd.DataFrame({
+        "u": np.array([r[0] for r in rows], np.int64),
+        "v": np.array([r[1] for r in rows], np.int64),
+        "cn": np.array([cn[r] for r in rows], np.int64),
+        "ra_scaled": np.array([ra[r] for r in rows], np.int64)})
+
+
+SQL_LINK_PREDICTION_CN = f"""
+WITH {_SQL_LINK_UND},
+dg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY a),
+wedge AS (SELECT x.b AS u, y.b AS v, x.a AS c
+          FROM adj x JOIN adj y ON y.a = x.a AND x.b < y.b),
+cand AS (SELECT w.u, w.v, w.c FROM wedge w
+         LEFT JOIN u e ON e.lo = w.u AND e.hi = w.v
+         WHERE e.lo IS NULL)
+SELECT cand.u, cand.v,
+       CAST(count(*) AS BIGINT) AS cn,
+       CAST(sum(1000000 // dg.deg) AS BIGINT) AS ra_scaled
+FROM cand JOIN dg ON dg.v = cand.c
+GROUP BY cand.u, cand.v
+"""
+
+
+def q_clark_evans_components(sf_dir: str):
+    """Clark-Evans nearest-neighbour aggregation statistic per user
+    (the clustered-vs-dispersed point-pattern test, exact-integer
+    form): for every point its squared distance to the nearest OTHER
+    point of the same user; the per-user sum and count (the R-ratio's
+    numerator before the sqrt/density normalization) are int64. Same
+    per-user vectorized d2 block as q_mutual_nn (cell-blocked pruning
+    is the catalogue-scale route). Output: (user_id, n, sum_nnd2)."""
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def nnd(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({k: pa.array([], pa.int64()) for k in
+                          ("user_id", "n", "sum_nnd2")})
+        if not u.size:
+            return empty
+        x = np.round(t["lat"].to_numpy() * 100000.0).astype(np.int64)
+        y = np.round(t["lon"].to_numpy() * 100000.0).astype(np.int64)
+        o = np.argsort(u, kind="stable")
+        u, x, y = u[o], x[o], y[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [u.size]))
+        uid, nn, sd = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            xx, yy = x[s:e], y[s:e]
+            d2 = (xx[:, None] - xx[None, :]) ** 2 \
+                + (yy[:, None] - yy[None, :]) ** 2
+            np.fill_diagonal(d2, np.iinfo(np.int64).max)
+            uid.append(u[s])
+            nn.append(e - s)
+            sd.append(int(d2.min(axis=1).sum()))
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "n": pa.array(nn, pa.int64()),
+                         "sum_nnd2": pa.array(sd, pa.int64())})
+
+    return (_points_ds(sf_dir)
+            .map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(nnd, batch_format="pyarrow")
+            .select_columns(["user_id", "n", "sum_nnd2"]))
+
+
+SQL_CLARK_EVANS_COMPONENTS = f"""
+WITH p AS ({_PTS_SQL}),
+s AS (SELECT user_id, event_id,
+             CAST(round(lat * 100000) AS BIGINT) AS x,
+             CAST(round(lon * 100000) AS BIGINT) AS y
+      FROM p),
+nn AS (SELECT a.user_id, a.event_id,
+              CAST(min((a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS nnd2
+       FROM s a JOIN s b ON b.user_id = a.user_id
+                        AND b.event_id <> a.event_id
+       GROUP BY a.user_id, a.event_id)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(nnd2) AS BIGINT) AS sum_nnd2
+FROM nn GROUP BY user_id
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -18299,6 +18419,8 @@ QUERIES = {
     "mase_components": q_mase_components,
     "qq_deciles": q_qq_deciles,
     "quadrat_csr": q_quadrat_csr,
+    "link_prediction_cn": q_link_prediction_cn,
+    "clark_evans_components": q_clark_evans_components,
 }
 
 ORACLE_SQL = {
@@ -18513,6 +18635,8 @@ ORACLE_SQL = {
     "mase_components": SQL_MASE_COMPONENTS,
     "qq_deciles": SQL_QQ_DECILES,
     "quadrat_csr": SQL_QUADRAT_CSR,
+    "link_prediction_cn": SQL_LINK_PREDICTION_CN,
+    "clark_evans_components": SQL_CLARK_EVANS_COMPONENTS,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -88,6 +88,7 @@ SUBSET = [
     "source_jaccard", "largest_rectangle",
     "lis_lengths", "mase_components",
     "qq_deciles", "quadrat_csr",
+    "link_prediction_cn", "clark_evans_components",
 ]
 
 
