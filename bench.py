@@ -580,6 +580,8 @@ def run_bench() -> dict:
     timed("link_prediction_cn", lambda: Q.q_link_prediction_cn(sf_dir))
     timed("clark_evans_components",
           lambda: consume(Q.q_clark_evans_components(sf_dir)))
+    timed("window_distinct_types",
+          lambda: consume(Q.q_window_distinct_types(sf_dir)))
 
     def finish() -> dict:
         out = {

@@ -18111,6 +18111,87 @@ FROM nn GROUP BY user_id
 
 
 
+def q_window_distinct_types(sf_dir: str):
+    """Sliding distinct-count: for every (user, observed day) the number
+    of DISTINCT event types seen in the trailing 7 calendar days (the
+    engagement-breadth window a retention model reads; windowed
+    COUNT(DISTINCT) is the aggregate most engines refuse in a frame).
+    Exact via the presence-grid route: the data-scale pass folds to
+    (user, type, day) presence rows once; within a user-hash partition
+    each user's (types × days) boolean grid answers all windows with
+    one cumulative-sum slice per type — no per-window rescan. Output:
+    (user_id, d, n_types_7d)."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def pres(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        g = (pd.DataFrame({"user_id": t["user_id"].to_numpy(), "d": d,
+                           "event_type": et.astype(str)})
+             .drop_duplicates())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = (ev.map_batches(pres, batch_format="pyarrow")
+            .groupby(["user_id", "d", "event_type"])
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["user_id", "d", "event_type"]))
+
+    def pk(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("part", part)
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_d, out_n = [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            days = np.sort(g["d"].unique())
+            types, tinv = np.unique(g["event_type"].to_numpy(object),
+                                    return_inverse=True)
+            didx = np.searchsorted(days, g["d"].to_numpy(np.int64))
+            pres = np.zeros((types.size, days.size), np.int64)
+            pres[tinv, didx] = 1
+            cum = np.concatenate(
+                [np.zeros((types.size, 1), np.int64),
+                 np.cumsum(pres, axis=1)], axis=1)
+            lo = np.searchsorted(days, days - 6, side="left")
+            n7 = ((cum[:, np.arange(days.size) + 1]
+                   - cum[:, lo]) > 0).sum(axis=0)
+            out_u.append(np.full(days.size, uid, np.int64))
+            out_d.append(days)
+            out_n.append(n7.astype(np.int64))
+        if not out_u:
+            return pd.DataFrame({"user_id": np.array([], np.int64),
+                                 "d": np.array([], np.int64),
+                                 "n_types_7d": np.array([], np.int64)})
+        return pd.DataFrame({"user_id": np.concatenate(out_u),
+                             "d": np.concatenate(out_d),
+                             "n_types_7d": np.concatenate(out_n)})
+
+    return (grid.map_batches(pk, batch_format="pyarrow")
+            .groupby("part").map_groups(windows, batch_format="pandas")
+            .select_columns(["user_id", "d", "n_types_7d"]))
+
+
+SQL_WINDOW_DISTINCT_TYPES = """
+WITH c AS (SELECT user_id,
+                  CAST(epoch_ms(date_trunc('day', ts)) // 86400000
+                       AS BIGINT) AS d,
+                  event_type
+           FROM events),
+pres AS (SELECT DISTINCT user_id, d, event_type FROM c),
+days AS (SELECT DISTINCT user_id, d FROM pres)
+SELECT days.user_id, days.d,
+       CAST(count(DISTINCT p.event_type) AS BIGINT) AS n_types_7d
+FROM days JOIN pres p
+  ON p.user_id = days.user_id AND p.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.user_id, days.d
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -18421,6 +18502,7 @@ QUERIES = {
     "quadrat_csr": q_quadrat_csr,
     "link_prediction_cn": q_link_prediction_cn,
     "clark_evans_components": q_clark_evans_components,
+    "window_distinct_types": q_window_distinct_types,
 }
 
 ORACLE_SQL = {
@@ -18637,6 +18719,7 @@ ORACLE_SQL = {
     "quadrat_csr": SQL_QUADRAT_CSR,
     "link_prediction_cn": SQL_LINK_PREDICTION_CN,
     "clark_evans_components": SQL_CLARK_EVANS_COMPONENTS,
+    "window_distinct_types": SQL_WINDOW_DISTINCT_TYPES,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,
