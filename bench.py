@@ -582,6 +582,8 @@ def run_bench() -> dict:
           lambda: consume(Q.q_clark_evans_components(sf_dir)))
     timed("window_distinct_types",
           lambda: consume(Q.q_window_distinct_types(sf_dir)))
+    timed("token_sort_signature",
+          lambda: consume(Q.q_token_sort_signature(sf_dir)))
 
     def finish() -> dict:
         out = {

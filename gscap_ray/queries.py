@@ -18192,6 +18192,64 @@ GROUP BY days.user_id, days.d
 
 
 
+def q_token_sort_signature(sf_dir: str):
+    """Token-sort blocking signatures (fuzzywuzzy's token_sort_ratio
+    blocker, order-insensitive): each document keys by md5 of the
+    FIRST 8 tokens of its sorted whitespace token sequence — the
+    sorted-prefix block, so reordered/shuffled copies and
+    same-leading-vocabulary documents collide while early-token changes
+    separate (prefix width trades recall for block size). Zero-shuffle
+    per-doc hashing (the md5 lower-64 convention shared with
+    q_fingerprints); one signature groupby emits only colliding groups.
+    Output: (sig, n_docs, min_doc, max_doc) for signatures with >= 2
+    docs."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Max, Min
+
+    def sig(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        out = []
+        for x in txt:
+            toks = sorted((x or "").strip().split())[:8]
+            h = hashlib.md5(" ".join(toks).encode()).digest()
+            out.append(f"{int.from_bytes(h[8:], 'little'):016x}")
+        return pa.table({"doc_id": t["doc_id"],
+                         "sig": pa.array(out, pa.string())})
+
+    agg = (_read_split(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(sig, batch_format="pyarrow")
+           .groupby("sig")
+           .aggregate(Count(alias_name="n_docs"),
+                      Min("doc_id", alias_name="min_doc"),
+                      Max("doc_id", alias_name="max_doc")))
+    return agg.filter(lambda r: r["n_docs"] >= 2)
+
+
+SQL_TOKEN_SORT_SIGNATURE = """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+h AS (SELECT doc_id,
+             md5_number_lower(array_to_string(
+                 list_slice(list_sort(toks), 1, 8), ' ')) AS hv
+      FROM t),
+s AS (SELECT doc_id,
+             printf('%016x',
+                    CAST(CAST(hv AS HUGEINT)
+                         - CASE WHEN hv >= 9223372036854775808
+                                THEN 18446744073709551616
+                                ELSE 0 END AS BIGINT)) AS sig
+      FROM h)
+SELECT sig, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM s GROUP BY sig HAVING count(*) >= 2
+"""
+
+
+
 QUERIES = {
     # flagship tail (reference gps.py:1103-1504) — must be driver-verified
     "pages_label_stats": q_pages_label_stats,
@@ -18503,6 +18561,7 @@ QUERIES = {
     "link_prediction_cn": q_link_prediction_cn,
     "clark_evans_components": q_clark_evans_components,
     "window_distinct_types": q_window_distinct_types,
+    "token_sort_signature": q_token_sort_signature,
 }
 
 ORACLE_SQL = {
@@ -18720,6 +18779,7 @@ ORACLE_SQL = {
     "link_prediction_cn": SQL_LINK_PREDICTION_CN,
     "clark_evans_components": SQL_CLARK_EVANS_COMPONENTS,
     "window_distinct_types": SQL_WINDOW_DISTINCT_TYPES,
+    "token_sort_signature": SQL_TOKEN_SORT_SIGNATURE,
     "dataset_split": SQL_DATASET_SPLIT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "url_blocklist_filter": SQL_URL_BLOCKLIST_FILTER,

@@ -89,7 +89,7 @@ SUBSET = [
     "lis_lengths", "mase_components",
     "qq_deciles", "quadrat_csr",
     "link_prediction_cn", "clark_evans_components",
-    "window_distinct_types",
+    "window_distinct_types", "token_sort_signature",
 ]
 
 
