@@ -11882,6 +11882,175 @@ FROM k GROUP BY packed
 
 _LINK_MEMO: dict = {}          # (pages_dir, kind) -> (edges Dataset, U)
 
+# Edge-count gate shared by the link-graph family (SCC / SSSP / DAG layers /
+# clustering coefficient / truss / link prediction): at or below it the edge
+# set may live on the driver (it is a few MB and the per-round Dataset-job
+# overhead dominates); above it every route must stay a Dataset pipeline —
+# the only permissible driver/broadcast state is O(nodes) vectors (the
+# q_pagerank assumption). Tests force the distributed routes by
+# monkeypatching this to -1 (the connected_components `small_edges=0`
+# pattern, test_graph_dataset_routes.py).
+_GRAPH_SMALL_EDGES = 200_000
+# Node-count gate for the broadcast-label-vector graph routes: above it the
+# O(nodes) int64 vector (~400 MB at 5e7) no longer broadcasts and label
+# state itself shards by host hash through join/groupby exchanges
+# (_sssp_sharded). 5e7 hosts ~ the full crawlable web's host count.
+_BROADCAST_LABEL_NODES = 50_000_000
+
+
+def _link_memo_put(memo_key, value):
+    """Memoize a materialized link graph, evicting graphs of OTHER pages
+    dirs first: a long-lived process sweeping multiple scales would
+    otherwise pin every dir's edge blocks in the object store for the
+    process lifetime (ADVICE r4). One dir's und+dir graphs coexist."""
+    for k in list(_LINK_MEMO):
+        if k[0] != memo_key[0]:
+            del _LINK_MEMO[k]
+    _LINK_MEMO[memo_key] = value
+
+
+def _und_degrees(und, U: int) -> np.ndarray:
+    """Distributed undirected degree vector over a (lo, hi) edge Dataset:
+    per-batch bincount partials folded by one node-hash groupby; only the
+    O(nodes) result lands on the driver (the q_pagerank broadcast
+    assumption)."""
+    from ray.data.aggregate import Sum
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t["lo"].to_numpy(), t["hi"].to_numpy()])
+        un, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(un, pa.int64()),
+                         "d": pa.array(c.astype(np.int64), pa.int64())})
+
+    degs = (und.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+    deg = np.zeros(U, np.int64)
+    if len(degs):
+        deg[degs["node"].to_numpy(np.int64)] = \
+            degs["d"].to_numpy().astype(np.int64)
+    return deg
+
+
+def _graph_join_parallelism() -> int:
+    import ray as _ray
+
+    return max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+
+
+def _edge_support_np(lo: np.ndarray, hi: np.ndarray, U: int) -> np.ndarray:
+    """Driver-side vectorized per-edge triangle support, aligned to the
+    input (lo, hi) arrays: support(i) = |N(lo_i) ∩ N(hi_i)|. The gated
+    (<= _GRAPH_SMALL_EDGES) kernel of the truss family — degree-oriented
+    CSR, one wedge expansion with a sorted-key closure probe, scatter of
+    each closed wedge to its three undirected edges. All numpy, no
+    per-edge Python loop."""
+    if lo.size == 0:
+        return np.empty(0, np.int64)
+    deg = np.bincount(lo, minlength=U) + np.bincount(hi, minlength=U)
+    fwd = (deg[lo] < deg[hi]) | ((deg[lo] == deg[hi]) & (lo < hi))
+    a = np.where(fwd, lo, hi)
+    b = np.where(fwd, hi, lo)
+    o = np.lexsort((b, a))
+    a_s, b_s = a[o], b[o]
+    indptr = np.searchsorted(a_s, np.arange(U + 1, dtype=np.int64))
+    keys = a_s * U + b_s
+    # wedge expansion: every oriented edge (x -> y) extends through N+(y)
+    cnt = indptr[b_s + 1] - indptr[b_s]
+    tot = int(cnt.sum())
+    s = np.zeros(lo.size, np.int64)
+    if tot == 0:
+        return s
+    seg = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(seg, cnt)
+    z = b_s[np.repeat(indptr[b_s], cnt) + within]
+    x = np.repeat(a_s, cnt)
+    y = np.repeat(b_s, cnt)
+    pk = x * U + z
+    pos = np.searchsorted(keys, pk)
+    ok = pos < keys.shape[0]
+    m = np.zeros(tot, dtype=bool)
+    m[ok] = keys[pos[ok]] == pk[ok]
+    tx, ty, tz = x[m], y[m], z[m]
+    eu = np.concatenate([np.minimum(tx, ty), np.minimum(ty, tz),
+                         np.minimum(tx, tz)])
+    ev = np.concatenate([np.maximum(tx, ty), np.maximum(ty, tz),
+                         np.maximum(tx, tz)])
+    ks, c = np.unique(eu * U + ev, return_counts=True)
+    ukeys = lo * U + hi                      # unique by construction
+    uo = np.argsort(ukeys)
+    hit = np.searchsorted(ukeys[uo], ks)
+    s[uo[hit]] = c
+    return s
+
+
+def _edge_support_ds(und, U: int):
+    """Per-edge triangle support as a Dataset[lo, hi, support] with NO
+    edge-set-sized driver or broadcast state — the >_GRAPH_SMALL_EDGES
+    route of the truss family (q_edge_support / q_clustering_coeff /
+    q_truss_peel; reference's density-grouping family,
+    gscap/gps.py:1574-1603, taken to the link graph). The degree-oriented
+    wedge table forms by a Dataset.join on the wedge midpoint and closes
+    with a second composite-key join (q_triangle_count's >gate path;
+    orientation bounds out-degree at O(sqrt(m)) so wedges are O(m^1.5)
+    even on power-law host graphs). Each triangle row scatter-adds 1 to
+    its three undirected edges as per-batch partials, unioned with a
+    zero baseline over the edge set and folded by one (lo, hi)-hash
+    groupby. Only the O(nodes) degree vector broadcasts (the q_pagerank
+    assumption). All-integer output."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    deg = _und_degrees(und, U)
+    jp = _graph_join_parallelism()
+    deg_ref = _ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        dg = _ray.get(deg_ref)
+        lo = t["lo"].to_numpy().astype(np.int64)
+        hi = t["hi"].to_numpy().astype(np.int64)
+        fwd = (dg[lo] < dg[hi]) | ((dg[lo] == dg[hi]) & (lo < hi))
+        a = np.where(fwd, lo, hi)
+        b = np.where(fwd, hi, lo)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    ori = und.map_batches(orient, batch_format="pyarrow").materialize()
+    left = ori.map_batches(
+        lambda t: pa.table({"w_a": t["a"], "mid": t["b"]}),
+        batch_format="pyarrow")
+    right = ori.map_batches(
+        lambda t: pa.table({"mid": t["a"], "w_c": t["b"]}),
+        batch_format="pyarrow")
+    wedges = left.join(right, "inner", jp, on=("mid",))
+    closing = ori.map_batches(
+        lambda t: pa.table({"w_a": t["a"], "w_c": t["b"]}),
+        batch_format="pyarrow")
+    # one row per closed wedge = one per triangle (the degree orientation
+    # makes the (a -> mid -> c, a -> c) pattern unique per triangle)
+    tri = wedges.join(closing, "inner", jp, on=("w_a", "w_c"))
+
+    def scatter_tri(t: pa.Table) -> pa.Table:
+        ta = t["w_a"].to_numpy().astype(np.int64)
+        tb = t["mid"].to_numpy().astype(np.int64)
+        tc = t["w_c"].to_numpy().astype(np.int64)
+        eu = np.concatenate([np.minimum(ta, tb), np.minimum(tb, tc),
+                             np.minimum(ta, tc)])
+        ev = np.concatenate([np.maximum(ta, tb), np.maximum(tb, tc),
+                             np.maximum(ta, tc)])
+        key, c = np.unique(eu * U + ev, return_counts=True)
+        return pa.table({"lo": pa.array(key // U, pa.int64()),
+                         "hi": pa.array(key % U, pa.int64()),
+                         "s_part": pa.array(c.astype(np.int64), pa.int64())})
+
+    base = und.map_batches(
+        lambda t: pa.table({"lo": t["lo"], "hi": t["hi"],
+                            "s_part": pa.array(
+                                np.zeros(t.num_rows, np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    return (base.union(tri.map_batches(scatter_tri, batch_format="pyarrow"))
+            .groupby(["lo", "hi"])
+            .aggregate(Sum("s_part", alias_name="support")))
+
 
 def _link_graph_und(sf_dir: str):
     """Undirected host-level link graph from the REAL html outlinks (the
@@ -11926,7 +12095,7 @@ def _link_graph_und(sf_dir: str):
              .select_columns(["lo", "hi"]).materialize())
     m = edges.aggregate(Max("lo"), Max("hi"))
     U = int(max(m["max(lo)"], m["max(hi)"])) + 1
-    _LINK_MEMO[memo_key] = (edges, U)
+    _link_memo_put(memo_key, (edges, U))
     return edges, U
 
 
@@ -11940,76 +12109,19 @@ def q_edge_support(sf_dir: str):
     undirected edges as per-batch (lo, hi, s_part) partials, unioned
     with a zero baseline over the edge set and folded by one
     (lo, hi)-hash groupby — the wedge table itself never exchanges.
-    Broadcast CSR under the q_triangle_count gate; beyond it the same
-    partials fall out of that operator's two-join wedge path.
+    Driver-vectorized kernel under the _GRAPH_SMALL_EDGES gate
+    (_edge_support_np — the edge set is a few MB there); beyond it the
+    same partials fall out of the two-join wedge route
+    (_edge_support_ds, nothing edge-set-sized on the driver).
     All-integer output."""
-    import ray as _ray
-    from ray.data.aggregate import Sum
-
     und, U = _link_graph_und(sf_dir)
-
-    # undirected degrees (dense, O(nodes) — the q_pagerank broadcast
-    # assumption) for the degree orientation
-    def deg_partial(t: pa.Table) -> pa.Table:
-        ids = np.concatenate([t["lo"].to_numpy(), t["hi"].to_numpy()])
-        un, c = np.unique(ids, return_counts=True)
-        return pa.table({"node": pa.array(un, pa.int64()),
-                         "d": pa.array(c.astype(np.int64), pa.int64())})
-
-    degs = (und.map_batches(deg_partial, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
-    deg = np.zeros(U, np.int64)
-    deg[degs["node"].to_numpy()] = degs["d"].to_numpy().astype(np.int64)
-
-    et = pa.concat_tables(_ray.get(und.to_arrow_refs()))
-    lo_a = et["lo"].to_numpy().astype(np.int64)
-    hi_a = et["hi"].to_numpy().astype(np.int64)
-    fwd = (deg[lo_a] < deg[hi_a]) | ((deg[lo_a] == deg[hi_a]) & (lo_a < hi_a))
-    a = np.where(fwd, lo_a, hi_a)
-    b = np.where(fwd, hi_a, lo_a)
-    o = np.lexsort((b, a))
-    a_s, b_s = a[o], b[o]
-    indptr = np.searchsorted(a_s, np.arange(U + 1, dtype=np.int64))
-    keys = a_s * U + b_s
-    csr_ref = _ray.put((indptr, b_s, keys, deg))
-
-    def support_part(t: pa.Table) -> pa.Table:
-        indptr, adj, keys, deg = _ray.get(csr_ref)
-        lo_t = t["lo"].to_numpy().astype(np.int64)
-        hi_t = t["hi"].to_numpy().astype(np.int64)
-        f = (deg[lo_t] < deg[hi_t]) | ((deg[lo_t] == deg[hi_t]) & (lo_t < hi_t))
-        aa = np.where(f, lo_t, hi_t)
-        bb = np.where(f, hi_t, lo_t)
-        cnt = indptr[bb + 1] - indptr[bb]
-        tot = int(cnt.sum())
-        base = pa.table({"lo": t["lo"], "hi": t["hi"],
-                         "s_part": pa.array(np.zeros(lo_t.size, np.int64),
-                                            pa.int64())})
-        if tot == 0:
-            return base
-        seg = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
-        within = np.arange(tot, dtype=np.int64) - np.repeat(seg, cnt)
-        cs = adj[np.repeat(indptr[bb], cnt) + within]
-        aa_e = np.repeat(aa, cnt)
-        bb_e = np.repeat(bb, cnt)
-        pk = aa_e * U + cs
-        pos = np.searchsorted(keys, pk)
-        ok = pos < keys.shape[0]
-        m = np.zeros(tot, dtype=bool)
-        m[ok] = keys[pos[ok]] == pk[ok]
-        ta, tb, tc = aa_e[m], bb_e[m], cs[m]
-        eu = np.concatenate([np.minimum(ta, tb), np.minimum(tb, tc),
-                             np.minimum(ta, tc)])
-        ev = np.concatenate([np.maximum(ta, tb), np.maximum(tb, tc),
-                             np.maximum(ta, tc)])
-        key, c = np.unique(eu * U + ev, return_counts=True)
-        part = pa.table({"lo": pa.array(key // U, pa.int64()),
-                         "hi": pa.array(key % U, pa.int64()),
-                         "s_part": pa.array(c.astype(np.int64), pa.int64())})
-        return pa.concat_tables([base, part])
-
-    return (und.map_batches(support_part, batch_format="pyarrow")
-            .groupby(["lo", "hi"]).aggregate(Sum("s_part", alias_name="support")))
+    if und.count() <= _GRAPH_SMALL_EDGES:
+        epd = und.to_pandas()
+        lo = epd["lo"].to_numpy(np.int64)
+        hi = epd["hi"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": lo, "hi": hi,
+                             "support": _edge_support_np(lo, hi, U)})
+    return _edge_support_ds(und, U)
 
 
 SQL_EDGE_SUPPORT = f"""
@@ -14775,7 +14887,7 @@ def _link_graph_dir(sf_dir: str):
              .select_columns(["src", "dst"]).materialize())
     m = edges.aggregate(Max("src"), Max("dst"))
     U = int(max(m["max(src)"], m["max(dst)"])) + 1
-    _LINK_MEMO[memo_key] = (edges, U)
+    _link_memo_put(memo_key, (edges, U))
     return edges, U
 
 
@@ -14788,6 +14900,10 @@ def q_sssp_rounds(sf_dir: str):
     deduped edge set probing the broadcast O(nodes) distance vector
     (the q_pagerank state assumption), folds candidate relaxations
     through one small groupby-min, and stops early at a fixpoint.
+    Three tiers: driver Jacobi under _GRAPH_SMALL_EDGES, broadcast
+    label vector up to _BROADCAST_LABEL_NODES hosts, and beyond that
+    the host-hash-SHARDED label table (_sssp_sharded) where distance
+    state itself is a Dataset and never exists in one piece anywhere.
     Output: (host_idx, cost) for hosts reachable within 6 edges."""
     import ray as _ray
     from ray.data.aggregate import Min
@@ -14797,7 +14913,9 @@ def q_sssp_rounds(sf_dir: str):
     dist = np.full(U, INF, np.int64)
     dist[0] = 0
     n_edges = edges.count()
-    if n_edges <= 200_000:
+    if n_edges > _GRAPH_SMALL_EDGES and U > _BROADCAST_LABEL_NODES:
+        return _sssp_sharded(edges)
+    if n_edges <= _GRAPH_SMALL_EDGES:
         # Small-graph fast path: Jacobi rounds on the driver-resident
         # edge arrays — identical bounded-hop semantics (each round
         # relaxes from the PREVIOUS round's snapshot), zero per-round
@@ -14847,6 +14965,47 @@ def q_sssp_rounds(sf_dir: str):
     reached = np.flatnonzero(dist < INF)
     return pd.DataFrame({"host_idx": reached.astype(np.int64),
                          "cost": dist[reached]})
+
+
+def _sssp_sharded(edges):
+    """q_sssp_rounds' web-scale tier: the distance table is a Dataset
+    (node, cost) SHARDED BY HOST HASH through join/groupby exchanges —
+    no O(nodes) driver or broadcast vector anywhere (the variant the
+    q_scc_components docstring promises). Each of the 6 rounds is
+    exactly the oracle's r{{N}} CTE: relax every edge whose source is
+    in the current table (edges ⋈ dist on src, a src-hash co-shuffle),
+    then min-fold the candidates with the previous table by one
+    node-hash groupby. Bounded rounds, so no driver-side fixpoint test
+    is needed — min over the union is monotone and the round count
+    matches the SQL exactly."""
+    from ray.data.aggregate import Min
+
+    jp = _graph_join_parallelism()
+    dist = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64()),
+                                   "cost": pa.array([0], pa.int64())}))
+    for _ in range(6):
+        dsrc = dist.map_batches(
+            lambda t: pa.table({"src": t["node"], "cost": t["cost"]}),
+            batch_format="pyarrow")
+        cand = edges.join(dsrc, "inner", jp, on=("src",))
+
+        def relax(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy().astype(np.int64)
+            g = t["dst"].to_numpy().astype(np.int64)
+            c = t["cost"].to_numpy().astype(np.int64)
+            w = (s * 7 + g * 13) % 19 + 1
+            return pa.table({"node": pa.array(g, pa.int64()),
+                             "c_p": pa.array(c + w, pa.int64())})
+
+        nxt = (cand.map_batches(relax, batch_format="pyarrow")
+               .union(dist.map_batches(
+                   lambda t: pa.table({"node": t["node"], "c_p": t["cost"]}),
+                   batch_format="pyarrow")))
+        dist = (nxt.groupby("node").aggregate(Min("c_p", alias_name="cost"))
+                .materialize())
+    return dist.map_batches(
+        lambda t: pa.table({"host_idx": t["node"], "cost": t["cost"]}),
+        batch_format="pyarrow")
 
 
 SQL_SSSP_ROUNDS = f"""
@@ -14899,19 +15058,38 @@ def q_scc_components(sf_dir: str):
     the smallest active id is always claimed, so each pass peels >= 1
     component. Propagations are map_batches over the deduped edge set
     probing broadcast O(nodes) label vectors (the q_pagerank state
-    assumption); at web scale the label vector shards by host hash.
+    assumption); at web scale the label vector shards by host hash
+    (the route q_sssp_rounds ships as _sssp_sharded). The edge set
+    reaches the driver ONLY under the _GRAPH_SMALL_EDGES gate; above
+    it `present` comes from a distributed distinct-node aggregate.
     Output: (host_idx, scc_id) over hosts incident to an edge."""
     import ray as _ray
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
 
     edges, U = _link_graph_dir(sf_dir)
-    epd = edges.to_pandas()
+    small = edges.count() <= _GRAPH_SMALL_EDGES
     present = np.zeros(U, bool)
-    present[epd["src"].to_numpy()] = True
-    present[epd["dst"].to_numpy()] = True
-    small = len(epd) <= 200_000
-    e_src = epd["src"].to_numpy(np.int64)
-    e_dst = epd["dst"].to_numpy(np.int64)
+    if small:
+        epd = edges.to_pandas()
+        present[epd["src"].to_numpy()] = True
+        present[epd["dst"].to_numpy()] = True
+        e_src = epd["src"].to_numpy(np.int64)
+        e_dst = epd["dst"].to_numpy(np.int64)
+    else:
+        # distributed distinct-node fold; only the O(nodes) id list
+        # lands on the driver (the q_pagerank assumption)
+        def nodes_part(t: pa.Table) -> pa.Table:
+            ids = np.unique(np.concatenate([t["src"].to_numpy(),
+                                            t["dst"].to_numpy()]))
+            return pa.table({"node": pa.array(ids, pa.int64()),
+                             "one": pa.array(np.ones(ids.size, np.int64),
+                                             pa.int64())})
+
+        nd = (edges.map_batches(nodes_part, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("one", alias_name="_n"))
+              .to_pandas())
+        present[nd["node"].to_numpy(np.int64)] = True
+        e_src = e_dst = None
 
     def propagate(lab: np.ndarray, active: np.ndarray,
                   reverse: bool) -> np.ndarray:
@@ -16031,47 +16209,48 @@ def q_clustering_coeff(sf_dir: str):
     q_triangle_count's global count and q_edge_support's per-edge
     truss): per node its degree, tri2 = 2·(triangles through v) and
     wedges2 = deg·(deg−1); the coefficient is tri2/wedges2 downstream
-    — all integer. Per-edge support |N(lo) ∩ N(hi)| is computed
-    map-side against the broadcast CSR (q_edge_support's kernel /
-    O(nodes+edges) state, the q_pagerank assumption), then each edge
-    scatter-adds its support to BOTH endpoints and one small groupby
-    folds. Output: (host_idx, deg, tri2, wedges2)."""
-    import ray as _ray
+    — all integer. Per-edge support |N(lo) ∩ N(hi)|: the driver
+    _edge_support_np kernel under the _GRAPH_SMALL_EDGES gate (zero
+    extra Dataset jobs beyond the memoized graph); above it the
+    two-join wedge route (_edge_support_ds) with each edge
+    scatter-adding its support to BOTH endpoints and one node-hash
+    groupby folding — only the O(nodes) degree/tri2 vectors are driver
+    state (the q_pagerank assumption). Output:
+    (host_idx, deg, tri2, wedges2)."""
     from ray.data.aggregate import Sum
 
     und, U = _link_graph_und(sf_dir)
-    epd = und.to_pandas()                    # edge-set-sized (q_pagerank)
-    lo = epd["lo"].to_numpy(np.int64)
-    hi = epd["hi"].to_numpy(np.int64)
-    deg = np.bincount(lo, minlength=U) + np.bincount(hi, minlength=U)
-    nbr = [[] for _ in range(U)]
-    for a, b in zip(lo.tolist(), hi.tolist()):
-        nbr[a].append(b)
-        nbr[b].append(a)
-    csr_off = np.zeros(U + 1, np.int64)
-    csr_off[1:] = np.cumsum([len(x) for x in nbr])
-    csr_adj = np.concatenate([np.sort(np.array(x, np.int64)) for x in nbr])         if U else np.empty(0, np.int64)
-    ref = _ray.put((csr_off, csr_adj))
+    if und.count() <= _GRAPH_SMALL_EDGES:
+        epd = und.to_pandas()
+        lo = epd["lo"].to_numpy(np.int64)
+        hi = epd["hi"].to_numpy(np.int64)
+        deg = np.bincount(lo, minlength=U) + np.bincount(hi, minlength=U)
+        s = _edge_support_np(lo, hi, U)
+        tri2 = np.zeros(U, np.int64)
+        np.add.at(tri2, lo, s)
+        np.add.at(tri2, hi, s)
+        present = np.flatnonzero(deg > 0)
+        dg = deg[present].astype(np.int64)
+        return pd.DataFrame({"host_idx": present.astype(np.int64),
+                             "deg": dg, "tri2": tri2[present],
+                             "wedges2": dg * (dg - 1)})
+    deg = _und_degrees(und, U)
+    sup = _edge_support_ds(und, U)
 
-    def support(t: pa.Table) -> pa.Table:
-        off, adj = _ray.get(ref)
-        a = t["lo"].to_numpy().astype(np.int64)
-        b = t["hi"].to_numpy().astype(np.int64)
-        node, s_p = [], []
-        for i in range(a.size):              # edge-batch loop, O(deg) each
-            na = adj[off[a[i]]:off[a[i] + 1]]
-            nb = adj[off[b[i]]:off[b[i] + 1]]
-            s = np.intersect1d(na, nb, assume_unique=True).size
-            node.extend((a[i], b[i]))
-            s_p.extend((s, s))
-        return pa.table({"node": pa.array(node, pa.int64()),
-                         "s_p": pa.array(s_p, pa.int64())})
+    def scatter_ends(t: pa.Table) -> pa.Table:
+        lo_t = t["lo"].to_numpy().astype(np.int64)
+        hi_t = t["hi"].to_numpy().astype(np.int64)
+        s = t["support"].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(np.concatenate([lo_t, hi_t]),
+                                          pa.int64()),
+                         "s_p": pa.array(np.concatenate([s, s]), pa.int64())})
 
-    tri = (und.map_batches(support, batch_format="pyarrow")
+    tri = (sup.map_batches(scatter_ends, batch_format="pyarrow")
            .groupby("node").aggregate(Sum("s_p", alias_name="tri2"))
            .to_pandas())
     tri2 = np.zeros(U, np.int64)
-    tri2[tri["node"].to_numpy(np.int64)] = tri["tri2"].to_numpy(np.int64)
+    if len(tri):
+        tri2[tri["node"].to_numpy(np.int64)] = tri["tri2"].to_numpy(np.int64)
     present = np.flatnonzero(deg > 0)
     dg = deg[present].astype(np.int64)
     return pd.DataFrame({"host_idx": present.astype(np.int64),
@@ -16117,7 +16296,7 @@ def q_dag_layers(sf_dir: str):
     scc[labels["host_idx"].to_numpy(np.int64)] = \
         labels["scc_id"].to_numpy(np.int64)
     edges, _ = _link_graph_dir(sf_dir)
-    if edges.count() <= 200_000:
+    if edges.count() <= _GRAPH_SMALL_EDGES:
         epd = edges.to_pandas()
         a = scc[epd["src"].to_numpy(np.int64)]
         b = scc[epd["dst"].to_numpy(np.int64)]
@@ -17194,37 +17373,39 @@ def q_truss_peel(sf_dir: str):
     extraction that survives where degree-based k-core keeps hub spokes):
     3 rounds of [compute per-edge triangle support on the SURVIVING set,
     drop edges with support < 2 (in no triangle)], then the final
-    support on the survivors — the 4-truss fixed-point step. Support is
-    q_edge_support's kernel (|N(lo) ∩ N(hi)| against the broadcast CSR
-    of the current survivor set); each peel round re-broadcasts only
-    the shrinking edge list. Output: (lo, hi, support) for surviving
-    edges."""
-    import ray as _ray
-    from ray.data.aggregate import Sum
-
+    support on the survivors — the 4-truss fixed-point step. Under the
+    _GRAPH_SMALL_EDGES gate all four support passes run the driver
+    _edge_support_np kernel on the (gated, few-MB) edge arrays; above
+    it each round is one _edge_support_ds pass over the CURRENT
+    survivor Dataset followed by a vectorized per-batch filter — the
+    shrinking edge set stays a Dataset end to end, nothing
+    edge-set-sized on the driver. Output: (lo, hi, support) for
+    surviving edges."""
     und, U = _link_graph_und(sf_dir)
-    epd = und.to_pandas()                  # edge-set-sized (q_pagerank)
-    lo = epd["lo"].to_numpy(np.int64)
-    hi = epd["hi"].to_numpy(np.int64)
-
-    def support_of(lo_, hi_):
-        nbr = [[] for _ in range(U)]
-        for a, b in zip(lo_.tolist(), hi_.tolist()):
-            nbr[a].append(b)
-            nbr[b].append(a)
-        adj = [np.sort(np.array(x, np.int64)) for x in nbr]
-        s = np.empty(lo_.size, np.int64)
-        for i in range(lo_.size):          # edge-set loop, O(deg) each
-            s[i] = np.intersect1d(adj[lo_[i]], adj[hi_[i]],
-                                  assume_unique=True).size
-        return s
-
+    if und.count() <= _GRAPH_SMALL_EDGES:
+        epd = und.to_pandas()
+        lo = epd["lo"].to_numpy(np.int64)
+        hi = epd["hi"].to_numpy(np.int64)
+        for _ in range(3):
+            s = _edge_support_np(lo, hi, U)
+            keep = s >= 2
+            lo, hi = lo[keep], hi[keep]
+        return pd.DataFrame({"lo": lo, "hi": hi,
+                             "support": _edge_support_np(lo, hi, U)})
+    cur = und
     for _ in range(3):
-        s = support_of(lo, hi)
-        keep = s >= 2
-        lo, hi = lo[keep], hi[keep]
-    s = support_of(lo, hi)
-    return pd.DataFrame({"lo": lo, "hi": hi, "support": s})
+        sup = _edge_support_ds(cur, U)
+
+        def keep2(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["support"], 2)) \
+                    .select(["lo", "hi"])
+
+        cur = sup.map_batches(keep2, batch_format="pyarrow").materialize()
+        if cur.count() == 0:
+            return pd.DataFrame({"lo": np.empty(0, np.int64),
+                                 "hi": np.empty(0, np.int64),
+                                 "support": np.empty(0, np.int64)})
+    return _edge_support_ds(cur, U)
 
 
 SQL_TRUSS_PEEL = f"""
@@ -17999,10 +18180,17 @@ def q_link_prediction_cn(sf_dir: str):
     ra_scaled = Σ_w 10^6 // deg(w) over the shared neighbours w.
     Candidate pairs generate by the wedge route (each node's
     neighbour-pair expansion, the q_edge_support shape) — never the
-    node cross product; existing edges anti-join away. Output:
+    node cross product; existing edges anti-join away. Driver wedge
+    loop only under the _GRAPH_SMALL_EDGES gate; above it the wedge
+    table forms by a Dataset self-join on the centre node, existing
+    edges leave by a left-outer anti-join, and the RA weights probe
+    the broadcast O(nodes) degree vector map-side (the q_pagerank
+    assumption) — nothing edge-set-sized on the driver. Output:
     (u, v, cn, ra_scaled) for u < v."""
     und, U = _link_graph_und(sf_dir)
-    epd = und.to_pandas()                  # edge-set-sized (q_pagerank)
+    if und.count() > _GRAPH_SMALL_EDGES:
+        return _link_prediction_cn_ds(und, U)
+    epd = und.to_pandas()                  # gated (q_pagerank)
     lo = epd["lo"].to_numpy(np.int64)
     hi = epd["hi"].to_numpy(np.int64)
     deg = np.bincount(lo, minlength=U) + np.bincount(hi, minlength=U)
@@ -18029,6 +18217,65 @@ def q_link_prediction_cn(sf_dir: str):
         "v": np.array([r[1] for r in rows], np.int64),
         "cn": np.array([cn[r] for r in rows], np.int64),
         "ra_scaled": np.array([ra[r] for r in rows], np.int64)})
+
+
+def _link_prediction_cn_ds(und, U: int):
+    """q_link_prediction_cn's >_GRAPH_SMALL_EDGES route: wedges by a
+    Dataset self-join of the (centre, neighbour) adjacency on the centre
+    node (u < v dedups each wedge), existing edges removed by a
+    left-outer join + null filter (anti-join), per-batch (u, v) partial
+    folds with map-side RA weights from the broadcast O(nodes) degree
+    vector, and one (u, v)-hash groupby. The wedge table — the O(m^1.5)
+    worst case — only ever exists as Dataset blocks."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    deg = _und_degrees(und, U)
+    wref = _ray.put(np.int64(1_000_000) // np.maximum(deg, 1))
+    jp = _graph_join_parallelism()
+
+    def adj_u(t: pa.Table) -> pa.Table:
+        lo_t = t["lo"].to_numpy().astype(np.int64)
+        hi_t = t["hi"].to_numpy().astype(np.int64)
+        return pa.table({"c": pa.array(np.concatenate([lo_t, hi_t]),
+                                       pa.int64()),
+                         "u": pa.array(np.concatenate([hi_t, lo_t]),
+                                       pa.int64())})
+
+    def adj_v(t: pa.Table) -> pa.Table:
+        a = adj_u(t)
+        return pa.table({"c": a["c"], "v": a["u"]})
+
+    wedges = (und.map_batches(adj_u, batch_format="pyarrow")
+              .join(und.map_batches(adj_v, batch_format="pyarrow"),
+                    "inner", jp, on=("c",)))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["u"], t["v"]))
+
+    flagged = und.map_batches(
+        lambda t: pa.table({"u": t["lo"], "v": t["hi"],
+                            "is_edge": pa.array(
+                                np.ones(t.num_rows, np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    cand = (wedges.map_batches(ordered, batch_format="pyarrow")
+            .join(flagged, "left_outer", jp, on=("u", "v")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        w = _ray.get(wref)
+        keep = pc.is_null(t["is_edge"]).to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy().astype(np.int64)[keep]
+        v = t["v"].to_numpy().astype(np.int64)[keep]
+        c = t["c"].to_numpy().astype(np.int64)[keep]
+        g = (pd.DataFrame({"u": u, "v": v, "cn_p": np.ones(u.size, np.int64),
+                           "ra_p": w[c]})
+             .groupby(["u", "v"], sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (cand.map_batches(fold, batch_format="pyarrow")
+            .groupby(["u", "v"])
+            .aggregate(Sum("cn_p", alias_name="cn"),
+                       Sum("ra_p", alias_name="ra_scaled")))
 
 
 SQL_LINK_PREDICTION_CN = f"""
