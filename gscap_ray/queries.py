@@ -15725,7 +15725,11 @@ WITH RECURSIVE c AS (
 rec(user_id, rn, e) AS (
     SELECT user_id, rn, cents FROM c WHERE rn = 1
     UNION ALL
-    SELECT c.user_id, c.rn, (3 * rec.e + c.cents) // 4
+    -- floor division regardless of sign (DuckDB // truncates, numpy
+    -- floors): w - non_negative_mod(w, 4) is always the floored multiple.
+    SELECT c.user_id, c.rn,
+           ((3 * rec.e + c.cents)
+            - (((3 * rec.e + c.cents) % 4) + 4) % 4) // 4
     FROM rec JOIN c ON c.user_id = rec.user_id AND c.rn = rec.rn + 1)
 SELECT user_id, CAST(max(rn) AS BIGINT) AS n,
        CAST(arg_max(e, rn) AS BIGINT) AS ewma_last
@@ -15767,6 +15771,12 @@ def q_winnow_select(sf_dir: str):
         dv = np.concatenate(docs)
         hv = np.concatenate(hs)
         pv = np.concatenate(pos)
+        # Packing envelope: doc_id lives in bits 47..62 and pos in the low
+        # 16 bits of the fold key. Violations must fail loudly, not wrap.
+        if dv.size and (int(dv.max()) >= 1 << 16 or int(dv.min()) < 0):
+            raise ValueError("winnow_select: doc_id out of 16-bit envelope")
+        if pv.size and int(pv.max()) >= 65536:
+            raise ValueError("winnow_select: token position >= 65536")
         key = hv * 65536 + (65535 - pv)
         if key.size < 4:
             win = np.empty((0,), np.int64)
@@ -16479,6 +16489,8 @@ def q_lorenz_deciles(sf_dir: str):
         n = int(cumc[-1])
         ks = np.arange(1, 11, dtype=np.int64)
         rk = ks * n // 10
+        m = rk >= 1        # n < 10 makes low deciles rank-0: drop them
+        ks, rk = ks[m], rk[m]
         i = np.searchsorted(cumc, rk, side="left")   # covering bucket
         below_c = np.where(i > 0, cumc[i - 1], 0)
         below_s = np.where(i > 0, cums[i - 1], 0)
@@ -16506,7 +16518,8 @@ w AS (SELECT event_type, cents, kcnt,
 n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM c
       GROUP BY event_type),
 d AS (SELECT n.event_type, t.k, t.k * n.n // 10 AS r_k
-      FROM n CROSS JOIN (SELECT unnest(range(1, 11)) AS k) t)
+      FROM n CROSS JOIN (SELECT unnest(range(1, 11)) AS k) t
+      WHERE t.k * n.n // 10 >= 1)
 SELECT d.event_type, d.k, d.r_k,
        w.cs - (w.cc - d.r_k) * w.cents AS lorenz_sum
 FROM d JOIN w ON w.event_type = d.event_type
@@ -18101,6 +18114,8 @@ def q_qq_deciles(sf_dir: str):
     ks = np.arange(1, 10, dtype=np.int64)
     ra = ks * na // 10
     rb = ks * nb // 10
+    m = (ra >= 1) & (rb >= 1)  # n < 10 sides make rank-0 deciles: drop
+    ks, ra, rb = ks[m], ra[m], rb[m]
     return pd.DataFrame({"k": ks, "r_a": ra, "q_a": select(0, ra),
                          "r_b": rb, "q_b": select(1, rb)})
 
@@ -18126,6 +18141,7 @@ SELECT d.k, d.r_a, wa.cents AS q_a, d.r_b, wb.cents AS q_b
 FROM d
 JOIN w wa ON wa.side = 0 AND wa.cc - wa.kc < d.r_a AND d.r_a <= wa.cc
 JOIN w wb ON wb.side = 1 AND wb.cc - wb.kc < d.r_b AND d.r_b <= wb.cc
+WHERE d.r_a >= 1 AND d.r_b >= 1
 """
 
 
