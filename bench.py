@@ -740,6 +740,11 @@ def _summary(full: dict) -> dict:
         out["skew"] = skew
     if "scaling" in full:
         sc = {k: v for k, v in full["scaling"].items() if k != "all_runs"}
+        # Historical clean-window 8->32 efficiencies (BASELINE.md, five
+        # independent idle-box ladders) — the reference band when THIS
+        # run's rungs land on co-tenant load despite the gated retries.
+        sc["clean_window_eff_8_to_32_history"] = [
+            0.862, 0.902, 0.890, 0.892, 0.900]
         out["scaling"] = sc
         out["isolated"] = full["isolated"]
     # Hard cap: stay under the driver's tail capture with headroom.
