@@ -676,13 +676,20 @@ def run_bench() -> dict:
     timings["skew_ratio_vs_suite_start"] = round(
         timings["flagship_pages_skew"] / timings["flagship_pages"], 3)
 
-    def hot_cells_skew():
+    def hot_cells_skew(salt: int = 0):
         ds = rd.read_parquet(skew_dir, columns=["url", "warc_ts"],
                              override_num_blocks=read_blocks_for(n_pages))
         ds = ds.map_batches(cell_only, batch_format="pyarrow", batch_size=None)
-        # salt>0: the planted hot host makes a few tile keys hold ~10% of
-        # rows — the exact few-hot-keys regime the salt exists for
-        topk_by_count(ds, "h3_r7", 10, salt=8, combine_blocks=16)
+        # salt=0 on the PRIMARY row (r5): the per-batch combiner IS the
+        # two-phase aggregate — partials are bounded at keys x blocks, so
+        # the planted hot host contributes <= 1 row per block to the
+        # exchange and an explicit salt only adds a second groupby.
+        # Interleaved clean A/B (r5): skew salt=8 3.20 s / salt=0 1.93 s /
+        # uniform 1.64 s — the r4 "skew ratio" was measuring the salt tax,
+        # not skew. Explicit salting remains for non-combinable aggregates
+        # (the salted variant stays below as a diagnostic row; tests cover
+        # the salted path's correctness).
+        topk_by_count(ds, "h3_r7", 10, salt=salt, combine_blocks=16)
 
     # Paired baseline (VERDICT r4 #5): the suite-start hot_cells_topk is
     # measured ~150 queries earlier; object-store drift inflated the r4
@@ -690,6 +697,7 @@ def run_bench() -> dict:
     # uniform aggregate HERE so the ratio compares same-window readings.
     timed("hot_cells_topk_uniform_paired", hot_cells)
     timed("hot_cells_topk_skew", hot_cells_skew)
+    timed("hot_cells_topk_skew_salted", lambda: hot_cells_skew(8))
     timings["hot_cells_skew_ratio"] = round(
         timings["hot_cells_topk_skew"]
         / timings["hot_cells_topk_uniform_paired"], 3)
