@@ -742,7 +742,9 @@ def _summary(full: dict) -> dict:
     skew = {k: t[k] for k in ("flagship_pages_uniform_paired",
                               "flagship_pages_skew", "skew_ratio",
                               "hot_cells_topk_uniform_paired",
-                              "hot_cells_topk_skew", "hot_cells_skew_ratio")
+                              "hot_cells_topk_skew",
+                              "hot_cells_topk_skew_salted",
+                              "hot_cells_skew_ratio")
             if k in t}
     if skew:
         out["skew"] = skew
