@@ -6897,11 +6897,15 @@ def _bigram_model(sf_dir: str, min_count: int = 2):
     """Pass 1 of the CCNet-style LM scorer: corpus bigram counts, pruned
     to count >= min_count — the 'trained language model' the scoring pass
     broadcasts. Scale shape: per-batch partial counts collapse each batch
-    to its distinct bigrams before one (tok1, tok2) shuffle; at corpus
-    scale the model would additionally be capped to the top-M grams
-    (CCNet trains on a Wikipedia-sized sample, not the crawl itself).
-    Returns (sorted key array 'tok1 tok2', aligned int64 counts)."""
-    from ray.data.aggregate import Sum
+    to its distinct bigrams before ONE 64-way hash of tok1 with a
+    vectorized per-partition (tok1, tok2) sum — a native per-bigram
+    Aggregate pays ~2 ms/key in its Python accumulate loop (the
+    q_ks_distance measurement), ruinous at corpus bigram cardinality; at
+    corpus scale the model would additionally be capped to the top-M
+    grams (CCNet trains on a Wikipedia-sized sample, not the crawl
+    itself). Returns (sorted key array 'tok1 tok2', aligned int64
+    counts)."""
+    from .functions.text import md5_token_hash64
 
     docs = _read(sf_dir, "documents", ["text"])
 
@@ -6909,12 +6913,19 @@ def _bigram_model(sf_dir: str, min_count: int = 2):
         _, t1, t2, _ = _bigram_tables(t)
         bc = (pd.DataFrame({"tok1": t1, "tok2": t2})
               .value_counts().rename("cnt").reset_index())
+        part = (md5_token_hash64(bc["tok1"].to_numpy(object))
+                % np.uint64(64)).astype(np.int32)
         return pa.table({"tok1": pa.array(bc["tok1"].to_numpy(object), pa.string()),
                          "tok2": pa.array(bc["tok2"].to_numpy(object), pa.string()),
-                         "cnt": pa.array(bc["cnt"].to_numpy(np.int64), pa.int64())})
+                         "cnt": pa.array(bc["cnt"].to_numpy(np.int64), pa.int64()),
+                         "part": pa.array(part, pa.int32())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["tok1", "tok2"], sort=False)["cnt"].sum()
+                .reset_index(name="n"))
 
     agg = (docs.map_batches(partial, batch_format="pyarrow")
-           .groupby(["tok1", "tok2"]).aggregate(Sum("cnt", alias_name="n"))
+           .groupby("part").map_groups(fold, batch_format="pandas")
            .to_pandas())
     agg = agg[agg["n"] >= min_count]
     keys = (agg["tok1"] + " " + agg["tok2"]).to_numpy(object)
@@ -7007,21 +7018,27 @@ def q_ccnet_buckets(sf_dir: str):
     the exact 1/3 and 2/3 order statistics (k-th smallest VALUE — ties
     collapse into the lower bucket on both sides, so the cut is
     order-independent). Scale shape: the thresholds come from a
-    groupby(score).count() histogram (distinct-score-sized, tiny), never
-    a global sort of the documents; the bucket label is then a pure
-    per-batch comparison. Output: per-bucket doc count + total chars."""
-    from ray.data.aggregate import Count, Sum
-
+    per-distinct-score count histogram (distinct-score-sized, tiny; one
+    64-way hash of the score with a per-partition vectorized count),
+    never a global sort of the documents; the bucket label is then a
+    pure per-batch comparison. Output: per-bucket doc count + total
+    chars."""
     scored = _lm_scored(sf_dir).materialize()
 
     def milli(t: pa.Table) -> pa.Table:
         sc = t["lm_score"].to_numpy().astype(np.int64)
         nb = np.maximum(t["n_bigrams"].to_numpy().astype(np.int64), 1)
+        v = sc * 1000 // nb
         return pa.table({"doc_id": t["doc_id"],
-                         "v": pa.array(sc * 1000 // nb, pa.int64())})
+                         "v": pa.array(v, pa.int64()),
+                         "part": pa.array((v % 64).astype(np.int32),
+                                          pa.int32())})
+
+    def count_v(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("v", sort=False).size().reset_index(name="c"))
 
     sv = scored.map_batches(milli, batch_format="pyarrow").materialize()
-    hist = (sv.groupby("v").aggregate(Count(alias_name="c"))
+    hist = (sv.groupby("part").map_groups(count_v, batch_format="pandas")
             .to_pandas().sort_values("v"))
     n = int(hist["c"].sum())
     cum = hist["c"].cumsum().to_numpy()
@@ -7032,23 +7049,46 @@ def q_ccnet_buckets(sf_dir: str):
 
     chars = _read(sf_dir, "documents", ["doc_id", "n_chars"])
 
-    def bucket(t: pa.Table) -> pa.Table:
+    # Pair bucket labels with n_chars through ONE doc-hash exchange: a
+    # union of both doc-keyed sides into a 64-way partition merge —
+    # same exchange volume as the hash join it replaces, without the
+    # aggregator-actor startup the native join pays.
+    def lab_side(t: pa.Table) -> pa.Table:
         v = t["v"].to_numpy()
+        d = t["doc_id"].to_numpy().astype(np.int64)
         lab = np.where(v <= t1, "tail", np.where(v <= t2, "middle", "head"))
-        return pa.table({"doc_id": t["doc_id"],
-                         "bucket": pa.array(lab.astype(object), pa.string())})
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "bucket": pa.array(lab.astype(object), pa.string()),
+                         "n_chars": pa.array(np.zeros(d.size, np.int64)),
+                         "part": pa.array((d % 64).astype(np.int32),
+                                          pa.int32())})
 
-    import ray as _ray
+    def chars_side(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "bucket": pa.array(np.full(d.size, "", object),
+                                            pa.string()),
+                         "n_chars": pa.array(
+                             t["n_chars"].to_numpy().astype(np.int64)),
+                         "part": pa.array((d % 64).astype(np.int32),
+                                          pa.int32())})
 
-    lab = sv.map_batches(bucket, batch_format="pyarrow")
-    # join partitions sized to the cluster (the minhash 4-CPU deadlock
-    # lesson, BASELINE.md): each hash-shuffle join spawns num_partitions
-    # aggregator actors
-    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
-    joined = lab.join(chars, "inner", jp, on=("doc_id",))
-    return (joined.groupby("bucket")
-            .aggregate(Count(alias_name="n_docs"),
-                       Sum("n_chars", alias_name="total_chars")))
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        la = df[df["bucket"] != ""]
+        ch = df[df["bucket"] == ""]
+        m = la[["doc_id", "bucket"]].merge(ch[["doc_id", "n_chars"]],
+                                           on="doc_id")
+        return (m.groupby("bucket", sort=False)
+                .agg(n_docs=("doc_id", "size"),
+                     total_chars=("n_chars", "sum")).reset_index())
+
+    both = (sv.map_batches(lab_side, batch_format="pyarrow")
+            .union(chars.map_batches(chars_side, batch_format="pyarrow")))
+    parts = (both.groupby("part").map_groups(pair, batch_format="pandas")
+             .to_pandas())
+    return (parts.groupby("bucket", sort=False)
+            .agg(n_docs=("n_docs", "sum"),
+                 total_chars=("total_chars", "sum")).reset_index())
 
 
 SQL_CCNET_BUCKETS = f"""
@@ -7082,10 +7122,11 @@ def q_snapshot_diff(sf_dir: str):
     Scale shape: both sides collapse per batch to (key, side flags, row
     fingerprint) — the fingerprint is md5 over the mutable fields, same
     hash both sides so collisions cannot desync Ray vs SQL — then ONE
-    integer groupby on key classifies added/removed/changed with no join
-    and nothing driver-side."""
-    from ray.data.aggregate import Sum
-
+    64-way hash of the key with a vectorized per-partition sum
+    classifies added/removed/changed with no join and nothing
+    driver-side (a native per-key Aggregate over the ~150k orderkeys
+    pays ~2 ms/key in its Python accumulate loop — the q_ks_distance
+    measurement)."""
     from .functions.text import md5_token_hash64
 
     def fingerprint(t: pa.Table) -> np.ndarray:
@@ -7097,12 +7138,14 @@ def q_snapshot_diff(sf_dir: str):
         return (md5_token_hash64(keys) % np.uint64(2**31)).astype(np.int64)
 
     def side_a(t: pa.Table) -> pa.Table:
-        k = t["o_orderkey"].to_numpy()
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
         return pa.table({"key": pa.array(k, pa.int64()),
                          "in_a": pa.array(np.ones(len(k), np.int64)),
                          "in_b": pa.array(np.zeros(len(k), np.int64)),
                          "fp_a": pa.array(fingerprint(t)),
-                         "fp_b": pa.array(np.zeros(len(k), np.int64))})
+                         "fp_b": pa.array(np.zeros(len(k), np.int64)),
+                         "part": pa.array((k % 64).astype(np.int32),
+                                          pa.int32())})
 
     def side_b(t: pa.Table) -> pa.Table:
         k = t["o_orderkey"].to_numpy().astype(np.int64)
@@ -7121,32 +7164,30 @@ def q_snapshot_diff(sf_dir: str):
                          "in_a": pa.array(np.zeros(len(kk), np.int64)),
                          "in_b": pa.array(np.ones(len(kk), np.int64)),
                          "fp_a": pa.array(np.zeros(len(kk), np.int64)),
-                         "fp_b": pa.array(fp, pa.int64())})
+                         "fp_b": pa.array(fp, pa.int64()),
+                         "part": pa.array((kk % 64).astype(np.int32),
+                                          pa.int32())})
 
     cols = ["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
     both = (_read(sf_dir, "orders", cols)
             .map_batches(side_a, batch_format="pyarrow")
             .union(_read(sf_dir, "orders", cols)
                    .map_batches(side_b, batch_format="pyarrow")))
-    agg = (both.groupby("key")
-           .aggregate(Sum("in_a", alias_name="a"),
-                      Sum("in_b", alias_name="b"),
-                      Sum("fp_a", alias_name="fa"),
-                      Sum("fp_b", alias_name="fb")))
-
-    def classify(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy().astype(np.int64)
-        b = t["b"].to_numpy().astype(np.int64)
-        fa = t["fa"].to_numpy().astype(np.int64)
-        fb = t["fb"].to_numpy().astype(np.int64)
+    def diff_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("key", sort=False)[["in_a", "in_b", "fp_a", "fp_b"]]
+             .sum().reset_index())
+        a = g["in_a"].to_numpy(np.int64)
+        b = g["in_b"].to_numpy(np.int64)
+        fa = g["fp_a"].to_numpy(np.int64)
+        fb = g["fp_b"].to_numpy(np.int64)
         kind = np.where(a == 0, "added",
                         np.where(b == 0, "removed",
                                  np.where(fa != fb, "changed", "")))
         m = kind != ""
-        return pa.table({"o_orderkey": t["key"].to_numpy()[m],
-                         "change": pa.array(kind[m], pa.string())})
+        return pd.DataFrame({"o_orderkey": g["key"].to_numpy(np.int64)[m],
+                             "change": kind[m]})
 
-    return agg.map_batches(classify, batch_format="pyarrow")
+    return both.groupby("part").map_groups(diff_part, batch_format="pandas")
 
 
 SQL_SNAPSHOT_DIFF = """
@@ -9580,18 +9621,24 @@ def q_merge_upsert(sf_dir: str):
             eid = t["event_id"].to_numpy().astype(np.int64)
             c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
             m = day == _d
-            return pa.table({"key": pa.array(eid[m] % 4096, pa.int64()),
+            k = eid[m] % 4096
+            return pa.table({"key": pa.array(k, pa.int64()),
                              "eid": pa.array(eid[m], pa.int64()),
-                             "c": pa.array(c[m], pa.int64())})
+                             "c": pa.array(c[m], pa.int64()),
+                             "part": pa.array((k % 64).astype(np.int32),
+                                              pa.int32())})
 
-        def pickmin(g: pd.DataFrame, _a=a, _b=b) -> pd.DataFrame:
-            i = int(g["eid"].to_numpy().argmin())
-            return pd.DataFrame({"key": [np.int64(g["key"].iloc[0])],
-                                 _a: [np.int64(g["eid"].iloc[i])],
-                                 _b: [np.int64(g["c"].iloc[i])]})
+        # min-eid per key, vectorized over the whole 64-way partition —
+        # per-key map_groups paid a Python call per each of the 4096 keys
+        def pickmin(df: pd.DataFrame, _a=a, _b=b) -> pd.DataFrame:
+            d = df.sort_values(["key", "eid"], kind="stable")
+            first = d.loc[~d["key"].duplicated()]
+            return pd.DataFrame({"key": first["key"].to_numpy(np.int64),
+                                 _a: first["eid"].to_numpy(np.int64),
+                                 _b: first["c"].to_numpy(np.int64)})
 
         return (ev.map_batches(pk, batch_format="pyarrow")
-                .groupby("key").map_groups(pickmin, batch_format="pandas"))
+                .groupby("part").map_groups(pickmin, batch_format="pandas"))
 
     snap = keyed(0, "s_eid", "s_c")
     chg = keyed(1, "c_eid", "c_c")
@@ -10702,12 +10749,14 @@ def q_ks_distance(sf_dir: str):
     'click' and 'view' value distributions, kept integral by clearing
     denominators: KS = max_t |cumA(t)·nB − cumB(t)·nA| / (nA·nB), and
     the max is reported as its exact integer numerator. The only
-    exchange is the per-distinct-cents (nA, nB) histogram (per-batch
-    partials first); the CDF fold then walks the O(distinct values)
-    table once — the same scan-combine shape as q_global_concurrency
-    on a value-ordered axis. All-integer output row."""
-    from ray.data.aggregate import Sum
-
+    exchange is the per-distinct-cents (nA, nB) histogram: per-batch
+    partials, then ONE 64-way hash of the cents key with a vectorized
+    per-partition sum — NOT a native per-cents Aggregate, whose
+    per-group accumulate loop costs ~2 ms/key (measured: 157 s remote
+    CPU over 17.8k keys x 64 blocks vs <1 s for this fold). The CDF
+    fold then walks the O(distinct values) table once — the same
+    scan-combine shape as q_global_concurrency on a value-ordered
+    axis. All-integer output row."""
     def hist(t: pa.Table) -> pd.DataFrame:
         ty = t["event_type"].to_pandas().to_numpy()
         c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
@@ -10717,12 +10766,19 @@ def q_ks_distance(sf_dir: str):
              .reset_index(name="n_p"))
         g["na_p"] = np.where(g["is_a"], g["n_p"], 0).astype(np.int64)
         g["nb_p"] = np.where(g["is_a"], 0, g["n_p"]).astype(np.int64)
-        return g[["c", "na_p", "nb_p"]]
+        g["part"] = (g["c"].to_numpy(np.int64) % 64).astype(np.int32)
+        return g[["c", "na_p", "nb_p", "part"]]
+
+    def fold_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("c", sort=False)[["na_p", "nb_p"]].sum()
+             .reset_index())
+        return pd.DataFrame({"c": g["c"].to_numpy(np.int64),
+                             "na": g["na_p"].to_numpy(np.int64),
+                             "nb": g["nb_p"].to_numpy(np.int64)})
 
     h = (_read(sf_dir, "events", ["event_type", "value"])
          .map_batches(hist, batch_format="pyarrow")
-         .groupby("c").aggregate(Sum("na_p", alias_name="na"),
-                                 Sum("nb_p", alias_name="nb"))
+         .groupby("part").map_groups(fold_part, batch_format="pandas")
          .to_pandas().sort_values("c"))
     na_tot = int(h["na"].sum())
     nb_tot = int(h["nb"].sum())
@@ -10845,25 +10901,31 @@ def q_global_concurrency(sf_dir: str):
     two-phase scan-combine, never materializing the row-level running
     sum. Equal-timestamp blocks are safe: ends (−1) sort before starts
     (+1), so the interval semantics are half-open and tie-block maxima
-    are order-independent. Output: one all-integer row
-    (max_concurrent, at_ts_us = first instant the max is reached,
-    n_intervals)."""
-    from ray.data.aggregate import Max, Min
-
-    def iv(t: pa.Table) -> pa.Table:
+    are order-independent. The (user, day) interval build is per-batch
+    min/max partials folded through one 64-way user-hash partition
+    (native per-key Aggregate costs ~2 ms/group in its Python
+    accumulate loop — the q_ks_distance measurement); n_intervals
+    rides the block-scan partials (delta rows / 2), so the whole query
+    is ONE pass. Output: one all-integer row (max_concurrent,
+    at_ts_us = first instant the max is reached, n_intervals)."""
+    def iv(t: pa.Table) -> pd.DataFrame:
         u = t["user_id"].to_numpy().astype(np.int64)
         ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
-        day = ts // 86_400_000_000
-        return pa.table({"user_id": pa.array(u, pa.int64()),
-                         "day": pa.array(day, pa.int64()),
-                         "ts_us": pa.array(ts, pa.int64())})
+        df = pd.DataFrame({"user_id": u, "day": ts // 86_400_000_000,
+                           "ts_us": ts})
+        g = (df.groupby(["user_id", "day"], sort=False)["ts_us"]
+             .agg(s="min", e="max").reset_index())
+        g["part"] = (g["user_id"].to_numpy(np.int64) % 64).astype(np.int32)
+        return g
+
+    def fold_iv(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "day"], sort=False)
+             .agg(s=("s", "min"), e=("e", "max")).reset_index())
+        return g[["s", "e"]]
 
     ivs = (_read(sf_dir, "events", ["user_id", "ts"])
            .map_batches(iv, batch_format="pyarrow")
-           .groupby(["user_id", "day"])
-           .aggregate(Min("ts_us", alias_name="s"),
-                      Max("ts_us", alias_name="e")))
-    n_intervals = 0
+           .groupby("part").map_groups(fold_iv, batch_format="pandas"))
 
     def deltas(t: pa.Table) -> pa.Table:
         s = t["s"].to_numpy().astype(np.int64)
@@ -10884,7 +10946,8 @@ def q_global_concurrency(sf_dir: str):
                              "first_d": pa.array([], pa.int64()),
                              "sum_d": pa.array([], pa.int64()),
                              "max_pref": pa.array([], pa.int64()),
-                             "t_at_max": pa.array([], pa.int64())})
+                             "t_at_max": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
         pref = np.cumsum(dd)
         mx = int(pref.max())
         return pa.table({"first_t": pa.array([int(tt[0])], pa.int64()),
@@ -10892,12 +10955,13 @@ def q_global_concurrency(sf_dir: str):
                          "sum_d": pa.array([int(pref[-1])], pa.int64()),
                          "max_pref": pa.array([mx], pa.int64()),
                          "t_at_max": pa.array(
-                             [int(tt[int(np.argmax(pref))])], pa.int64())})
+                             [int(tt[int(np.argmax(pref))])], pa.int64()),
+                         "n_rows": pa.array([int(tt.size)], pa.int64())})
 
     parts = (ev.map_batches(block_scan, batch_format="pyarrow")
              .to_pandas().sort_values(["first_t", "first_d"],
                                       kind="stable"))
-    n_intervals = int(ivs.count())
+    n_intervals = int(parts["n_rows"].sum()) // 2
     offset, best, best_t = 0, None, None
     for _, r in parts.iterrows():            # O(blocks), not O(rows)
         cand = offset + int(r["max_pref"])
@@ -14335,13 +14399,15 @@ GROUP BY e.event_type, q.n, q.p10, q.p90
 def q_ship_latency_hist(sf_dir: str):
     """Order-to-ship latency histogram per priority (the TPC-H-flavored
     ops metric: days from o_orderdate to each l_shipdate, bucketed by
-    o_orderpriority): the one exchange is the big-big hash join of
+    o_orderpriority): the big exchange is the big-big hash join of
     lineitem against orders on orderkey (Ray native join, partitions
     sized to the cluster); date arithmetic and the (priority, days)
-    fold are vectorized per batch. All-integer output:
-    (o_orderpriority, lat_days, n)."""
+    fold are vectorized per batch, and the final fold is one 64-way
+    hash of lat_days with a per-partition pandas sum — the ~24k
+    (priority, days) keys through a native Aggregate cost ~2 ms/key
+    in its per-group accumulate loop (the q_ks_distance measurement).
+    All-integer output: (o_orderpriority, lat_days, n)."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
@@ -14366,11 +14432,17 @@ def q_ship_latency_hist(sf_dir: str):
             "o_orderpriority": pa.array(g["o_orderpriority"]
                                         .to_numpy(dtype=object), pa.string()),
             "lat_days": pa.array(g["lat_days"].to_numpy(np.int64), pa.int64()),
-            "n_p": pa.array(g[0].to_numpy(np.int64), pa.int64())})
+            "n_p": pa.array(g[0].to_numpy(np.int64), pa.int64()),
+            "part": pa.array((g["lat_days"].to_numpy(np.int64)
+                              % 64).astype(np.int32), pa.int32())})
+
+    def fold_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["o_orderpriority", "lat_days"], sort=False)["n_p"]
+             .sum().reset_index(name="n"))
+        return g[["o_orderpriority", "lat_days", "n"]]
 
     return (j.map_batches(fold, batch_format="pyarrow")
-            .groupby(["o_orderpriority", "lat_days"])
-            .aggregate(Sum("n_p", alias_name="n")))
+            .groupby("part").map_groups(fold_part, batch_format="pandas"))
 
 
 SQL_SHIP_LATENCY_HIST = """
