@@ -4879,14 +4879,34 @@ def q_pagerank(sf_dir: str):
 def _pagerank_rounds(edges, U: int, rounds: int = 3) -> np.ndarray:
     """The shared integer fixed-point PageRank loop (see q_pagerank for
     the design notes): edges is a materialized (src, dst) int64 Dataset
-    with outdeg > 0 for every src; returns the micro-unit rank array."""
+    with outdeg > 0 for every src; returns the micro-unit rank array.
+    Per-node folds (outdeg, per-round contribution sums) go through the
+    64-way node-hash partition + vectorized per-partition sum — a
+    native per-node Aggregate pays ~2 ms/key in its Python accumulate
+    loop (the q_ks_distance measurement), times 1 + rounds exchanges."""
     import ray as _ray
-    from ray.data.aggregate import Count, Sum
 
-    deg = edges.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
+    def deg_partial(t: pa.Table) -> pa.Table:
+        un, c = np.unique(t["src"].to_numpy(), return_counts=True)
+        return pa.table({"src": pa.array(un, pa.int64()),
+                         "d": pa.array(c.astype(np.int64), pa.int64()),
+                         "part": pa.array((un % 64).astype(np.int32),
+                                          pa.int32())})
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("src", sort=False)["d"].sum()
+                .reset_index(name="d"))
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("part").map_groups(deg_fold, batch_format="pandas")
+           .to_pandas())
     outdeg = np.zeros(U, np.int64)
     outdeg[deg["src"].to_numpy()] = deg["d"].to_numpy()
     rank = np.full(U, 1_000_000, dtype=np.int64)
+
+    def sum_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("dst", sort=False)["c"].sum()
+                .reset_index(name="s"))
 
     for _ in range(rounds):
         ref = _ray.put((rank, outdeg))
@@ -4900,10 +4920,12 @@ def _pagerank_rounds(edges, U: int, rounds: int = 3) -> np.ndarray:
             acc = np.zeros(u.shape[0], np.int64)
             np.add.at(acc, inv, c)  # per-batch partial, int64 exact
             return pa.table({"dst": pa.array(u, pa.int64()),
-                             "c": pa.array(acc, pa.int64())})
+                             "c": pa.array(acc, pa.int64()),
+                             "part": pa.array((u % 64).astype(np.int32),
+                                              pa.int32())})
 
         agg = (edges.map_batches(contrib, batch_format="pyarrow")
-               .groupby("dst").aggregate(Sum("c", alias_name="s"))
+               .groupby("part").map_groups(sum_fold, batch_format="pandas")
                .to_pandas())
         rank = np.full(U, 150_000, dtype=np.int64)
         rank[agg["dst"].to_numpy()] += agg["s"].to_numpy().astype(np.int64)
@@ -4930,13 +4952,19 @@ def q_link_pagerank(sf_dir: str):
         df["dst"] = (df["href"].str.extract(idx_re, expand=False)
                      .astype(np.int64))
         df = df[df["src"] != df["dst"]][["src", "dst"]].drop_duplicates()
+        df["part"] = (df["src"].to_numpy(np.int64) % 64).astype(np.int32)
         return df
 
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Max
+
+    # global dedup via one 64-way src-hash partition (a native
+    # (src, dst) Aggregate pays ~2 ms/key — the q_ks_distance measure)
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src", "dst"]].drop_duplicates()
 
     edges = (ds.map_batches(edges_part, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="n"))
-             .select_columns(["src", "dst"]).materialize())
+             .groupby("part").map_groups(dedup_part, batch_format="pandas")
+             .materialize())
     m = edges.aggregate(Max("src"), Max("dst"))
     U = int(max(m["max(src)"], m["max(dst)"])) + 1
     rank = _pagerank_rounds(edges, U, rounds=3)
@@ -5149,12 +5177,22 @@ def _event_graph(sf_dir: str):
         dst = (h % np.uint64(U)).astype(np.int64)
         keep = src != dst
         key = np.unique(src[keep] * U + dst[keep])  # per-batch dedup
-        return pa.table({"src": pa.array(key // U, pa.int64()),
-                         "dst": pa.array(key % U, pa.int64())})
+        s = key // U
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(key % U, pa.int64()),
+                         "part": pa.array((s % 64).astype(np.int32),
+                                          pa.int32())})
+
+    # global dedup through one 64-way src-hash partition (same-pair rows
+    # always share a src, hence a partition); a native (src, dst)
+    # Aggregate pays ~2 ms/key in its per-group Python accumulate loop
+    def dedup_part(df: pd.DataFrame, _u=U) -> pd.DataFrame:
+        k = np.unique(df["src"].to_numpy(np.int64) * _u
+                      + df["dst"].to_numpy(np.int64))
+        return pd.DataFrame({"src": k // _u, "dst": k % _u})
 
     edges = (ev.map_batches(edge_batch, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-             .select_columns(["src", "dst"])
+             .groupby("part").map_groups(dedup_part, batch_format="pandas")
              .materialize())
     return edges, U
 
@@ -11975,19 +12013,26 @@ def _link_memo_put(memo_key, value):
 
 def _und_degrees(und, U: int) -> np.ndarray:
     """Distributed undirected degree vector over a (lo, hi) edge Dataset:
-    per-batch bincount partials folded by one node-hash groupby; only the
-    O(nodes) result lands on the driver (the q_pagerank broadcast
-    assumption)."""
-    from ray.data.aggregate import Sum
-
+    per-batch bincount partials folded by one 64-way node-hash partition
+    with a vectorized per-partition sum (a native per-node Aggregate
+    pays ~2 ms/key in its Python accumulate loop — the q_ks_distance
+    measurement); only the O(nodes) result lands on the driver (the
+    q_pagerank broadcast assumption)."""
     def deg_partial(t: pa.Table) -> pa.Table:
         ids = np.concatenate([t["lo"].to_numpy(), t["hi"].to_numpy()])
         un, c = np.unique(ids, return_counts=True)
         return pa.table({"node": pa.array(un, pa.int64()),
-                         "d": pa.array(c.astype(np.int64), pa.int64())})
+                         "d": pa.array(c.astype(np.int64), pa.int64()),
+                         "part": pa.array((un % 64).astype(np.int32),
+                                          pa.int32())})
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("node", sort=False)["d"].sum()
+                .reset_index(name="d"))
 
     degs = (und.map_batches(deg_partial, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+            .groupby("part").map_groups(deg_fold, batch_format="pandas")
+            .to_pandas())
     deg = np.zeros(U, np.int64)
     if len(degs):
         deg[degs["node"].to_numpy(np.int64)] = \
