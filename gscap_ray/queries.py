@@ -16888,9 +16888,9 @@ def q_set_cover_greedy(sf_dir: str):
     flag (any incident host already picked) is a per-partition
     vectorized isin — no broadcast of the (data-scale) covered-token
     set, only the (tiny) picked-host list travels. Ties break to the
-    smallest host id. Output: (round, host, gain)."""
-    from ray.data.aggregate import Count, Sum
-
+    smallest host id. Universe dedup and the per-round host fold both
+    run as 64-way hash-partition vectorized folds (the q_ks_distance
+    native-Aggregate measurement). Output: (round, host, gain)."""
     ds = rd.read_parquet(_pages_dir_for(sf_dir), columns=["url", "text"])
     idx_re = re.compile(r"-(\d+)\.example\.com")
 
@@ -16906,10 +16906,13 @@ def q_set_cover_greedy(sf_dir: str):
                       % 64).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    # global (host, tok) dedup: same tok -> same part, so a per-part
+    # drop_duplicates IS the global distinct
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["host", "tok"])[["part", "host", "tok"]]
+
     htok = (ds.map_batches(pairs, batch_format="pyarrow")
-            .groupby(["part", "host", "tok"])
-            .aggregate(Count(alias_name="_c"))
-            .select_columns(["part", "host", "tok"])
+            .groupby("part").map_groups(dedup_part, batch_format="pandas")
             .materialize())
 
     picked: list[int] = []
@@ -16922,10 +16925,16 @@ def q_set_cover_greedy(sf_dir: str):
             live = df[~df["tok"].isin(covered_toks)]
             g = (live.groupby("host", sort=False)
                  .size().rename("g_p").reset_index())
+            g["part_h"] = (g["host"].to_numpy(np.int64) % 64).astype(np.int32)
             return g
 
+        def gain_fold(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby("host", sort=False)["g_p"].sum()
+                    .reset_index(name="gain"))
+
         gsum = (htok.groupby("part").map_groups(gains, batch_format="pandas")
-                .groupby("host").aggregate(Sum("g_p", alias_name="gain"))
+                .groupby("part_h").map_groups(gain_fold,
+                                              batch_format="pandas")
                 .to_pandas())
         gsum = gsum[~gsum["host"].isin(picked)]
         if not len(gsum) or int(gsum["gain"].max()) <= 0:
