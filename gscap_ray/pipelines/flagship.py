@@ -347,8 +347,11 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
         ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
                             batch_format="pyarrow",
                             concurrency=enrich_concurrency or _enrich_pool_size())
-    labeled = ds.groupby("part_key").map_groups(label_partition, batch_format="pyarrow")
-    summary = run_partitioned(labeled, out_dir, input_fingerprint, parts)
+    # ONE groupby: labeling runs inside the write task via the sink's
+    # ``transform`` hook, so partition rows (text included) cross the
+    # exchange exactly once instead of label-shuffle -> write-shuffle.
+    summary = run_partitioned(ds, out_dir, input_fingerprint, parts,
+                              transform=label_partition)
     summary["skipped_at_read"] = len(done)
     return summary
 

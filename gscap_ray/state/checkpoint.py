@@ -131,12 +131,19 @@ def write_partition(df, out_dir: str, part_key: int,
 
 
 def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str,
-                    partitions: int | None = None):
+                    partitions: int | None = None, transform=None):
     """Consume a labeled Dataset, writing one checkpointed partition per
     part_key and skipping already-valid partitions. Returns summary dict.
 
     Uses ``map_groups`` on part_key so each partition is written by the task
-    that holds its rows (no driver materialization)."""
+    that holds its rows (no driver materialization).
+
+    ``transform`` (Arrow table -> Arrow table), when given, runs on each
+    partition INSIDE the write task, fusing the per-partition compute with
+    the sink: the caller skips its own ``groupby(part_key)`` and the
+    partition's rows cross the exchange exactly once (the label -> write
+    double shuffle was ~4s of the checkpoint_write bench row at sf0.1;
+    VERDICT r4 #7)."""
     done = completed_partitions(out_dir, input_fingerprint, partitions)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -149,6 +156,8 @@ def run_partitioned(labeled_ds, out_dir: str, input_fingerprint: str,
             return pa.table({"part_key": pa.array([pk], pa.int64()),
                              "rows": pa.array([0], pa.int64()),
                              "skipped": pa.array([True])})
+        if transform is not None:
+            g = transform(g)
         # per-partition metrics (A6 hits/misses analog): enrichment hit
         # ratios and label distribution, recorded in the manifest
         metrics = {}
