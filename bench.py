@@ -101,8 +101,9 @@ def run_headline() -> dict:
             "sf": sf, "num_cpus": ncpus, "pages": n_pages}
 
 
-ISOLATED_PIPELINES = ("labeled_pages", "minhash_dedup", "ngram_jaccard",
-                      "weather_daily", "distributed_dbscan", "fuzzy_dedup")
+ISOLATED_PIPELINES = ("labeled_pages", "checkpoint_write", "minhash_dedup",
+                      "ngram_jaccard", "weather_daily", "distributed_dbscan",
+                      "fuzzy_dedup")
 
 
 def run_isolated(name: str) -> dict:
@@ -121,6 +122,19 @@ def run_isolated(name: str) -> dict:
         from gscap_ray.pipelines.flagship import labeled_pages
 
         fn = lambda: labeled_pages(pages_dir, polygons=polys).count()  # noqa: E731
+    elif name == "checkpoint_write":
+        # controlled sink cost (VERDICT r4 #7): fresh output dir per run so
+        # every run is a REAL full write, never a manifest resume; pairs
+        # with the isolated labeled_pages row for the amplification ratio
+        import shutil
+
+        from gscap_ray.pipelines.flagship import run_checkpointed
+
+        def fn():
+            shutil.rmtree("/tmp/gscap_iso_ckpt", ignore_errors=True)
+            run_checkpointed(pages_dir, "/tmp/gscap_iso_ckpt",
+                             input_fingerprint=f"iso:{pages_dir}",
+                             polygons=polys)
     elif name == "distributed_dbscan":
         from gscap_ray.pipelines.spatial import distributed_dbscan
 
@@ -632,6 +646,11 @@ def run_bench() -> dict:
                    (_subrun(f"isolated:{p}", ncpus)
                     for p in ISOLATED_PIPELINES)},
             }
+            iso = out["isolated"]
+            if iso.get("labeled_pages") and iso.get("checkpoint_write"):
+                # VERDICT r4 #7 bar: <= 2x — both sides controlled readings
+                iso["ckpt_amplification"] = round(
+                    iso["checkpoint_write"] / iso["labeled_pages"], 3)
         return out
 
     if os.environ.get("GRAFT_SKIP_SKEW") == "1":
