@@ -111,6 +111,28 @@ def test_checkpoint_resume(pages_dir, tmp_path):
     assert s4["written"] == s1["written"] and s4["skipped_at_read"] == 0
 
 
+def test_checkpoint_fusion_equals_labeled_pages(pages_dir, labeled_df, tmp_path):
+    """The fused sink (labeling via the write task's transform hook, one
+    exchange) must write exactly what labeled_pages computes — column for
+    column, text bytes included."""
+    from gscap_ray.pipelines.flagship import run_checkpointed
+    from gscap_ray.state.checkpoint import read_output
+    from gscap_ray.synth import generate_polygon_layer
+
+    polys = generate_polygon_layer(n_hosts=N_HOSTS, seed=11, extra=5)
+    out = str(tmp_path / "fused")
+    run_checkpointed(pages_dir, out, input_fingerprint="fpF", polygons=polys)
+    a = read_output(out).to_pandas().sort_values("url").reset_index(drop=True)
+    b = labeled_df.sort_values("url").reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    for c in sorted(a.columns):
+        av, bv = a[c].values, b[c].values
+        if a[c].dtype.kind == "f":
+            assert np.allclose(av, bv, equal_nan=True), c
+        else:
+            assert pd.Series(av).equals(pd.Series(bv)), c
+
+
 def test_checkpoint_layout_binding(tmp_path):
     """ADVICE r2 (medium): a manifest written under a different partition
     layout (count or hash-scheme version) must NOT validate — resuming
