@@ -12046,6 +12046,12 @@ def _graph_join_parallelism() -> int:
     return max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
 
 
+# wedge rows per driver-side expansion chunk (_edge_support_np): bounds the
+# transient arrays at ~7 x 8 B x this = ~900 MB worst case; tests force it
+# down to exercise the chunk boundaries
+_WEDGE_CHUNK = 16_000_000
+
+
 def _edge_support_np(lo: np.ndarray, hi: np.ndarray, U: int) -> np.ndarray:
     """Driver-side vectorized per-edge triangle support, aligned to the
     input (lo, hi) arrays: support(i) = |N(lo_i) ∩ N(hi_i)|. The gated
@@ -12063,36 +12069,53 @@ def _edge_support_np(lo: np.ndarray, hi: np.ndarray, U: int) -> np.ndarray:
     a_s, b_s = a[o], b[o]
     indptr = np.searchsorted(a_s, np.arange(U + 1, dtype=np.int64))
     keys = a_s * U + b_s
-    # wedge expansion: every oriented edge (x -> y) extends through N+(y)
+    # wedge expansion: every oriented edge (x -> y) extends through N+(y).
+    # Chunked over edge ranges so the transient wedge arrays stay bounded
+    # (~7 int64 vectors x _WEDGE_CHUNK): the wedge count is O(m^1.5) after
+    # orientation, so a graph just under _GRAPH_SMALL_EDGES could expand
+    # to ~1e8 rows — a single-shot expansion would be a multi-GB driver
+    # allocation in the SMALL-graph route.
     cnt = indptr[b_s + 1] - indptr[b_s]
     tot = int(cnt.sum())
     s = np.zeros(lo.size, np.int64)
     if tot == 0:
         return s
-    seg = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
-    within = np.arange(tot, dtype=np.int64) - np.repeat(seg, cnt)
-    z = b_s[np.repeat(indptr[b_s], cnt) + within]
-    x = np.repeat(a_s, cnt)
-    y = np.repeat(b_s, cnt)
-    pk = x * U + z
-    pos = np.searchsorted(keys, pk)
-    ok = pos < keys.shape[0]
-    m = np.zeros(tot, dtype=bool)
-    m[ok] = keys[pos[ok]] == pk[ok]
-    tx, ty, tz = x[m], y[m], z[m]
-    eu = np.concatenate([np.minimum(tx, ty), np.minimum(ty, tz),
-                         np.minimum(tx, tz)])
-    ev = np.concatenate([np.maximum(tx, ty), np.maximum(ty, tz),
-                         np.maximum(tx, tz)])
-    ks, c = np.unique(eu * U + ev, return_counts=True)
     ukeys = lo * U + hi                      # unique by construction
     uo = np.argsort(ukeys)
-    hit = np.searchsorted(ukeys[uo], ks)
-    s[uo[hit]] = c
+    uk_sorted = ukeys[uo]
+    cum = np.cumsum(cnt)
+    n_chunks = max(1, -(-tot // _WEDGE_CHUNK))
+    cuts = np.unique(np.searchsorted(cum, np.arange(1, n_chunks + 1)
+                                     * _WEDGE_CHUNK, side="left") + 1)
+    cuts = cuts[cuts < a_s.size]
+    bounds = np.concatenate([[0], cuts, [a_s.size]]).astype(np.int64)
+    for se, ee in zip(bounds[:-1], bounds[1:]):
+        c_cnt = cnt[se:ee]
+        c_tot = int(c_cnt.sum())
+        if c_tot == 0:
+            continue
+        seg = np.concatenate([[0], np.cumsum(c_cnt)[:-1]]).astype(np.int64)
+        within = np.arange(c_tot, dtype=np.int64) - np.repeat(seg, c_cnt)
+        z = b_s[np.repeat(indptr[b_s[se:ee]], c_cnt) + within]
+        x = np.repeat(a_s[se:ee], c_cnt)
+        y = np.repeat(b_s[se:ee], c_cnt)
+        pk = x * U + z
+        pos = np.searchsorted(keys, pk)
+        ok = pos < keys.shape[0]
+        m = np.zeros(c_tot, dtype=bool)
+        m[ok] = keys[pos[ok]] == pk[ok]
+        tx, ty, tz = x[m], y[m], z[m]
+        eu = np.concatenate([np.minimum(tx, ty), np.minimum(ty, tz),
+                             np.minimum(tx, tz)])
+        ev = np.concatenate([np.maximum(tx, ty), np.maximum(ty, tz),
+                             np.maximum(tx, tz)])
+        ks, c = np.unique(eu * U + ev, return_counts=True)
+        hit = np.searchsorted(uk_sorted, ks)
+        np.add.at(s, uo[hit], c)
     return s
 
 
-def _edge_support_ds(und, U: int):
+def _edge_support_ds(und, U: int, deg: np.ndarray | None = None):
     """Per-edge triangle support as a Dataset[lo, hi, support] with NO
     edge-set-sized driver or broadcast state — the >_GRAPH_SMALL_EDGES
     route of the truss family (q_edge_support / q_clustering_coeff /
@@ -12103,13 +12126,17 @@ def _edge_support_ds(und, U: int):
     orientation bounds out-degree at O(sqrt(m)) so wedges are O(m^1.5)
     even on power-law host graphs). Each triangle row scatter-adds 1 to
     its three undirected edges as per-batch partials, unioned with a
-    zero baseline over the edge set and folded by one (lo, hi)-hash
-    groupby. Only the O(nodes) degree vector broadcasts (the q_pagerank
-    assumption). All-integer output."""
+    zero baseline over the edge set and folded by one 64-way hash of the
+    composite edge key with a vectorized per-partition sum (a native
+    per-edge Aggregate pays ~2 ms/key in its Python accumulate loop —
+    the q_ks_distance measurement — ruinous on a scale-growing edge
+    key). Only the O(nodes) degree vector broadcasts (the q_pagerank
+    assumption); callers that already hold it pass ``deg``. All-integer
+    output."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
-    deg = _und_degrees(und, U)
+    if deg is None:
+        deg = _und_degrees(und, U)
     jp = _graph_join_parallelism()
     deg_ref = _ray.put(deg)
 
@@ -12156,9 +12183,22 @@ def _edge_support_ds(und, U: int):
                             "s_part": pa.array(
                                 np.zeros(t.num_rows, np.int64), pa.int64())}),
         batch_format="pyarrow")
+
+    def ekey_part(t: pa.Table) -> pa.Table:
+        k = t["lo"].to_numpy().astype(np.int64) * U \
+            + t["hi"].to_numpy().astype(np.int64)
+        return t.append_column("part", pa.array((k % 64).astype(np.int32),
+                                                pa.int32()))
+
+    def support_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["lo", "hi"], sort=False)["s_part"].sum()
+             .reset_index(name="support"))
+        return g[["lo", "hi", "support"]]
+
     return (base.union(tri.map_batches(scatter_tri, batch_format="pyarrow"))
-            .groupby(["lo", "hi"])
-            .aggregate(Sum("s_part", alias_name="support")))
+            .map_batches(ekey_part, batch_format="pyarrow")
+            .groupby("part").map_groups(support_fold, batch_format="pandas")
+            .select_columns(["lo", "hi", "support"]))
 
 
 def _link_graph_und(sf_dir: str):
@@ -15026,12 +15066,15 @@ def q_sssp_rounds(sf_dir: str):
     from ray.data.aggregate import Min
 
     edges, U = _link_graph_dir(sf_dir)
+    n_edges = edges.count()
+    # dispatch to the sharded tier BEFORE allocating any O(U) driver
+    # state — above _BROADCAST_LABEL_NODES that vector is the >=400 MB
+    # allocation the tier exists to avoid
+    if n_edges > _GRAPH_SMALL_EDGES and U > _BROADCAST_LABEL_NODES:
+        return _sssp_sharded(edges)
     INF = np.int64(2**62)
     dist = np.full(U, INF, np.int64)
     dist[0] = 0
-    n_edges = edges.count()
-    if n_edges > _GRAPH_SMALL_EDGES and U > _BROADCAST_LABEL_NODES:
-        return _sssp_sharded(edges)
     if n_edges <= _GRAPH_SMALL_EDGES:
         # Small-graph fast path: Jacobi rounds on the driver-resident
         # edge arrays — identical bounded-hop semantics (each round
@@ -15181,7 +15224,6 @@ def q_scc_components(sf_dir: str):
     it `present` comes from a distributed distinct-node aggregate.
     Output: (host_idx, scc_id) over hosts incident to an edge."""
     import ray as _ray
-    from ray.data.aggregate import Min, Sum
 
     edges, U = _link_graph_dir(sf_dir)
     small = edges.count() <= _GRAPH_SMALL_EDGES
@@ -15193,17 +15235,24 @@ def q_scc_components(sf_dir: str):
         e_src = epd["src"].to_numpy(np.int64)
         e_dst = epd["dst"].to_numpy(np.int64)
     else:
-        # distributed distinct-node fold; only the O(nodes) id list
-        # lands on the driver (the q_pagerank assumption)
+        # distributed distinct-node fold — per-batch unique, one 64-way
+        # node-hash partition, per-partition unique (NOT a native
+        # per-node Aggregate: ~2 ms/key Python accumulate, the
+        # q_ks_distance measurement); only the O(nodes) id list lands
+        # on the driver (the q_pagerank assumption)
         def nodes_part(t: pa.Table) -> pa.Table:
             ids = np.unique(np.concatenate([t["src"].to_numpy(),
                                             t["dst"].to_numpy()]))
             return pa.table({"node": pa.array(ids, pa.int64()),
-                             "one": pa.array(np.ones(ids.size, np.int64),
-                                             pa.int64())})
+                             "part": pa.array((ids % 64).astype(np.int32),
+                                              pa.int32())})
+
+        def nodes_fold(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": np.unique(df["node"].to_numpy(np.int64))})
 
         nd = (edges.map_batches(nodes_part, batch_format="pyarrow")
-              .groupby("node").aggregate(Sum("one", alias_name="_n"))
+              .groupby("part").map_groups(nodes_fold, batch_format="pandas")
               .to_pandas())
         present[nd["node"].to_numpy(np.int64)] = True
         e_src = e_dst = None
@@ -15236,11 +15285,30 @@ def q_scc_components(sf_dir: str):
                 if _rev:
                     s, g = g, s
                 m = act[s] & act[g] & (lb[s] < lb[g])
-                return pa.table({"node": pa.array(g[m], pa.int64()),
-                                 "l_p": pa.array(lb[s][m], pa.int64())})
+                # per-batch min-combine so the exchange carries at most
+                # one row per (node, batch)
+                gm = g[m]
+                order = np.argsort(gm, kind="stable")
+                gm, lm = gm[order], lb[s][m][order]
+                first = np.concatenate([[True], gm[1:] != gm[:-1]]) \
+                    if gm.size else np.empty(0, bool)
+                gu = gm[first]
+                lu = np.minimum.reduceat(lm, np.flatnonzero(first)) \
+                    if gm.size else lm
+                return pa.table({"node": pa.array(gu, pa.int64()),
+                                 "l_p": pa.array(lu, pa.int64()),
+                                 "part": pa.array((gu % 64).astype(np.int32),
+                                                  pa.int32())})
+
+            def min_fold(df: pd.DataFrame) -> pd.DataFrame:
+                # 64-way node-hash fold (NOT a native per-node Aggregate:
+                # ~2 ms/key Python accumulate, the q_ks_distance measure)
+                return (df.groupby("node", sort=False)["l_p"].min()
+                        .reset_index(name="l"))
 
             upd = (edges.map_batches(push, batch_format="pyarrow")
-                   .groupby("node").aggregate(Min("l_p", alias_name="l"))
+                   .groupby("part").map_groups(min_fold,
+                                               batch_format="pandas")
                    .to_pandas())
             if not len(upd):
                 return lab
@@ -16344,7 +16412,6 @@ def q_clustering_coeff(sf_dir: str):
     groupby folding — only the O(nodes) degree/tri2 vectors are driver
     state (the q_pagerank assumption). Output:
     (host_idx, deg, tri2, wedges2)."""
-    from ray.data.aggregate import Sum
 
     und, U = _link_graph_und(sf_dir)
     if und.count() <= _GRAPH_SMALL_EDGES:
@@ -16362,18 +16429,26 @@ def q_clustering_coeff(sf_dir: str):
                              "deg": dg, "tri2": tri2[present],
                              "wedges2": dg * (dg - 1)})
     deg = _und_degrees(und, U)
-    sup = _edge_support_ds(und, U)
+    sup = _edge_support_ds(und, U, deg=deg)
 
     def scatter_ends(t: pa.Table) -> pa.Table:
         lo_t = t["lo"].to_numpy().astype(np.int64)
         hi_t = t["hi"].to_numpy().astype(np.int64)
         s = t["support"].to_numpy().astype(np.int64)
-        return pa.table({"node": pa.array(np.concatenate([lo_t, hi_t]),
-                                          pa.int64()),
-                         "s_p": pa.array(np.concatenate([s, s]), pa.int64())})
+        node = np.concatenate([lo_t, hi_t])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "s_p": pa.array(np.concatenate([s, s]), pa.int64()),
+                         "part": pa.array((node % 64).astype(np.int32),
+                                          pa.int32())})
+
+    def tri2_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # 64-way node-hash fold, not a native per-node Aggregate
+        # (~2 ms/key Python accumulate — the q_ks_distance measurement)
+        return (df.groupby("node", sort=False)["s_p"].sum()
+                .reset_index(name="tri2"))
 
     tri = (sup.map_batches(scatter_ends, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("s_p", alias_name="tri2"))
+           .groupby("part").map_groups(tri2_fold, batch_format="pandas")
            .to_pandas())
     tri2 = np.zeros(U, np.int64)
     if len(tri):
@@ -18370,7 +18445,6 @@ def _link_prediction_cn_ds(und, U: int):
     vector, and one (u, v)-hash groupby. The wedge table — the O(m^1.5)
     worst case — only ever exists as Dataset blocks."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     deg = _und_degrees(und, U)
     wref = _ray.put(np.int64(1_000_000) // np.maximum(deg, 1))
@@ -18412,12 +18486,21 @@ def _link_prediction_cn_ds(und, U: int):
         g = (pd.DataFrame({"u": u, "v": v, "cn_p": np.ones(u.size, np.int64),
                            "ra_p": w[c]})
              .groupby(["u", "v"], sort=False).sum().reset_index())
+        g["part"] = ((g["u"].to_numpy(np.int64) * U
+                      + g["v"].to_numpy(np.int64)) % 64).astype(np.int32)
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def pair_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # 64-way pair-key hash fold over the O(m^1.5) candidate keys
+        # (NOT a native per-pair Aggregate: ~2 ms/key Python accumulate,
+        # the q_ks_distance measurement)
+        g = (df.groupby(["u", "v"], sort=False)[["cn_p", "ra_p"]].sum()
+             .reset_index())
+        return g.rename(columns={"cn_p": "cn", "ra_p": "ra_scaled"})
+
     return (cand.map_batches(fold, batch_format="pyarrow")
-            .groupby(["u", "v"])
-            .aggregate(Sum("cn_p", alias_name="cn"),
-                       Sum("ra_p", alias_name="ra_scaled")))
+            .groupby("part").map_groups(pair_fold, batch_format="pandas")
+            .select_columns(["u", "v", "cn", "ra_scaled"]))
 
 
 SQL_LINK_PREDICTION_CN = f"""

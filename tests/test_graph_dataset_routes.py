@@ -78,3 +78,23 @@ def test_sssp_sharded_route(monkeypatch):
     # both gates at -1: the host-hash-sharded label-table tier, where the
     # distance state itself is a Dataset (VERDICT r4 ask #6)
     _both_paths(monkeypatch, Q.q_sssp_rounds, shard_labels=True)
+
+
+def test_edge_support_np_chunked_equivalence(monkeypatch):
+    """The driver wedge expansion runs in bounded chunks; forcing the
+    chunk size through (and past) every boundary regime must not change
+    a single support value."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    U = 150
+    a = rng.integers(0, U, 2500)
+    b = rng.integers(0, U, 2500)
+    keep = a != b
+    k = np.unique(np.minimum(a[keep], b[keep]).astype(np.int64) * U
+                  + np.maximum(a[keep], b[keep]).astype(np.int64))
+    lo, hi = (k // U).astype(np.int64), (k % U).astype(np.int64)
+    ref = Q._edge_support_np(lo, hi, U)
+    for chunk in (1, 5, 97, 10**9):
+        monkeypatch.setattr(Q, "_WEDGE_CHUNK", chunk)
+        assert (Q._edge_support_np(lo, hi, U) == ref).all(), chunk
