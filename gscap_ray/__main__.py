@@ -52,9 +52,20 @@ def main(argv=None):
         return 0
 
     if args.cmd == "bench":
-        from bench import run_bench
+        # same artifact/summary split as `python bench.py`: the full
+        # per-query map (~12 KB) goes to bench_full_local.json; the last
+        # stdout line is the <= 1.8 KB summary (drivers tail ~2,000 chars
+        # of stdout — the r4 'parsed: null' overflow)
+        import os
 
-        print(json.dumps(run_bench()))
+        from bench import _summary, run_bench
+
+        full = run_bench()
+        artifact = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_full_local.json")
+        with open(artifact, "w") as fh:
+            json.dump(full, fh, indent=1)
+        print(json.dumps(_summary(full)))
         return 0
 
     # run

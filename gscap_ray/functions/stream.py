@@ -202,12 +202,19 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
 CID_XNOT, CID_HOME, CID_WORK, CID_XBASE = 0, 1, 2, 3
 
 
+def cid_lut(mx: int) -> list[str]:
+    """The canonical cid code -> name table (0=xNot, 1=home, 2=work,
+    k+3='x{k}') up to code ``mx`` — the ONE place the naming convention
+    lives (cid_strings and the fused label_partition both build from it;
+    the byte-identity manifests/oracles depend on the two paths
+    agreeing)."""
+    return ["xNot", "home", "work"] + [f"x{i}" for i in range(mx - 2)]
+
+
 def cid_strings(codes: np.ndarray) -> np.ndarray:
-    """int cid codes (0=xNot, 1=home, 2=work, k+3='x{k}') -> object array of
-    SHARED string objects (one allocation per distinct cid, not per row)."""
-    mx = int(codes.max(initial=2))
-    lut = np.array(["xNot", "home", "work"] + [f"x{i}" for i in range(mx - 2)],
-                   dtype=object)
+    """int cid codes -> object array of SHARED string objects (one
+    allocation per distinct cid, not per row)."""
+    lut = np.array(cid_lut(int(codes.max(initial=2))), dtype=object)
     return lut[codes]
 
 

@@ -99,13 +99,9 @@ def _enrich_pool_size() -> tuple[int, int]:
     the labeled path's floor at (2, 8) — 40 s of enrich UDF over 8 actors is
     a 5 s serial floor at 32 CPUs. Upscaling is cheap since the broadcast
     enricher makes actor init ~57 ms (unpickle, no index build)."""
-    import ray
+    from ..stages.geocode import cluster_cpus
 
-    try:
-        ncpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        ncpus = 8
-    return (2, max(8, ncpus))
+    return (2, max(8, cluster_cpus()))
 
 
 def labeled_pages(pages_dir: str, polygons: list | None = None,
@@ -193,9 +189,9 @@ def label_partition(t: pa.Table) -> pa.Table:
 
     # string columns built with ONE Arrow dictionary take each — no Python
     # object arrays on the widest column of the hottest stage (VERDICT r3 #3)
-    mx = int(cid.max(initial=2))
-    cid_lut = pa.array(["xNot", "home", "work"]
-                       + [f"x{i}" for i in range(mx - 2)], pa.string())
+    from ..functions.stream import cid_lut as _cid_lut
+
+    cid_lut = pa.array(_cid_lut(int(cid.max(initial=2))), pa.string())
     bin_lut = pa.array(list(BINS), pa.string())
     return (t2
             .append_column("displacement", pa.array(disp, pa.float64()))
@@ -351,7 +347,7 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
     # ``transform`` hook, so partition rows (text included) cross the
     # exchange exactly once instead of label-shuffle -> write-shuffle.
     summary = run_partitioned(ds, out_dir, input_fingerprint, parts,
-                              transform=label_partition)
+                              transform=label_partition, done=done)
     summary["skipped_at_read"] = len(done)
     return summary
 

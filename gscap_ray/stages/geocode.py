@@ -17,6 +17,19 @@ from ..synth import geocode, hash64
 DEFAULT_PARTITIONS = 128
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count with a safe fallback — the ONE place the
+    `ray.cluster_resources()` probe lives (read_blocks_for and the
+    flagship's enrich-pool sizing both scale from it)."""
+    import ray
+
+    try:
+        return (int(ray.cluster_resources().get("CPU", default))
+                if ray.is_initialized() else default)
+    except Exception:
+        return default
+
+
 def dataset_num_rows(path: str) -> int:
     """Row count from parquet footers only (no data read)."""
     import pyarrow.dataset as pds
@@ -44,12 +57,7 @@ def read_blocks_for(n_rows: int | None, target_rows: int = 250_000) -> int | Non
         return None
     import math
 
-    import ray
-
-    try:
-        ncpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        ncpus = 8
+    ncpus = cluster_cpus()
     by_rows = math.ceil(n_rows / target_rows)
     return max(1, min(max(ncpus, by_rows), max(ncpus * 8, 64), 4096))
 

@@ -133,6 +133,41 @@ def test_checkpoint_fusion_equals_labeled_pages(pages_dir, labeled_df, tmp_path)
             assert pd.Series(av).equals(pd.Series(bv)), c
 
 
+def test_checkpoint_orphan_staging_dirs(ray_session, tmp_path):
+    """A write task killed between manifest write and the atomic rename
+    leaves 'part_key=N.tmp' behind. It must neither crash the resume scan
+    nor count as done, and read_output must skip it (plus any dir without
+    a readable manifest, and — with a fingerprint — stale partitions from
+    a different input)."""
+    from gscap_ray.state.checkpoint import (
+        completed_partitions,
+        read_output,
+        write_partition,
+    )
+
+    out = str(tmp_path / "ck")
+    os.makedirs(out)
+    df = pd.DataFrame({"part_key": [3, 3], "v": [1, 2]})
+    write_partition(df, out, 3, "fpA", partitions=128)
+    write_partition(pd.DataFrame({"part_key": [9], "v": [7]}),
+                    out, 9, "fpOLD", partitions=128)
+
+    # simulate the crash window: staging dir with manifest + data inside
+    orphan = os.path.join(out, "part_key=5.tmp")
+    os.makedirs(orphan)
+    df.to_parquet(os.path.join(orphan, "data.parquet"), index=False)
+    with open(os.path.join(orphan, "manifest.json"), "w") as f:
+        json.dump({"part_key": 5, "input_fingerprint": "fpA",
+                   "layout": {"partitions": 128,
+                              "scheme": "murmur-host-v1"}, "rows": 2}, f)
+    # and a committed-looking dir with no manifest at all
+    os.makedirs(os.path.join(out, "part_key=6"))
+
+    assert completed_partitions(out, "fpA", 128) == {3}
+    assert read_output(out).count() == 3            # 3 + stale 9, no orphan
+    assert read_output(out, input_fingerprint="fpA").count() == 2
+
+
 def test_checkpoint_layout_binding(tmp_path):
     """ADVICE r2 (medium): a manifest written under a different partition
     layout (count or hash-scheme version) must NOT validate — resuming
