@@ -358,7 +358,14 @@ def grid_cell_id(lat_deg, lon_deg, cell_deg: float = 0.1) -> np.ndarray:
     """Quantized lat/lon grid cell (int64), SQL-expressible:
 
     ``floor((lat+90)/cell) * ncols + floor((lon+180)/cell)``.
-    """
+
+    Domain convention: half-open on both axes — lat in [-90, 90),
+    lon in [-180, 180). At exactly lon = +180 the formula yields
+    cx = ncols, which spills into the next latitude row; callers must
+    normalize +180 -> -180 (the standard wraparound identity) before
+    encoding. The SQL oracle twins replicate this exact formula, so
+    engine and oracle agree on ALL inputs including the boundary — the
+    convention is about geographic meaning, not parity."""
     lat = np.asarray(lat_deg, dtype=np.float64)
     lon = np.asarray(lon_deg, dtype=np.float64)
     ncols = np.int64(np.ceil(360.0 / cell_deg))

@@ -62,7 +62,19 @@ def _perm_params(n_perm: int, seed: int = 7):
 
 
 def minhash_signature(shingles: np.ndarray, n_perm: int = 64, seed: int = 7) -> np.ndarray:
-    """(a*h + b) mod Mersenne61 min over shingles, per permutation."""
+    """((a*h + b) mod 2^64) mod Mersenne61, min over shingles, per perm.
+
+    NOTE (documented deviation): because ``a*h`` runs in wrapping uint64
+    with full-range 64-bit shingle hashes (and ``a`` is not forced odd),
+    this is NOT the textbook pairwise-independent ((a*h+b) mod p) family —
+    the banding recall formula 1-(1-J^rows)^bands is an approximation
+    here, not an exact bound. Every LSH candidate is verified by EXACT
+    Jaccard downstream, so precision is unaffected; only theoretical
+    recall at the threshold carries the approximation (planted-pair e2e
+    tests + the exact-all-pairs oracle pin observed recall at 100% on
+    the tested worlds). Kept as-is: the signature values are baked into
+    goldens/oracles, and the exact-verify design never relied on the
+    bound."""
     a, b = _perm_params(n_perm, seed)
     if shingles.size == 0:
         return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)

@@ -42,10 +42,16 @@ def partial_count(ds: rd.Dataset, key_col: str, salt: int = 0,
         counts = np.bincount(codes, minlength=len(keys))
         out = {key_col: pa.array(keys), "n_part": pa.array(counts, pa.int64())}
         if salt > 0:
-            # deterministic per-batch sub-bucket: spreads one key's partials
-            # across reducers without any RNG state
-            s = (np.arange(len(keys)) + int(counts.sum())) % salt
-            out["salt"] = pa.array(s.astype(np.int32), pa.int32())
+            # deterministic per-batch sub-bucket: the key's own hash plus a
+            # batch-content fingerprint, so a HOT key's partials land on a
+            # different reducer per batch (position-based salting gave the
+            # dominant key the SAME salt in every uniform-sized batch —
+            # identical skew to salt=0 plus an extra stage)
+            kh = pd.util.hash_array(np.asarray(keys)).astype(np.uint64)
+            bfp = np.uint64((int(kh.sum()) + int(counts.sum()))
+                            & 0xFFFFFFFFFFFFFFFF)
+            s = ((kh + bfp) % np.uint64(salt)).astype(np.int32)
+            out["salt"] = pa.array(s, pa.int32())
         return pa.table(out)
 
     partials = ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
@@ -98,7 +104,16 @@ def bucketed_pairs(left: rd.Dataset, right_df: pd.DataFrame, key_col: str,
         df = df.assign(_b=pd.util.hash_array(df[key_col].values) % n_buckets)
         outs = [g.drop(columns="_b").merge(rb[int(b)], on=key_col, how="inner")
                 for b, g in df.groupby("_b") if int(b) in rb]
-        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        # no bucket matched this batch: emit an empty frame with the JOINED
+        # schema (columns + dtypes) — a bare pd.DataFrame() block breaks
+        # downstream schema unification
+        left_empty = df.drop(columns="_b").iloc[0:0]
+        if rb:
+            return left_empty.merge(next(iter(rb.values())).iloc[0:0],
+                                    on=key_col, how="inner")
+        return left_empty
 
     return left.map_batches(join_batch, batch_format="pandas")
 
@@ -126,9 +141,11 @@ def quarantine_split(ds: rd.Dataset, valid_expr, quarantine_dir: str):
             from .synth import hash64
 
             os.makedirs(quarantine_dir, exist_ok=True)
-            key = int(np.bitwise_xor.reduce(
-                hash64(np.array([str(bad.slice(0, 1).to_pydict())], dtype=object))
-            )) ^ bad.num_rows
+            # content hash over EVERY bad row (first-row-only hashing let two
+            # different batches starting with the same malformed record
+            # collide and silently overwrite each other's quarantine file)
+            rows = np.array([str(r) for r in bad.to_pylist()], dtype=object)
+            key = int(np.bitwise_xor.reduce(hash64(rows))) ^ bad.num_rows
             pq.write_table(bad, os.path.join(
                 quarantine_dir, f"quarantine-{key:016x}.parquet"))
         return t.filter(mask)
@@ -243,6 +260,14 @@ def _cc_single_task(t: pa.Table) -> pa.Table:
     for one task; the driver only relays the result blocks."""
     u = t["u"].to_numpy().astype(np.int64)
     v = t["v"].to_numpy().astype(np.int64)
+    # self-loops carry no connectivity and the star-contraction path drops
+    # them structurally (large-star keeps strictly-larger neighbors only);
+    # drop them here too so the two paths cover the SAME node set
+    keep = u != v
+    u, v = u[keep], v[keep]
+    if u.size == 0:
+        return pa.table({"id": pa.array([], pa.int64()),
+                         "rep": pa.array([], pa.int64())})
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
     ui, vi = inv[:u.size], inv[u.size:]
     lab = np.arange(nodes.size, dtype=np.int64)
@@ -263,8 +288,10 @@ def connected_components(edges: rd.Dataset, parts: int = 64,
                          small_edges: int = 4_000_000) -> rd.Dataset:
     """Distributed connected components over an undirected (u, v) edge set.
 
-    Returns an (id, rep) Dataset covering every node that appears in an
-    edge, with ``rep`` = the minimum node id of its component.  Alternates
+    Returns an (id, rep) Dataset covering every node that appears in a
+    NON-self edge (u == v rows carry no connectivity and are ignored on
+    both paths — a node with only self-loops is not covered), with
+    ``rep`` = the minimum node id of its component.  Alternates
     large-star/small-star contraction (see :func:`_star_round`) until the
     canonical star edge set reaches a fixpoint (count + order-independent
     checksum unchanged).  Each round shuffles only the current edge set —

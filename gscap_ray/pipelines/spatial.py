@@ -70,6 +70,20 @@ def _pack(cx, cy):
     return (cx + (1 << 30)) * np.int64(1 << 31) + (cy + (1 << 30))
 
 
+def _sorted_lookup(keys: np.ndarray, values: np.ndarray,
+                   queries: np.ndarray, default: np.ndarray) -> np.ndarray:
+    """Vectorized sorted-key map: for each query, values[k] where
+    keys[k] == query, else the aligned default — the ONE place the
+    searchsorted/clip/compare/gather idiom lives (it was copy-pasted
+    three times across _rep_of and finalize)."""
+    out = np.array(default, dtype=np.int64, copy=True)
+    if keys.size and queries.size:
+        pos = np.minimum(np.searchsorted(keys, queries), keys.size - 1)
+        hit = keys[pos] == queries
+        out[hit] = values[pos[hit]]
+    return out
+
+
 def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
                        x_col: str = "lon", y_col: str = "lat",
                        id_col: str = "point_id",
@@ -83,6 +97,15 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
     over own+halo is exact; the core-only clustering is scan-order-free and
     therefore oracle-checkable)."""
     cell_side = float(cell_factor) * eps
+    if cell_side < eps:
+        # one-ring halo exactness requires cell_side >= eps: below that,
+        # eps-neighbors can sit two cells apart and the 8-neighbor
+        # replication silently misses them (undercounted cores, split
+        # clusters) — fail loudly instead
+        raise ValueError(
+            f"distributed_dbscan: cell_factor must be >= 1 "
+            f"(cell_side={cell_side} < eps={eps} breaks the one-ring "
+            f"halo exactness guarantee)")
 
     def scatter(t: pa.Table) -> pa.Table:
         px = t[x_col].to_numpy()
@@ -135,7 +158,10 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
             vc = lab & core
             np.minimum.at(node_of, labels[vc], pid[vc])
             node[lab] = node_of[labels[lab]]
-            if node_of.min() == _I64MAX and (node[lab] == _I64MAX).any():
+            # any single core-less local cluster is a bug (dbscan_labels
+            # only opens clusters at core points) — the sentinel must
+            # never ship downstream as a fake global cluster id
+            if (node[lab] == _I64MAX).any():
                 raise AssertionError("local cluster with no core member")
         return pa.table({
             "pid": pa.array(pid, pa.int64()),
@@ -219,13 +245,7 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
 
     def _rep_of(nodes: np.ndarray) -> np.ndarray:
         """Component rep for each node (vectorized; unmerged = itself)."""
-        g = nodes.copy()
-        if cc_ids.size and nodes.size:
-            pos = np.searchsorted(cc_ids, nodes)
-            pos_c = np.minimum(pos, cc_ids.size - 1)
-            hit = cc_ids[pos_c] == nodes
-            g[hit] = cc_reps[pos_c[hit]]
-        return g
+        return _sorted_lookup(cc_ids, cc_reps, nodes, nodes)
 
     # adoption map: O(halo-noise adopted points) rows, min global id per pid
     adopt = meta.map_batches(only_adopt, batch_format="pyarrow").to_pandas()
@@ -252,22 +272,12 @@ def distributed_dbscan(ds: rd.Dataset, eps: float, min_samples: int,
         out = np.full(pid.shape[0], -1, dtype=np.int64)
         lab = label >= 0
         if lab.any():
-            g = node[lab].copy()
-            if ids.size:
-                pos = np.searchsorted(ids, g)
-                pos_c = np.minimum(pos, ids.size - 1)
-                hit = ids[pos_c] == g
-                g[hit] = reps[pos_c[hit]]
-            out[lab] = g
+            out[lab] = _sorted_lookup(ids, reps, node[lab], node[lab])
         un = ~lab
         if apids.size and un.any():
             p = pid[un]
-            pos = np.searchsorted(apids, p)
-            pos_c = np.minimum(pos, apids.size - 1)
-            hit = apids[pos_c] == p
-            tmp = np.full(p.shape[0], -1, dtype=np.int64)
-            tmp[hit] = agids[pos_c[hit]]
-            out[un] = tmp
+            out[un] = _sorted_lookup(apids, agids, p,
+                                     np.full(p.shape[0], -1, np.int64))
         cols = {id_col: pa.array(pid, pa.int64()),
                 "cluster": pa.array(out, pa.int64())}
         if with_core:

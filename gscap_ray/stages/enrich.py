@@ -80,17 +80,25 @@ def broadcast_enricher(polygons, cell_deg: float = 0.25):
 # actor-pool startup from the pipeline entirely (index build is milliseconds
 # for layers up to ~10^4 polygons; use the actor PipEnricher above for
 # genuinely heavy layers)
-_PIP_CACHE: dict[bytes, PipEnricher] = {}
+# value is (keyed_object, enricher): pinning the keyed object keeps its
+# id() from being recycled by a LATER layer deserialized at the same
+# address — an id-keyed cache without the pin could serve an enricher
+# built from a different polygon layer
+_PIP_CACHE: dict = {}
 
 
 def make_pip_task(polygons_ref, cell_deg: float = 0.25):
     """Returns a plain function for map_batches (stateless tasks)."""
     def pip_task(batch: pa.Table) -> pa.Table:
-        key = polygons_ref.binary() if hasattr(polygons_ref, "binary") else id(polygons_ref)
-        enricher = _PIP_CACHE.get(key)
-        if enricher is None:
-            enricher = PipEnricher(polygons_ref, cell_deg=cell_deg)
-            _PIP_CACHE[key] = enricher
+        is_ref = hasattr(polygons_ref, "binary")
+        key = polygons_ref.binary() if is_ref else id(polygons_ref)
+        hit = _PIP_CACHE.get(key)
+        # ObjectRef binaries are globally unique; id() keys additionally
+        # require the pinned object to BE the argument
+        if hit is not None and (is_ref or hit[0] is polygons_ref):
+            return hit[1](batch)
+        enricher = PipEnricher(polygons_ref, cell_deg=cell_deg)
+        _PIP_CACHE[key] = (polygons_ref, enricher)
         return enricher(batch)
 
     return pip_task

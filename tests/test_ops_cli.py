@@ -116,3 +116,75 @@ def test_sampled_stats_matches_oracle(ray_session):
     r = to_pandas(QUERIES["sampled_stats"](sf))
     s = con.sql(ORACLE_SQL["sampled_stats"]).df()
     assert compare("sampled_stats", r, s) is None
+
+
+def test_quarantine_distinct_batches_no_collision(ray_session, tmp_path):
+    """Two batches whose bad sets START with the same malformed row must
+    land in two files (first-row-only hashing collided and silently
+    overwrote one of them)."""
+    import ray.data as rd
+
+    from gscap_ray.ops import quarantine_split, quarantined_count
+
+    qdir = str(tmp_path / "q")
+    shared = {"v": -1, "tag": "same-first-bad-row"}
+    b1 = pd.DataFrame([shared, {"v": -2, "tag": "only-in-batch-1"},
+                       {"v": 5, "tag": "ok"}])
+    b2 = pd.DataFrame([shared, {"v": -3, "tag": "only-in-batch-2"},
+                       {"v": 6, "tag": "ok"}])
+    ds = rd.from_pandas([b1, b2])  # two blocks -> two split() calls
+
+    def valid(t):
+        import pyarrow.compute as pc
+
+        return pc.greater_equal(t["v"], 0)
+
+    n_ok = quarantine_split(ds, valid, qdir).count()
+    assert n_ok == 2
+    assert quarantined_count(qdir) == 4  # 2 + 2, no file overwritten
+
+
+def test_bucketed_pairs_empty_batch_schema(ray_session):
+    """A batch with zero bucket matches must emit an empty block with the
+    JOINED schema, not a zero-column frame that breaks unification."""
+    import ray.data as rd
+
+    from gscap_ray.ops import bucketed_pairs
+
+    left = rd.from_pandas([
+        pd.DataFrame({"k": ["x", "y"], "l": [1, 2]}),     # no match at all
+        pd.DataFrame({"k": ["a", "a"], "l": [3, 4]}),      # matches
+    ])
+    right = pd.DataFrame({"k": ["a", "b"], "r": [10, 20]})
+    out = bucketed_pairs(left, right, "k").to_pandas()
+    assert sorted(out.columns) == ["k", "l", "r"]
+    assert len(out) == 2 and set(out["r"]) == {10}
+
+
+def test_connected_components_self_loop_paths_agree(ray_session):
+    """Self-loops are ignored identically on the single-task and
+    star-contraction paths (they used to diverge: single-task emitted the
+    node, star silently dropped it)."""
+    import ray.data as rd
+
+    from gscap_ray.ops import connected_components
+
+    edges = pd.DataFrame({"u": [1, 2, 7], "v": [2, 3, 7]})  # 7 = self-loop
+    ds = rd.from_pandas(edges)
+    fast = (connected_components(ds).to_pandas()
+            .sort_values("id").reset_index(drop=True))
+    star = (connected_components(ds, small_edges=0).to_pandas()
+            .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, star)
+    assert set(fast["id"]) == {1, 2, 3}  # self-loop-only node not covered
+
+
+def test_distributed_dbscan_rejects_sub_eps_cells(ray_session):
+    import ray.data as rd
+
+    from gscap_ray.pipelines.spatial import distributed_dbscan
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"point_id": [1, 2], "lon": [0.0, 0.001], "lat": [0.0, 0.001]}))
+    with pytest.raises(ValueError, match="cell_factor"):
+        distributed_dbscan(ds, eps=0.02, min_samples=2, cell_factor=0.5)
