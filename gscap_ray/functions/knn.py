@@ -81,9 +81,13 @@ class GridNN:
     """Grid-accelerated 1-NN for large reference tables.
 
     Buckets reference points into ``cell_deg`` cells; queries search
-    expanding square rings until a candidate is found, then one extra ring to
-    guarantee exactness (a point in ring r can be closer than one in r-1 by
-    at most one cell diagonal). Metric: euclidean in degree space (use for
+    expanding square rings and stop only when the next ring's minimum
+    possible distance exceeds every query's current best: a point in ring
+    r sits at least (r-1)·cell from any query in the center cell, so once
+    r·cell > max(best distances) no farther ring can improve — the exact
+    bound (the earlier "one extra ring" rule was NOT exact: a candidate
+    found at ring 0 can be up to sqrt(2)·cell away while a nearer point
+    sits in ring 2). Metric: euclidean in degree space (use for
     prefiltering; exactness under haversine holds away from the poles for
     small cells — documented engine assumption)."""
 
@@ -119,10 +123,9 @@ class GridNN:
         for s, e in zip(starts, ends):
             pts = order[s:e]
             yy, xx = int(cy[pts[0]]), int(cx[pts[0]])
-            cand_parts = []
-            found_ring = None
+            best_d = np.full(pts.shape[0], np.inf)
+            best_i = np.full(pts.shape[0], -1, dtype=np.int64)
             for r in range(max_rings + 2):
-                ring = []
                 if r == 0:
                     cells = [(yy, xx)]
                 else:
@@ -130,22 +133,23 @@ class GridNN:
                              for dy in range(-r, r + 1)
                              for dx in range(-r, r + 1)
                              if max(abs(dy), abs(dx)) == r]
-                for c in cells:
-                    b = self.buckets.get(c)
-                    if b is not None:
-                        ring.append(b)
+                ring = [self.buckets[c] for c in cells if c in self.buckets]
                 if ring:
-                    cand_parts.extend(ring)
-                    if found_ring is None:
-                        found_ring = r
-                if found_ring is not None and r >= found_ring + 1:
-                    break
-            if not cand_parts:
-                continue
-            cand = np.concatenate(cand_parts)
-            d = np.sqrt((qlat[pts, None] - self.rlat[cand][None, :]) ** 2
+                    cand = np.concatenate(ring)
+                    d = np.sqrt(
+                        (qlat[pts, None] - self.rlat[cand][None, :]) ** 2
                         + (qlon[pts, None] - self.rlon[cand][None, :]) ** 2)
-            j = np.argmin(d, axis=1)
-            out_idx[pts] = cand[j]
-            out_dist[pts] = d[np.arange(d.shape[0]), j]
+                    j = np.argmin(d, axis=1)
+                    dj = d[np.arange(d.shape[0]), j]
+                    upd = dj < best_d
+                    best_d[upd] = dj[upd]
+                    best_i[upd] = cand[j[upd]]
+                # ring r+1's minimum possible distance to a query in the
+                # center cell is r*cell — once that exceeds every query's
+                # current best, no farther ring can win
+                if np.isfinite(best_d).all() \
+                        and r * self.cell_deg > float(best_d.max()):
+                    break
+            out_idx[pts] = best_i
+            out_dist[pts] = best_d
         return out_idx, out_dist

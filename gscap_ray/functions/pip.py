@@ -110,6 +110,13 @@ class PolygonIndex:
         self._ey1 = np.concatenate([nh_edges[pi][1] for pi in cand_ids]) if cand_ids else e
         self._ex2 = np.concatenate([nh_edges[pi][2] for pi in cand_ids]) if cand_ids else e
         self._ey2 = np.concatenate([nh_edges[pi][3] for pi in cand_ids]) if cand_ids else e
+        # drop the build-time structures before the object is broadcast:
+        # keeping the ~50k tiny per-cell lists / per-polygon ring arrays
+        # re-paid the exact per-worker unpickle cost the flat layout above
+        # exists to remove (query() needs only the flat arrays + an
+        # emptiness flag; lookup_place_ids needs place_ids)
+        self._has_polygons = bool(self.rings)
+        del self.rings, self.bboxes, self.cell_map
 
     def query(self, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
         """Index (into the layer) of the first containing polygon, else -1.
@@ -128,7 +135,7 @@ class PolygonIndex:
         lon = np.asarray(lon, dtype=np.float64)
         n = lat.shape[0]
         out = np.full(n, -1, dtype=np.int64)
-        if not self.rings or n == 0:
+        if not self._has_polygons or n == 0:
             return out
         cy = np.floor(lat / self.cell_deg).astype(np.int64)
         cx = np.floor(lon / self.cell_deg).astype(np.int64)

@@ -89,7 +89,7 @@ def impute_stationary(df: pd.DataFrame, freq: str = "10Min") -> pd.DataFrame:
     lon = df["lon"].values
     ts_us = _ts_us(df["ts"])
 
-    from .velocity import apply_stream_caps, discrete_velocity_arrays
+    from .velocity import discrete_velocity_arrays
 
     disp, td, vel, codes = discrete_velocity_arrays(
         lat[1:], lon[1:], ts_us[1:], lat[:-1], lon[:-1], ts_us[:-1]
@@ -125,12 +125,16 @@ def impute_stationary(df: pd.DataFrame, freq: str = "10Min") -> pd.DataFrame:
 
     df = velocity_frame(df)
 
-    # day-start fix (gps.py:1720-1731): first record of each date gets
-    # time_delta = whole seconds since that day's midnight
+    # day-start fix (gps.py:1720-1731): EVERY record tied at a date's
+    # minimum timestamp gets time_delta = whole seconds since that day's
+    # midnight (the reference iterates all rows with r.ts == earliest.ts;
+    # marking only the first occurrence diverged on tied day-min rows)
     dates = df["ts"].values.astype("datetime64[D]")
     df["date"] = dates
-    first_of_day = np.zeros(len(df), dtype=bool)
-    first_of_day[np.unique(dates, return_index=True)[1]] = True
+    ts_all = _ts_us(df["ts"])
+    udates, uidx = np.unique(dates, return_index=True)
+    day_min = ts_all[uidx]  # df is ts-sorted: first row of a date is its min
+    first_of_day = ts_all == day_min[np.searchsorted(udates, dates)]
     secs_into_day = ((_ts_us(df["ts"]) - dates.astype("datetime64[us]").astype(np.int64))
                      // 1_000_000).astype(np.float64)
     td = df["time_delta"].values.copy()
@@ -179,6 +183,10 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
     if a < 3:
         df = df.copy()
         df["cid"] = "xNot"
+        # keep the output schema identical to the >=3-row path — in a
+        # map_groups task a tiny-host-only batch otherwise emits a block
+        # missing the column and breaks downstream schema unification
+        df["distance_from_home"] = np.nan
         return df, None
 
     working_off = "working" in df.columns and not df["working"].sum() > 0
@@ -200,6 +208,15 @@ def clusters_with_context(df: pd.DataFrame, eps: float = DEFAULT_EPS,
 
 
 CID_XNOT, CID_HOME, CID_WORK, CID_XBASE = 0, 1, 2, 3
+
+# dispersion stats emitted by extract_cluster_centers and dropped when
+# validation_metrics=False — ONE list shared by label_core and
+# next_phase_clusters so the two paths cannot silently diverge
+_VALIDATION_COLS = [
+    "lat_IQR", "lat_max", "lat_min", "lat_range", "lat_std",
+    "lon_IQR", "lon_max", "lon_min", "lon_range", "lon_std",
+    "max_distance_from_center",
+]
 
 
 def cid_lut(mx: int) -> list[str]:
@@ -328,11 +345,7 @@ def label_core(lat: np.ndarray, lon: np.ndarray, ts_us: np.ndarray,
     clusters.loc[clusters.cid == "work", ["name", "categories"]] = "work"
 
     if not validation_metrics:
-        clusters = clusters.drop(columns=[
-            "lat_IQR", "lat_max", "lat_min", "lat_range", "lat_std",
-            "lon_IQR", "lon_max", "lon_min", "lon_range", "lon_std",
-            "max_distance_from_center",
-        ], errors="ignore")
+        clusters = clusters.drop(columns=_VALIDATION_COLS, errors="ignore")
 
     return (cid if return_codes else cid_strings(cid)), home, work, clusters
 
@@ -387,11 +400,8 @@ def next_phase_clusters(records: pd.DataFrame, clusters: pd.DataFrame,
         cs["categories"] = cs["name"] = "nap"
         clusters = pd.concat([clusters, cs], sort=False, ignore_index=True)
         if not validation_metrics:
-            clusters = clusters.drop(columns=[
-                "lat_IQR", "lat_max", "lat_min", "lat_range", "lat_std",
-                "lon_IQR", "lon_max", "lon_min", "lon_range", "lon_std",
-                "max_distance_from_center",
-            ], errors="ignore")
+            clusters = clusters.drop(columns=_VALIDATION_COLS,
+                                     errors="ignore")
     return records, clusters
 
 
@@ -591,7 +601,10 @@ def cluster_metrics(clusters: pd.DataFrame, entries: pd.DataFrame) -> pd.DataFra
     for cid, g in e.groupby("cid"):
         g = g.sort_values("midpoint", kind="stable")
         dur_h = g["duration"].dt.total_seconds() / 3600.0
-        mid_s = g["midpoint"].astype("int64") / 1e9
+        # unit-safe epoch seconds: cluster_times emits datetime64[us]
+        # midpoints, where a bare astype('int64')/1e9 (the ns assumption)
+        # read 1000x too small (reference: .timestamp(), gps.py:736-738)
+        mid_s = g["midpoint"].values.astype("datetime64[us]").astype(np.int64) / 1e6
         gaps = np.diff(mid_s)
         mti = np.round(np.mean(gaps) / 3600, 3) if gaps.size else np.nan
         stats.append(dict(

@@ -265,7 +265,7 @@ def read_output(out_dir: str, columns=None, input_fingerprint: str | None = None
     import ray.data as rd
 
     parts = []
-    for n in sorted(os.listdir(out_dir)):
+    for n in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
         if not n.startswith("part_key=") or not n.split("=", 1)[1].isdigit():
             continue
         m = load_manifest(os.path.join(out_dir, n))
@@ -275,6 +275,12 @@ def read_output(out_dir: str, columns=None, input_fingerprint: str | None = None
                 and m.get("input_fingerprint") != input_fingerprint):
             continue
         parts.append(os.path.join(out_dir, n, "data.parquet"))
+    if not parts:
+        # fresh/crashed run or all partitions stale: an empty dataset, not
+        # a read_parquet([]) ValueError / missing-dir FileNotFoundError
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({}))
     return rd.read_parquet(parts, columns=columns)
 
 

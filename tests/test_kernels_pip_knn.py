@@ -125,3 +125,36 @@ def test_star_polygon_layer_nonconvex_membership():
     c_lon = (rx.min() + rx.max()) / 2
     near = (np.abs(glat - c_lat) < 0.2) & (np.abs(glon - c_lon) < 0.2)
     assert (want[near] == 0).all()
+
+
+def test_gridnn_far_ring_exactness():
+    """The nearest reference point can sit two rings out while a farther
+    one shares the query's cell — the old 'one extra ring' stop rule
+    returned the wrong neighbor here."""
+    import numpy as np
+
+    from gscap_ray.functions.knn import GridNN
+
+    rlat = np.array([0.0, 2.01])
+    rlon = np.array([0.0, 0.99])
+    g = GridNN(rlat, rlon, cell_deg=1.0)
+    idx, dist = g.query(np.array([0.99]), np.array([0.99]))
+    assert idx[0] == 1          # (2.01, 0.99) at 1.02 beats (0,0) at 1.386
+    assert abs(dist[0] - 1.02) < 1e-9
+
+
+def test_gridnn_bruteforce_random_layouts():
+    """Exactness over random sparse layouts where rings 0/1 are often
+    empty (the dense fixture above never exercised far rings)."""
+    import numpy as np
+
+    from gscap_ray.functions.knn import GridNN
+
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        R = rng.uniform(-5, 5, (40, 2))     # sparse: many empty cells
+        Q = rng.uniform(-5, 5, (300, 2))
+        g = GridNN(R[:, 0], R[:, 1], cell_deg=1.0)
+        idx, dist = g.query(Q[:, 0], Q[:, 1])
+        d2 = np.sqrt(((Q[:, None, :] - R[None, :, :]) ** 2).sum(-1))
+        assert np.allclose(dist, d2.min(axis=1))

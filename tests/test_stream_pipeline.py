@@ -190,3 +190,30 @@ def test_next_phase_clusters(home_and_work):
     assert len(new) == 1
     ncid = new.pop()
     assert (r2["cid"] == ncid).sum() >= 100
+
+
+def test_cluster_metrics_unit_safe_midpoints():
+    """cluster_times emits datetime64[us] midpoints; the mean interval
+    between visits must be identical whether the entries frame carries
+    us- or ns-resolution timestamps (the old ns-assuming astype read us
+    values 1000x too small)."""
+    import numpy as np
+    import pandas as pd
+
+    from gscap_ray.functions.stream import cluster_metrics
+
+    base = np.datetime64("2020-01-01T00:00:00", "us")
+    mids_us = base + np.array([0, 7200, 14400], "timedelta64[s]")
+    entries = pd.DataFrame({
+        "cid": ["home"] * 3,
+        "midpoint": mids_us,                       # datetime64[us]
+        "duration": pd.to_timedelta([600, 600, 600], unit="s"),
+    })
+    clusters = pd.DataFrame({"cid": ["home"], "lat": [0.0], "lon": [0.0]})
+    out_us = cluster_metrics(clusters, entries)
+    assert out_us["mean_ti_between_visits"].iloc[0] == 2.0  # hours
+
+    entries_ns = entries.assign(
+        midpoint=entries["midpoint"].astype("datetime64[ns]"))
+    out_ns = cluster_metrics(clusters, entries_ns)
+    assert out_ns["mean_ti_between_visits"].iloc[0] == 2.0
