@@ -129,6 +129,11 @@ def ivf_assign(emb: np.ndarray, n_cells: int = 16, iters: int = 5, seed: int = 1
     (assignments, centroids). Scale path: search only the closest cells."""
     rng = np.random.default_rng(seed)
     e = normalize(emb)
+    if e.shape[0] == 0:
+        # empty batches reach kernels after filters; argmax over a
+        # zero-width axis would raise
+        return (np.empty(0, dtype=np.int64),
+                np.empty((0, emb.shape[1] if emb.ndim == 2 else 0)))
     n_cells = min(n_cells, e.shape[0])
     cent = e[rng.choice(e.shape[0], n_cells, replace=False)]
     for _ in range(iters):

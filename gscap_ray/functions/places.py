@@ -229,10 +229,16 @@ def parse_gmap_response(c: str | None) -> dict | None:
     except json.JSONDecodeError as e:
         return dict(rank_order=-1, name=str(e), categories=c,
                     major_categories="JSONDecodeError")
+    if not isinstance(obj, dict):
+        # valid JSON that is not an object (list/number/string) — treat
+        # like an empty result set rather than crashing the batch task
+        return dict(_NOT_FOUND)
     if "error" in obj:
         return dict(rank_order=-1, name=obj["error"], categories="none",
                     major_categories="none")
-    for i, r in enumerate(obj.get("results")):
+    # a results-less object (some error shapes omit the key entirely)
+    # falls through to the not-found sentinel instead of iterating None
+    for i, r in enumerate(obj.get("results") or []):
         norm = normalize_gmap_types(r.get("name"), r.get("types"))
         if norm is None:
             continue
@@ -248,7 +254,7 @@ def parse_yelp_response(c) -> dict:
     first, vs the reference's set-order first)."""
     if not isinstance(c, str):
         raise TypeError("content must be a string")
-    if c is None or c.lower() == "nan":
+    if c.lower() == "nan":
         return dict(_NOT_FOUND)
     try:
         obj = json.loads(c)
@@ -257,15 +263,17 @@ def parse_yelp_response(c) -> dict:
                     major_categories="JSONDecodeError")
     businesses = obj.get("businesses")
     if businesses:
-        for i, r in enumerate(businesses):
-            minor = [ri.get("alias") for ri in r.get("categories")]
-            major = sorted({YELP_TYPE_MAP.get(mi, "undefined category")
-                            for mi in minor})
-            if "dining_out" in major:
-                major = ["dining_out"]
-            if len(major) > 1:
-                major = [major[0]]
-            return dict(name=r.get("name"), rank_order=i,
-                        categories=", ".join(minor),
-                        major_categories=", ".join(major))
+        # first business only (the old enumerate loop returned
+        # unconditionally on iteration 0 — made explicit)
+        r = businesses[0]
+        minor = [ri.get("alias") for ri in r.get("categories")]
+        major = sorted({YELP_TYPE_MAP.get(mi, "undefined category")
+                        for mi in minor})
+        if "dining_out" in major:
+            major = ["dining_out"]
+        if len(major) > 1:
+            major = [major[0]]
+        return dict(name=r.get("name"), rank_order=0,
+                    categories=", ".join(minor),
+                    major_categories=", ".join(major))
     return dict(_NOT_FOUND)

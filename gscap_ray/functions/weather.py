@@ -33,7 +33,10 @@ def coerce_request_key(key):
     def _isint(x):
         try:
             return float(str(x)) == int(float(str(x)))
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, OverflowError):
+            # OverflowError: int(float('inf')) — 'inf'/'1e400' are
+            # non-usable strings and must surface as the documented
+            # TypeError, not leak OverflowError
             return False
 
     if not isinstance(key, (str, int, float)) or \
@@ -111,7 +114,14 @@ MEASURES = ("temperature", "humidity", "cloudCover", "dewPoint",
 
 
 def weather_cell(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
-    """1-degree grid cell id (the request dedup key, D1/D3)."""
+    """1-degree grid cell id (the request dedup key, D1/D3).
+
+    lon = +180 wraps to -180 (the antimeridian identity) BEFORE encoding:
+    floor(180+180) = 360 with the 360-column multiplier would collide
+    with the next latitude row's lon = -180 cell, merging two distinct
+    requests under one dedup key. Ids for lon < 180 are unchanged."""
+    lon = np.where(np.asarray(lon, dtype=np.float64) >= 180.0,
+                   np.asarray(lon, dtype=np.float64) - 360.0, lon)
     return (np.floor(lat + 90).astype(np.int64) * 360
             + np.floor(lon + 180).astype(np.int64))
 
@@ -170,7 +180,12 @@ def expand_hourly(cell: np.ndarray, d: np.ndarray,
     rc = np.repeat(okc, 24)
     rd = np.repeat(okd, 24)
     rh = np.tile(np.arange(24, dtype=np.int64), n)
-    vals = hourly_values(rc, rd, rh)
+    # forward the pruning: only the requested measures are computed (the
+    # categoricals path additionally needs cloudCover for its buckets)
+    comp = tuple(measures)
+    if categoricals and "cloudCover" not in comp:
+        comp = comp + ("cloudCover",)
+    vals = hourly_values(rc, rd, rh, comp)
     fc, fd = cell[fail], d[fail]
     out = {
         "cell": np.concatenate([rc, fc]),
@@ -184,8 +199,7 @@ def expand_hourly(cell: np.ndarray, d: np.ndarray,
         nf = fc.shape[0]
         ptype_code = (rc * 79 + rh * 61 + rd * 71) % 3
         ptype = np.array(["rain", "snow", "sleet"], dtype=object)[ptype_code]
-        cc = (vals["cloudCover"] if "cloudCover" in vals
-              else ((rc * 23 + rh * 11 + rd * 7) % 101) / 100.0)
+        cc = vals["cloudCover"]  # requested above when categoricals
         sm_code = np.where(cc < 0.25, 0, np.where(cc < 0.75, 1, 2))
         summary = np.array(["clear", "partly cloudy", "cloudy"],
                            dtype=object)[sm_code]

@@ -127,6 +127,20 @@ def _zipf_counts(n_pages: int, n_hosts: int, alpha: float = 0.5) -> np.ndarray:
     # trim/pad deterministically to hit n_pages
     diff = n_pages - counts.sum()
     counts[0] += diff
+    if counts[0] < 0:
+        # tiny worlds (n_pages < ~8*n_hosts): the per-host floor of 8
+        # overshoots and the single-host trim went negative, which
+        # crashed np.repeat — shed the deficit round-robin from the
+        # tail instead (deterministic; existing worlds, where
+        # counts[0] >= 0, are byte-identical)
+        deficit = -int(counts[0])
+        counts[0] = 0
+        i = n_hosts - 1
+        while deficit > 0:
+            if counts[i] > 0:
+                counts[i] -= 1
+                deficit -= 1
+            i = i - 1 if i > 1 else n_hosts - 1
     return counts
 
 
