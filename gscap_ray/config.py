@@ -3,9 +3,17 @@
 Reference analog: the ``~/.gscapConfig`` key=value loader (utils.py:27-46,
 254-284) and the tunable-parameter dicts threaded through the pipeline
 (DBSCAN params gps.py:1804-1828, fence gps.py:1103, impute freq
-gps.py:1653, min_distance gps.py:1507). Here it is a plain dataclass passed
-to pipeline constructors — no hidden global state, trivially serialized to
-workers.
+gps.py:1653, min_distance gps.py:1507). Here it is a plain frozen
+dataclass — no hidden global state, trivially serialized to workers.
+
+Wiring: the flagship entry points (``labeled_pages``,
+``daily_features_direct``, ``run_checkpointed``) take ``config=`` and
+thread eps / min_samples / fence_m into the per-partition labeler and
+partitions / s2_level / hex_resolutions / grid_cell_deg into the tile
+stage. ``distributed_dbscan`` and the per-stream library functions
+(``clusters_with_context``, ``impute_stationary``,
+``next_phase_clusters``) take the remaining knobs directly as keyword
+arguments — pass ``config.impute_freq`` etc. at the call site.
 
 Extension surface (SURVEY.md §2.11): any callable accepted by
 ``map_batches`` / ``map_groups`` is a stage; ``CONTEXT_LAYERS`` is the

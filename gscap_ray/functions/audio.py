@@ -54,6 +54,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > len(data):
+            # truncated chunk body: fail loudly like decode_png/decode_y4m
+            # do — a silent partial read returns wrong features
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"{len(data) - pos - 8} remain")
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, sr, _br, _ba, bits = \

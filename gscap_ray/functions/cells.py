@@ -314,7 +314,10 @@ def hex_parent(cell_id) -> np.ndarray:
     parent is cube_round(T^-1 (q, r)) with T^-1 = [[3, 1], [-1, 2]]/7 —
     EXACT lattice arithmetic, identical to the geometric
     nearest-parent-center assignment (verified 1.0 agreement in the
-    property suite)."""
+    property suite). Empty input -> empty output (batch pipelines
+    deliver empty partitions after filters)."""
+    if np.atleast_1d(np.asarray(cell_id)).size == 0:
+        return np.empty(0, np.int64)
     res, q, r = _hex_decode(cell_id)
     res0 = _uniform_res(res)
     if res0 < 1:
@@ -332,9 +335,17 @@ _HEX_COSETS = np.array([(0, 0), (1, 0), (0, 1), (-1, 1),
 
 def hex_children(cell_id) -> np.ndarray:
     """The exactly-7 aperture-7 children of each cell: T (a, b) =
-    (2a - b, a + 3b) in child axial coords, plus the 6 unit offsets."""
+    (2a - b, a + 3b) in child axial coords, plus the 6 unit offsets.
+    Empty input -> empty output; res-15 cells have no children (15 is
+    the max encodable resolution — emitting res-16 ids that hex_cell_id
+    itself refuses would corrupt round trips, mirror of hex_parent's
+    res-0 guard)."""
+    if np.atleast_1d(np.asarray(cell_id)).size == 0:
+        return np.empty(0, np.int64)
     res, a, b = _hex_decode(cell_id)
     res0 = _uniform_res(res)
+    if res0 >= 15:
+        raise ValueError("res-15 cells have no children (max res 15)")
     cq = 2 * a - b
     cr = a + 3 * b
     q = (np.atleast_1d(cq)[:, None] + _HEX_COSETS[None, :, 0]).ravel()
@@ -343,7 +354,10 @@ def hex_children(cell_id) -> np.ndarray:
 
 
 def hex_neighbors(cell_id) -> np.ndarray:
-    """The 6 edge neighbors of each cell (axial unit directions)."""
+    """The 6 edge neighbors of each cell (axial unit directions).
+    Empty input -> empty output."""
+    if np.atleast_1d(np.asarray(cell_id)).size == 0:
+        return np.empty(0, np.int64)
     res, q, r = _hex_decode(cell_id)
     res0 = _uniform_res(res)
     d = _HEX_COSETS[1:]  # the 6 unit hex directions

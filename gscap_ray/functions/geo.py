@@ -27,6 +27,11 @@ def haversine_m(lat1, lon1, lat2, lon2):
     dlat = lat2 - lat1
     dlon = lon2 - lon1
     a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    # near-antipodal pairs can push a past 1.0 by an ulp, making
+    # sqrt(1 - a) NaN (measured ~4% of jittered antipodes) — clip; values
+    # for a <= 1 are untouched, and the SQL haversine template clips with
+    # the same least(a, 1.0) so engine and oracles stay identical
+    a = np.minimum(a, 1.0)
     c = 2.0 * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
     return EARTH_RADIUS_M * c
 

@@ -79,8 +79,32 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError("unrecognized image format")
 
 
+def to_rgb(img: np.ndarray) -> np.ndarray:
+    """Canonicalize any decode_image output to (h, w, 3) uint8.
+
+    decode_image legitimately returns (h, w) grayscale (JPEG luma-only),
+    (h, w, 1), (h, w, 2) gray+alpha and (h, w, 4) RGBA (PNG color types)
+    — the RGB-assuming kernels crashed on the first three and silently
+    interleaved RGBA bytes across channels on the fourth. Gray replicates
+    to three channels; alpha is dropped."""
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    c = img.shape[2]
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if c == 4:  # RGBA
+        return img[:, :, :3]
+    if c == 3:
+        return img
+    raise ValueError(f"unsupported channel count {c}")
+
+
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """uint8 (h, w, c) -> (out_h, out_w, c), bilinear, vectorized."""
+    """uint8 (h, w[, c]) -> (out_h, out_w, 3), bilinear, vectorized.
+    Non-RGB inputs are canonicalized via :func:`to_rgb`."""
+    img = to_rgb(img)
     h, w, c = img.shape
     fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
     fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
@@ -99,7 +123,9 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def channel_stats(img: np.ndarray) -> dict[str, float | int]:
     """Per-channel mean (4 dp, exact: pixel sums are integers and the
     divisor is a power of two for the 16x16 synthetic size) + global
-    min/max."""
+    min/max. Non-RGB inputs are canonicalized via :func:`to_rgb`
+    (min/max are taken AFTER canonicalization, so alpha never leaks in)."""
+    img = to_rgb(img)
     sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
     n = img.shape[0] * img.shape[1]
     return {

@@ -201,9 +201,15 @@ def quantized_blocks(plane: np.ndarray, q: int = DEFAULT_Q) -> np.ndarray:
     return co.reshape(-1, 64)[:, _ZIGZAG]
 
 
-def dequantize_blocks(coeffs: np.ndarray, q: int, h: int, w: int) -> np.ndarray:
-    """Inverse of the transform layer: zigzag (n, 64) int -> (h, w) uint8."""
-    qt = _quant_table(q).astype(np.float64)
+def dequantize_blocks(coeffs: np.ndarray, q, h: int, w: int) -> np.ndarray:
+    """Inverse of the transform layer: zigzag (n, 64) int -> (h, w) uint8.
+
+    ``q`` is either the scalar quantizer (flat table, the encoder's own
+    format) or a 64-entry ZIGZAG-order table as stored in a DQT segment —
+    one IDCT/reassembly pipeline serves both (the general-table branch of
+    decode_jpeg used to duplicate it inline)."""
+    qt = (np.asarray(q)[_UNZIGZAG].astype(np.float64) if np.ndim(q)
+          else _quant_table(q).astype(np.float64))
     d = (coeffs[:, _UNZIGZAG].astype(np.float64) * qt).reshape(-1, 8, 8)
     b = np.einsum("mk,ikl,nl->imn", _DCT_CT, d, _DCT_CT, optimize=True) + 128.0
     nby, nbx = (h + 7) // 8, (w + 7) // 8
@@ -331,6 +337,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        if self.pos >= len(self.data) - 1:
+            # scan truncated mid-symbol: a domain error, not a bare
+            # IndexError escaping from byte indexing
+            raise ValueError("truncated entropy-coded scan")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -387,6 +397,10 @@ class _HuffDecode:
 
 
 def _extend(v: int, t: int) -> int:
+    if t <= 0:
+        # only malformed AC symbols reach here (run > 0 with size 0 is
+        # not a legal baseline code; DC guards t == 0 at the call site)
+        raise ValueError("malformed entropy symbol: size-0 coefficient")
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
@@ -495,21 +509,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     SOF order with no color transform (this codec's 3-component images are
     literal R/G/B planes — see module docstring)."""
     h, w, coeffs, tables = decode_jpeg_coeffs(data)
-    planes = []
-    for co, qtab in zip(coeffs, tables):
-        qv = int(qtab[0])
-        if not np.all(qtab == qv):
-            # general table: dequantize with the full table
-            d = (co[:, _UNZIGZAG].astype(np.float64)
-                 * qtab[_UNZIGZAG].astype(np.float64))
-            b = np.einsum("mk,ikl,nl->imn", _DCT_CT, d.reshape(-1, 8, 8),
-                          _DCT_CT, optimize=True) + 128.0
-            nby, nbx = (h + 7) // 8, (w + 7) // 8
-            full = (b.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
-                    .reshape(nby * 8, nbx * 8))
-            planes.append(np.clip(np.round(full), 0, 255).astype(np.uint8)[:h, :w])
-        else:
-            planes.append(dequantize_blocks(co, qv, h, w))
+    planes = [dequantize_blocks(co, qtab, h, w)
+              for co, qtab in zip(coeffs, tables)]
     if len(planes) == 1:
         return planes[0]
     return np.stack(planes, axis=-1)

@@ -48,8 +48,16 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
     """(n, h, w) uint8 luma frames -> canonical YUV4MPEG2 bytes.
 
     ``mono``: Y plane only (Cmono). ``420``: C420jpeg with deterministic
-    flat chroma (128) — exercises the multi-plane parse path."""
+    flat chroma (128) — exercises the multi-plane parse path. Any other
+    colorspace raises (it would silently emit a C420jpeg stream the
+    caller didn't ask for), and 420 requires even dimensions (its own
+    decoder rejects odd-dimension C420 streams)."""
+    if colorspace not in ("mono", "420"):
+        raise NotImplementedError(
+            f"colorspace {colorspace!r}: only mono and 420 are encoded")
     n, h, w = frames.shape
+    if colorspace == "420" and (h % 2 or w % 2):
+        raise ValueError("C420 requires even dimensions")
     header = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
               f"C{'mono' if colorspace == 'mono' else '420jpeg'}\n")
     parts = [header.encode("ascii")]

@@ -105,7 +105,7 @@ def _enrich_pool_size() -> tuple[int, int]:
 
 
 def labeled_pages(pages_dir: str, polygons: list | None = None,
-                  enrich_concurrency=None) -> rd.Dataset:
+                  enrich_concurrency=None, config=None) -> rd.Dataset:
     """Full record-level labeling pipeline (lazy Dataset).
 
     Fast path (VERDICT r1 #5): Arrow host extraction + fused geocode/tile
@@ -124,12 +124,14 @@ def labeled_pages(pages_dir: str, polygons: list | None = None,
     )
 
     n_rows = dataset_num_rows(pages_dir)
-    parts = partitions_for(n_rows)
+    parts = (config.partitions if config is not None
+             and config.partitions is not None else partitions_for(n_rows))
     # few-large-blocks read: the part_key exchange emits one object per
     # (map block x reduce partition); see read_blocks_for
     ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS,
                          override_num_blocks=read_blocks_for(n_rows))
-    ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
+    ds = ds.map_batches(functools.partial(geocode_tile_batch,
+                                          partitions=parts, config=config),
                         batch_format="pyarrow", batch_size=None)
     if polygons is not None:
         # grid index built once per (layer, session) on the driver, the
@@ -140,10 +142,12 @@ def labeled_pages(pages_dir: str, polygons: list | None = None,
         ds = ds.map_batches(PipEnricher, fn_constructor_args=(ref,),
                             batch_format="pyarrow", batch_size=None,
                             concurrency=enrich_concurrency or _enrich_pool_size())
-    return ds.groupby("part_key").map_groups(label_partition, batch_format="pyarrow")
+    return ds.groupby("part_key").map_groups(
+        functools.partial(label_partition, config=config),
+        batch_format="pyarrow")
 
 
-def label_partition(t: pa.Table) -> pa.Table:
+def label_partition(t: pa.Table, config=None) -> pa.Table:
     """Arrow-in/Arrow-out per-partition labeling (M3 + C4 fused).
 
     One lexsort by (host_hash, ts) per partition, then the numpy velocity +
@@ -152,6 +156,9 @@ def label_partition(t: pa.Table) -> pa.Table:
     ``Table.take`` (byte identity for ``text`` preserved)."""
     from ..functions.stream import label_core
     from ..functions.velocity import BINS, stream_velocity_features
+
+    if config is None:
+        from ..config import DEFAULT as config
 
     n = t.num_rows
     if n == 0:
@@ -181,7 +188,10 @@ def label_partition(t: pa.Table) -> pa.Table:
         if e - s < 3:
             continue  # cid stays xNot (code 0)
         cidv, home, _work, _cl = label_core(lat[s:e], lon[s:e], te[s:e],
-                                            c == 1, build_clusters=False,
+                                            c == 1, eps=config.eps,
+                                            min_samples=config.min_samples,
+                                            fence=config.fence_m,
+                                            build_clusters=False,
                                             return_codes=True)
         cid[s:e] = cidv
         if home is not None:
@@ -203,7 +213,7 @@ def label_partition(t: pa.Table) -> pa.Table:
 
 
 def daily_features_direct(pages_dir: str, polygons: list | None = None,
-                          enrich_concurrency=None) -> rd.Dataset:
+                          enrich_concurrency=None, config=None) -> rd.Dataset:
     """Fused label+daily per-host stage: ONE shuffle instead of two when only
     the daily feature table is needed (the per-host records never leave the
     group).
@@ -229,10 +239,12 @@ def daily_features_direct(pages_dir: str, polygons: list | None = None,
     )
 
     n_rows = dataset_num_rows(pages_dir)
-    parts = partitions_for(n_rows)
+    parts = (config.partitions if config is not None
+             and config.partitions is not None else partitions_for(n_rows))
     ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"],
                          override_num_blocks=read_blocks_for(n_rows))
-    ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
+    ds = ds.map_batches(functools.partial(geocode_tile_batch,
+                                          partitions=parts, config=config),
                         batch_format="pyarrow", batch_size=None)
     if polygons is not None:
         from ..stages.enrich import broadcast_enricher
@@ -241,11 +253,12 @@ def daily_features_direct(pages_dir: str, polygons: list | None = None,
         ds = ds.map_batches(make_pip_task(ref), batch_format="pyarrow", batch_size=None)
     ds = ds.select_columns(["host_hash", "part_key", "warc_ts", "lat", "lon"])
 
-    return ds.groupby("part_key").map_groups(fused_partition_arrow,
-                                             batch_format="pyarrow")
+    return ds.groupby("part_key").map_groups(
+        functools.partial(fused_partition_arrow, config=config),
+        batch_format="pyarrow")
 
 
-def fused_partition_arrow(t: pa.Table) -> pa.Table:
+def fused_partition_arrow(t: pa.Table, config=None) -> pa.Table:
     """Arrow-in/Arrow-out fused label+daily over one part_key partition.
 
     Pure numpy end to end: zero-copy column extraction, per-host slices via
@@ -258,6 +271,9 @@ def fused_partition_arrow(t: pa.Table) -> pa.Table:
 
     from ..functions.stream import daily_core_arrays, label_core
     from ..functions.velocity import stream_velocity_features
+
+    if config is None:
+        from ..config import DEFAULT as config
 
     n = t.num_rows
     if n == 0:
@@ -280,6 +296,9 @@ def fused_partition_arrow(t: pa.Table) -> pa.Table:
         tu, ll, lo2 = te[s:e], la[s:e], lo[s:e]
         disp, td, vel, codes = stream_velocity_features(ll, lo2, tu)
         cid, home, work, _clusters = label_core(ll, lo2, tu, codes == 1,
+                                                eps=config.eps,
+                                                min_samples=config.min_samples,
+                                                fence=config.fence_m,
                                                 build_clusters=False,
                                                 return_codes=True)
         dcodes, dates = pd_.factorize(tu // np.int64(86_400_000_000), sort=True)
@@ -302,7 +321,8 @@ def fused_partition_arrow(t: pa.Table) -> pa.Table:
 
 def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
                      polygons: list | None = None,
-                     enrich_concurrency: int | tuple | None = None) -> dict:
+                     enrich_concurrency: int | tuple | None = None,
+                     config=None) -> dict:
     """Checkpointed flagship run: completed partitions are filtered out
     right after tiling (cheap), the rest flow through enrichment + labeling
     and are written atomically with per-partition manifests."""
@@ -323,7 +343,8 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
     from ..state.checkpoint import run_is_complete
 
     n_rows = dataset_num_rows(pages_dir)
-    parts = partitions_for(n_rows)
+    parts = (config.partitions if config is not None
+             and config.partitions is not None else partitions_for(n_rows))
     # partition count rides along so manifests written under a different
     # layout (e.g. a changed partitions_for target) never validate
     done = completed_partitions(out_dir, input_fingerprint, parts)
@@ -333,7 +354,8 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
                 "rows_written": 0, "skipped_at_read": len(done)}
     ds = rd.read_parquet(pages_dir, columns=PAGE_COLUMNS,
                          override_num_blocks=read_blocks_for(n_rows))
-    ds = ds.map_batches(functools.partial(geocode_tile_batch, partitions=parts),
+    ds = ds.map_batches(functools.partial(geocode_tile_batch,
+                                          partitions=parts, config=config),
                         batch_format="pyarrow", batch_size=None)
     ds = filter_out_partitions(ds, done)
     if polygons is not None:
@@ -347,7 +369,9 @@ def run_checkpointed(pages_dir: str, out_dir: str, input_fingerprint: str,
     # ``transform`` hook, so partition rows (text included) cross the
     # exchange exactly once instead of label-shuffle -> write-shuffle.
     summary = run_partitioned(ds, out_dir, input_fingerprint, parts,
-                              transform=label_partition, done=done)
+                              transform=functools.partial(label_partition,
+                                                          config=config),
+                              done=done)
     summary["skipped_at_read"] = len(done)
     return summary
 

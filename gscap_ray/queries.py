@@ -102,14 +102,17 @@ adj AS (SELECT lo AS a, hi AS b FROM u UNION ALL SELECT hi, lo FROM u)
 
 
 
+# the least(a, 1.0) clip mirrors functions/geo.py haversine_m: float
+# rounding can push a past 1.0 by an ulp on near-antipodal pairs, where
+# sqrt(1 - a) would be NaN on both sides; a <= 1 values are untouched
 _HAVERSINE_SQL = """
     2.0 * 6371000.0 * atan2(
-        sqrt(pow(sin(radians({lat2} - {lat1}) / 2), 2)
+        sqrt(least(pow(sin(radians({lat2} - {lat1}) / 2), 2)
              + cos(radians({lat1})) * cos(radians({lat2}))
-               * pow(sin(radians({lon2} - {lon1}) / 2), 2)),
-        sqrt(1.0 - (pow(sin(radians({lat2} - {lat1}) / 2), 2)
+               * pow(sin(radians({lon2} - {lon1}) / 2), 2), 1.0)),
+        sqrt(1.0 - least(pow(sin(radians({lat2} - {lat1}) / 2), 2)
              + cos(radians({lat1})) * cos(radians({lat2}))
-               * pow(sin(radians({lon2} - {lon1}) / 2), 2))))
+               * pow(sin(radians({lon2} - {lon1}) / 2), 2), 1.0)))
 """
 
 
@@ -7706,15 +7709,16 @@ def q_distance_join(sf_dir: str):
 
 
 # engine-order haversine: radians per coordinate first, then differences
+# (same least(a, 1.0) antipodal clip as _HAVERSINE_SQL / haversine_m)
 _HAV_ENGINE_ORDER = """
-    6371000.0 * (2.0 * atan2(sqrt(
+    6371000.0 * (2.0 * atan2(sqrt(least(
         pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2)
         + cos(radians({lat1})) * cos(radians({lat2}))
-          * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2)),
-      sqrt(1.0 - (
+          * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2), 1.0)),
+      sqrt(1.0 - least(
         pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2)
         + cos(radians({lat1})) * cos(radians({lat2}))
-          * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2)))))
+          * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2), 1.0))))
 """
 
 SQL_DISTANCE_JOIN = f"""

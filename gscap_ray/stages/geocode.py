@@ -59,7 +59,12 @@ def read_blocks_for(n_rows: int | None, target_rows: int = 250_000) -> int | Non
 
     ncpus = cluster_cpus()
     by_rows = math.ceil(n_rows / target_rows)
-    return max(1, min(max(ncpus, by_rows), max(ncpus * 8, 64), 4096))
+    # clamp: at least one block per core (fill the first map wave), at
+    # most 4096 (sub-object count dominates beyond — see docstring). An
+    # earlier ncpus*8 middle term silently capped blocks at 8 waves,
+    # which at 10^10 rows meant ~150 GB blocks; by_rows must win until
+    # the 4096 ceiling so per-block memory stays bounded at ~target_rows
+    return max(1, min(max(ncpus, by_rows), 4096))
 
 
 def partitions_for(n_rows: int | None, target_rows: int = 31_250) -> int:
@@ -80,12 +85,17 @@ def partitions_for(n_rows: int | None, target_rows: int = 31_250) -> int:
 
 
 def extract_host(urls: np.ndarray) -> np.ndarray:
-    """Vectorized host extraction from https://host/path urls."""
-    # str.partition via pandas (vectorized C path)
+    """Vectorized host extraction from scheme://host/path urls.
+
+    Splits on '/' and takes element 2 — the SAME rule as
+    extract_host_arrow, so the pandas and Arrow paths agree for any
+    scheme (the old literal 'https://' strip turned every http:// URL
+    into the single pseudo-host 'http:', silently corrupting the
+    per-host grouping key and diverging from the fused path)."""
     import pandas as pd
 
-    s = pd.Series(urls, dtype="object").str.replace("https://", "", regex=False)
-    return s.str.split("/", n=1).str[0].values
+    s = pd.Series(urls, dtype="object").str.split("/", n=3).str[2]
+    return s.values
 
 
 def extract_host_arrow(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -108,8 +118,30 @@ def geocode_batch(batch: pa.Table) -> pa.Table:
             .append_column("lon", pa.array(lon, pa.float64())))
 
 
-def tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) -> pa.Table:
-    """Add h3_r7/8/9, s2_cell (level 12), grid_cell and part_key columns.
+def _tile_columns(batch: pa.Table, lat, lon, host_h, partitions: int,
+                  config=None) -> pa.Table:
+    """Shared tile-column appender: hex levels, S2 level and grid cell
+    size come from the JobConfig (defaults reproduce the engine's
+    canonical h3_r7/8/9 + level-12 S2 + 0.1-degree grid layout)."""
+    if config is None:
+        from ..config import DEFAULT as config
+    for r in config.hex_resolutions:
+        batch = batch.append_column(
+            f"h3_r{r}", pa.array(hex_cell_id(lat, lon, r), pa.uint64()))
+    return (batch
+            .append_column("s2_cell", pa.array(
+                s2_cell_id(lat, lon, config.s2_level), pa.uint64()))
+            .append_column("grid_cell", pa.array(
+                grid_cell_id(lat, lon, config.grid_cell_deg), pa.int64()))
+            .append_column("host_hash", pa.array(host_h.view(np.int64), pa.int64()))
+            .append_column("part_key", pa.array(
+                (host_h % np.uint64(partitions)).astype(np.uint32), pa.uint32())))
+
+
+def tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS,
+               config=None) -> pa.Table:
+    """Add h3_r*/s2_cell/grid_cell and part_key columns (levels from the
+    JobConfig; defaults = h3_r7/8/9, S2 level 12, 0.1-degree grid).
 
     ``part_key`` is the hash-partition of the *host* (the per-stream shuffle
     key) — pages of one host always land in one partition, the unit of
@@ -117,17 +149,11 @@ def tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) -> pa.Tabl
     lat = batch["lat"].to_numpy()
     lon = batch["lon"].to_numpy()
     host_h = hash64(batch["host"].to_numpy(zero_copy_only=False))
-    return (batch
-            .append_column("h3_r7", pa.array(hex_cell_id(lat, lon, 7), pa.uint64()))
-            .append_column("h3_r8", pa.array(hex_cell_id(lat, lon, 8), pa.uint64()))
-            .append_column("h3_r9", pa.array(hex_cell_id(lat, lon, 9), pa.uint64()))
-            .append_column("s2_cell", pa.array(s2_cell_id(lat, lon, 12), pa.uint64()))
-            .append_column("grid_cell", pa.array(grid_cell_id(lat, lon, 0.1), pa.int64()))
-            .append_column("host_hash", pa.array(host_h.view(np.int64), pa.int64()))
-            .append_column("part_key", pa.array((host_h % np.uint64(partitions)).astype(np.uint32), pa.uint32())))
+    return _tile_columns(batch, lat, lon, host_h, partitions, config)
 
 
-def geocode_tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) -> pa.Table:
+def geocode_tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS,
+                       config=None) -> pa.Table:
     """Fused geocode + tile encode: hashes hosts/urls exactly once
     (geocode_batch + tile_batch hash the host column independently; at
     10^7+ rows the duplicate murmur pass is measurable)."""
@@ -138,17 +164,11 @@ def geocode_tile_batch(batch: pa.Table, partitions: int = DEFAULT_PARTITIONS) ->
     urls = batch["url"].to_numpy(zero_copy_only=False)
     ts_us = batch["warc_ts"].cast(pa.int64()).to_numpy()
     lat, lon = geocode(host_h, hash64(urls), ts_us)
-    return (batch
-            .append_column("host", host_arr)
-            .append_column("lat", pa.array(lat, pa.float64()))
-            .append_column("lon", pa.array(lon, pa.float64()))
-            .append_column("h3_r7", pa.array(hex_cell_id(lat, lon, 7), pa.uint64()))
-            .append_column("h3_r8", pa.array(hex_cell_id(lat, lon, 8), pa.uint64()))
-            .append_column("h3_r9", pa.array(hex_cell_id(lat, lon, 9), pa.uint64()))
-            .append_column("s2_cell", pa.array(s2_cell_id(lat, lon, 12), pa.uint64()))
-            .append_column("grid_cell", pa.array(grid_cell_id(lat, lon, 0.1), pa.int64()))
-            .append_column("host_hash", pa.array(host_h.view(np.int64), pa.int64()))
-            .append_column("part_key", pa.array((host_h % np.uint64(partitions)).astype(np.uint32), pa.uint32())))
+    batch = (batch
+             .append_column("host", host_arr)
+             .append_column("lat", pa.array(lat, pa.float64()))
+             .append_column("lon", pa.array(lon, pa.float64())))
+    return _tile_columns(batch, lat, lon, host_h, partitions, config)
 
 
 def text_hash_batch(batch: pa.Table) -> pa.Table:
