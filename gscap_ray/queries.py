@@ -116,6 +116,25 @@ _HAVERSINE_SQL = """
 """
 
 
+def _join_parallelism() -> int:
+    """Hash-join partition count for native Dataset.join sites.
+
+    Preserves the measured small-cluster optimum (8 partitions beat 16
+    by ~5x at 32 CPUs — aggregator-actor startup dominates there) while
+    SCALING with the cluster instead of freezing at the 8-partition
+    workaround: ncpu/4 beyond 32 CPUs, capped at 64 aggregator actors.
+    Identical values at every tested CPU count (4->2, 8->4, 16->8,
+    32->8); a 256-CPU cluster gets 64 partitions instead of 8."""
+    import ray as _ray
+
+    try:
+        ncpu = (int(_ray.cluster_resources().get("CPU", 8))
+                if _ray.is_initialized() else 8)
+    except Exception:
+        ncpu = 8
+    return max(2, min(ncpu // 2, max(8, ncpu // 4), 64))
+
+
 def _points_ds(sf_dir: str) -> rd.Dataset:
     return _read(sf_dir, "events").map_batches(derive_points_batch, batch_format="pyarrow")
 
@@ -151,20 +170,44 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_topk_users(sf_dir: str):
-    """SRT2: grouped sum -> global top-3 with deterministic tiebreak."""
-    from ray.data.aggregate import Sum
+    """SRT2: grouped sum -> global top-3 with deterministic tiebreak.
 
+    Scale shape (SURVEY §4 convention): user count grows linearly with
+    sf, so a native per-user Aggregate would pay ~2 ms/key of Python
+    accumulate AND ship raw rows through the exchange. Instead: exact
+    integer-cent per-batch partials (events.value is a 2-dp grid, so the
+    sums are order-independent ints), ONE 64-way user-hash fold, a
+    per-partition top-3 under the final (total desc, user asc) order,
+    and a driver sort of <= 3 x 64 rows. The oracle mirrors the exact
+    integer form."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
-    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="total"))
-    top = agg.sort(["total", "user_id"], descending=[True, False]).limit(3).to_pandas()
-    top["total"] = top["total"].round(4)
-    return top
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        g = (pd.DataFrame({"user_id": u, "c": cents})
+             .groupby("user_id", sort=False)["c"].sum().reset_index())
+        g["part"] = (g["user_id"].to_numpy(np.int64) % 64).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)["c"].sum().reset_index()
+        g["total"] = np.round(g["c"].to_numpy(np.int64) / 100.0, 4)
+        g = g.sort_values(["total", "user_id"], ascending=[False, True])
+        return g.head(3)[["user_id", "total"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(fold_top, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["total", "user_id"], ascending=[False, True])
+            .head(3).reset_index(drop=True))
 
 
 SQL_TOPK_USERS = """
-SELECT user_id, round(sum(value), 4) AS total
+SELECT user_id,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total
 FROM events GROUP BY user_id
-ORDER BY sum(value) DESC, user_id LIMIT 3
+ORDER BY 2 DESC, user_id LIMIT 3
 """
 
 
@@ -202,31 +245,78 @@ GROUP BY r_name
 
 
 def q_join_orders_customers(sf_dir: str):
-    """J9: fact-to-dimension hash join (broadcast side = customer)."""
-    import ray
+    """J9: fact-to-dimension join, scale-safe form.
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lut_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    Customer grows linearly with sf (TPC-H 150k rows/SF), so NEITHER side
+    broadcasts (the old Python-dict ray.put of every c_custkey was an
+    O(dataset) driver object). Orders pre-aggregate per custkey as exact
+    integer cents (o_totalprice is a 2-dp grid) inside each batch, both
+    sides flow through ONE 64-way custkey-hash partition as a union, and
+    the per-partition merge attaches segments with a vectorized
+    searchsorted — a hash-partition merge join with no join actors and
+    O(segments) driver state. The oracle mirrors the exact-cents sum."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    def attach(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        seg = pd.Series(t["o_custkey"].to_numpy()).map(lut).values
-        return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+    def ord_partial(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = (pd.DataFrame({"k": k, "c_p": cents})
+             .groupby("k", sort=False)
+             .agg(n_p=("c_p", "size"), c_p=("c_p", "sum")).reset_index())
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+            "n_p": pa.array(g["n_p"].to_numpy(np.int64), pa.int64()),
+            "c_p": pa.array(g["c_p"].to_numpy(np.int64), pa.int64()),
+            "seg": pa.array(np.full(len(g), "", dtype=object), pa.string()),
+            "part": pa.array((g["k"].to_numpy(np.int64) % 64)
+                             .astype(np.int32), pa.int32())})
 
-    from ray.data.aggregate import Count, Sum
+    def cust_side(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy().astype(np.int64)
+        z = np.zeros(k.shape[0], np.int64)
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "n_p": pa.array(z, pa.int64()),
+            "c_p": pa.array(z, pa.int64()),
+            "seg": t["c_mktsegment"],
+            "part": pa.array((k % 64).astype(np.int32), pa.int32())})
 
-    out = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-           .map_batches(attach, batch_format="pyarrow")
-           .groupby("c_mktsegment")
-           .aggregate(Count(alias_name="n_orders"),
-                      Sum("o_totalprice", alias_name="sum_totalprice"))).to_pandas()
-    out["sum_totalprice"] = out["sum_totalprice"].round(2)
-    return out
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        is_cust = df["seg"].values != ""
+        co = df[~is_cust]
+        g = (co.groupby("k", sort=False)[["n_p", "c_p"]].sum().reset_index())
+        ck = df["k"].values[is_cust].astype(np.int64)
+        cs = df["seg"].values[is_cust]
+        o = np.argsort(ck, kind="stable")
+        ck, cs = ck[o], cs[o]
+        gk = g["k"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(ck, gk),
+                         max(ck.size - 1, 0)) if ck.size else np.zeros(
+                             gk.size, np.int64)
+        hit = (ck[pos] == gk) if ck.size else np.zeros(gk.size, bool)
+        out = pd.DataFrame({"seg": cs[pos[hit]] if ck.size else [],
+                            "n_p": g["n_p"].to_numpy(np.int64)[hit],
+                            "c_p": g["c_p"].to_numpy(np.int64)[hit]})
+        return (out.groupby("seg", sort=False)[["n_p", "c_p"]].sum()
+                .reset_index())
+
+    parts = (orders.map_batches(ord_partial, batch_format="pyarrow")
+             .union(cust.map_batches(cust_side, batch_format="pyarrow"))
+             .groupby("part").map_groups(merge, batch_format="pandas")
+             .to_pandas())
+    fin = parts.groupby("seg", sort=False)[["n_p", "c_p"]].sum().reset_index()
+    return pd.DataFrame({
+        "c_mktsegment": fin["seg"],
+        "n_orders": fin["n_p"].astype(np.int64),
+        "sum_totalprice": np.round(fin["c_p"].to_numpy(np.int64) / 100.0, 2),
+    })
 
 
 SQL_JOIN_ORDERS_CUSTOMERS = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_totalprice
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -250,7 +340,7 @@ def q_join_lineitem_orders(sf_dir: str):
     # than 8 at 32 CPUs — same sizing as _exact_jaccard_verify)
     import ray as _ray
 
-    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    jp = _join_parallelism()
     j = li.join(orders, "inner", jp, on=("l_orderkey",), right_on=("o_orderkey",))
     out = (j.groupby("o_orderpriority")
            .aggregate(Sum("rev", alias_name="revenue"),
@@ -361,20 +451,29 @@ GROUP BY 1 ORDER BY n DESC, cell LIMIT 10
 
 def q_exact_dedup(sf_dir: str):
     """D1/D2: exact dedup — first (min doc_id) per distinct text.
-    Hash-partition by content key, per-group min."""
-    from ray.data.aggregate import Min
 
+    Distinct-text count grows with the corpus, so the per-key min folds
+    through the engine's 64-way content-key-hash partition (per-batch
+    min partials, vectorized per-partition min — SURVEY §4: a native
+    per-key Aggregate pays ~2 ms/key of Python accumulate)."""
     from .functions.dedup import exact_key
 
-    def key(t: pa.Table) -> pa.Table:
-        # uint64 -> int64 bit-reinterpret: Ray's groupby key path is int64
+    def key_partial(t: pa.Table) -> pa.Table:
+        # uint64 -> int64 bit-reinterpret: int keys end to end
         k = exact_key(t["text"].to_numpy(zero_copy_only=False)).view(np.int64)
-        return t.append_column("tkey", pa.array(k, pa.int64())).drop_columns(["text"])
+        g = (pd.DataFrame({"tkey": k,
+                           "doc_id": t["doc_id"].to_numpy().astype(np.int64)})
+             .groupby("tkey", sort=False)["doc_id"].min().reset_index())
+        g["part"] = (g["tkey"].to_numpy(np.int64) % 64).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("tkey", sort=False)["doc_id"].min()
+                .reset_index()[["doc_id"]])
 
     return (_read(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(key, batch_format="pyarrow")
-            .groupby("tkey")
-            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .map_batches(key_partial, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas")
             .select_columns(["doc_id"]))
 
 
@@ -2186,10 +2285,9 @@ def _exact_jaccard_verify(docs: rd.Dataset, cand: rd.Dataset) -> rd.Dataset:
     # join parallelism sized to the cluster: each hash-shuffle join spawns
     # num_partitions aggregator actors, and two 8-partition joins deadlock
     # a 4-CPU cluster (observed: bench --scaling 4-CPU level hung >50 min)
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
     # 16 partitions measured 5x slower than 8 on this workload (aggregator
     # actor thrash); 8 is also the deadlock-safe cap for small clusters
-    jp = max(2, min(8, ncpu // 2))
+    jp = _join_parallelism()
     j1 = cand.join(sh_a, "inner", jp, on=("doc_a",), right_on=("ka",))
     j2 = j1.join(sh_b, "inner", jp, on=("doc_b",), right_on=("kb",))
 
@@ -2429,8 +2527,7 @@ def _edit_verify(keys: rd.Dataset, cand: rd.Dataset, d: int) -> rd.Dataset:
 
     sa = keys.map_batches(mk, batch_format="pyarrow").materialize()
     sb = sa.rename_columns({"ka": "kb", "s_a": "s_b"})
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    jp = max(2, min(8, ncpu // 2))
+    jp = _join_parallelism()
     j1 = cand.join(sa, "inner", jp, on=("doc_a",), right_on=("ka",))
     j2 = j1.join(sb, "inner", jp, on=("doc_b",), right_on=("kb",))
 
@@ -2728,7 +2825,7 @@ def q_dedup_representatives(sf_dir: str):
 
     nt = (_read(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(ntok, batch_format="pyarrow"))
-    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    nparts = _join_parallelism()
     j = (nt.join(cc, "inner", nparts, on=("doc_id",), right_on=("id",))
          .select_columns(["doc_id", "ntok", "rep"]))
 
@@ -3095,23 +3192,37 @@ FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_id < b.event_id
 def q_cell_dedup(sf_dir: str):
     """D3 (grid-snap near-dedup, the 5-dp cache-key rounding analog): snap
     points to 0.01-deg cells, count distinct cells per user. Partial
-    per-batch dedup before the shuffle (pre-aggregation)."""
-    from ray.data.aggregate import Count
-
+    per-batch dedup before the shuffle, then ONE 64-way user-hash fold
+    with a vectorized distinct-count per partition — the previous chained
+    native Aggregates ((user, cell) Count then user Count) paid ~2 ms/key
+    of Python accumulate on two scale-growing key sets (SURVEY §4)."""
     from .functions.cells import grid_cell_id
 
     def snap_partial(t: pa.Table) -> pa.Table:
         cells = grid_cell_id(t["lat"].to_numpy(), t["lon"].to_numpy(), 0.01)
         u = t["user_id"].to_numpy().astype(np.int64)
         pairs = np.unique(u * np.int64(1 << 40) + cells.astype(np.int64))
-        return pa.table({"user_id": pa.array(pairs >> np.int64(40), pa.int64()),
-                         "cell": pa.array(pairs & np.int64((1 << 40) - 1), pa.int64())})
+        uu = pairs >> np.int64(40)
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "cell": pa.array(pairs & np.int64((1 << 40) - 1),
+                                          pa.int64()),
+                         "part": pa.array((uu % 64).astype(np.int32),
+                                          pa.int32())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # cross-batch dedup + count in one vectorized pass: a user's
+        # (user, cell) pairs all land in this partition
+        pairs = np.unique(df["user_id"].to_numpy(np.int64) * np.int64(1 << 40)
+                          + df["cell"].to_numpy(np.int64))
+        uu = pairs >> np.int64(40)
+        uk, n = np.unique(uu, return_counts=True)
+        return pd.DataFrame({"user_id": uk, "n_cells": n.astype(np.int64)})
 
     return (_points_ds(sf_dir)
             .select_columns(["user_id", "lat", "lon"])
             .map_batches(snap_partial, batch_format="pyarrow")
-            .groupby(["user_id", "cell"]).aggregate(Count(alias_name="_c"))
-            .groupby("user_id").aggregate(Count(alias_name="n_cells")))
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["user_id", "n_cells"]))
 
 
 SQL_CELL_DEDUP = f"""
@@ -4830,7 +4941,7 @@ def q_range_join(sf_dir: str):
     # join_lineitem_orders / _exact_jaccard_verify)
     import ray as _ray
 
-    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    jp = _join_parallelism()
     joined = left.join(right, "inner", jp, on=("user_id", "hb"))
 
     def precise(t: pa.Table) -> pa.Table:
@@ -5231,9 +5342,8 @@ def q_triangle_count(sf_dir: str):
         return pa.table({"lo": pa.array(key // U, pa.int64()),
                          "hi": pa.array(key % U, pa.int64())})
 
-    und = (edges.map_batches(canon, batch_format="pyarrow")
-           .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c"))
-           .select_columns(["lo", "hi"]).materialize())
+    und = _dedup_pairs(edges.map_batches(canon, batch_format="pyarrow"),
+                       "lo", "hi").materialize()
 
     def deg_partial(t: pa.Table) -> pa.Table:
         ids = np.concatenate([t["lo"].to_numpy(), t["hi"].to_numpy()])
@@ -5241,8 +5351,8 @@ def q_triangle_count(sf_dir: str):
         return pa.table({"node": pa.array(u, pa.int64()),
                          "d": pa.array(c.astype(np.int64), pa.int64())})
 
-    degs = (und.map_batches(deg_partial, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+    degs = _fold_by_key(und.map_batches(deg_partial, batch_format="pyarrow"),
+                        "node", [("d", "sum", "d")]).to_pandas()
     deg = np.zeros(U, np.int64)
     deg[degs["node"].to_numpy()] = degs["d"].to_numpy().astype(np.int64)
     deg_ref = _ray.put(deg)
@@ -5269,7 +5379,8 @@ def q_triangle_count(sf_dir: str):
         # exchange at all (the 4M-row wedge table never exists as a
         # Dataset). Gate bounds the broadcast at ~64 MB; larger graphs
         # take the join path below, which shuffles but never broadcasts.
-        et = pa.concat_tables(_ray.get(ori.to_arrow_refs()))
+        et = pa.concat_tables(
+            [t for t in _ray.get(ori.to_arrow_refs()) if t.num_rows])
         a = et["a"].to_numpy().astype(np.int64)
         b = et["b"].to_numpy().astype(np.int64)
         o = np.lexsort((b, a))
@@ -5301,7 +5412,7 @@ def q_triangle_count(sf_dir: str):
         n_wedges = int(parts["wedges"].sum())
         n_tri = int(parts["tri"].sum())
     else:
-        jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+        jp = _join_parallelism()
         # wedges: (a->b) x (b->c); both legs out-edges of the oriented DAG
         left = ori.map_batches(
             lambda t: pa.table({"a": t["a"], "mid": t["b"]}),
@@ -5379,18 +5490,10 @@ def q_bloom_semi_join(sf_dir: str):
     orders), aggregated per order — all-integer output (cents / rounded
     units), zero float-parity risk."""
     import ray as _ray
-    from ray.data.aggregate import Count, Sum
 
-    M_BITS = 1 << 17  # 16 KiB bitmap
     K = 4             # hash probes
     C1 = np.uint64(0x9E3779B97F4A7C15)
     C2 = np.uint64(0xC2B2AE3D27D4EB4F)
-
-    def positions(keys: np.ndarray, i: int) -> np.ndarray:
-        h = keys * C1 + np.uint64(2 * i + 1) * C2
-        h ^= h >> np.uint64(29)
-        h *= C1
-        return (h >> np.uint64(17)) % np.uint64(M_BITS)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
@@ -5400,6 +5503,20 @@ def q_bloom_semi_join(sf_dir: str):
             t["o_orderkey"].to_numpy()[keep].astype(np.int64), pa.int64())})
 
     qual = orders.map_batches(qualifying, batch_format="pyarrow").materialize()
+    # size the bitmap to the qualifying-key count (the docstring's own
+    # m/k rule — a frozen 1<<17 saturates at ~3M keys and the prefilter
+    # degrades to a no-op): ~16 bits/key with K=4 keeps FPR ~0.3%;
+    # floor 16 KiB, power of two so the mask math stays shift-friendly.
+    # The bitmap size never changes the OUTPUT (survivors pass an exact
+    # join) — only the prefilter's selectivity.
+    nq = qual.count()
+    M_BITS = 1 << max(17, int(np.ceil(np.log2(max(nq, 1) * 16))))
+
+    def positions(keys: np.ndarray, i: int) -> np.ndarray:
+        h = keys * C1 + np.uint64(2 * i + 1) * C2
+        h ^= h >> np.uint64(29)
+        h *= C1
+        return (h >> np.uint64(17)) % np.uint64(M_BITS)
 
     def partial_bloom(t: pa.Table) -> pa.Table:
         k = t["okey"].to_numpy().astype(np.uint64)
@@ -5438,14 +5555,34 @@ def q_bloom_semi_join(sf_dir: str):
             "cents": pa.array(np.round(t["l_extendedprice"].to_numpy() * 100)
                               .astype(np.int64), pa.int64())})
 
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    jp = max(2, min(8, ncpu // 2))
+    jp = _join_parallelism()
     j = (li.map_batches(to_ints, batch_format="pyarrow")
          .join(qual, "inner", jp, on=("l_orderkey",), right_on=("okey",)))
-    out = (j.groupby("l_orderkey").aggregate(
-        Count(alias_name="n_items"),
-        Sum("qty", alias_name="sum_qty"),
-        Sum("cents", alias_name="revenue_cents")).to_pandas())
+
+    # per-order sums fold through the 64-way orderkey-hash partition —
+    # orderkeys are the SURVEY §4 canonical example of a scale-growing
+    # key where a native Aggregate pays ~2 ms/key of Python accumulate
+    def agg_partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy().astype(np.int64),
+            "qty": t["qty"].to_numpy().astype(np.int64),
+            "cents": t["cents"].to_numpy().astype(np.int64)})
+            .groupby("l_orderkey", sort=False)
+            .agg(n_p=("qty", "size"), q_p=("qty", "sum"),
+                 c_p=("cents", "sum")).reset_index())
+        g["part"] = (g["l_orderkey"].to_numpy(np.int64) % 64).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def agg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("l_orderkey", sort=False)[["n_p", "q_p", "c_p"]]
+             .sum().reset_index())
+        return g.rename(columns={"n_p": "n_items", "q_p": "sum_qty",
+                                 "c_p": "revenue_cents"})
+
+    out = (j.map_batches(agg_partial, batch_format="pyarrow")
+           .groupby("part").map_groups(agg_fold, batch_format="pandas")
+           .to_pandas())
+    out = out[["l_orderkey", "n_items", "sum_qty", "revenue_cents"]]
     for c in ("n_items", "sum_qty", "revenue_cents"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("l_orderkey").reset_index(drop=True)
@@ -5656,8 +5793,7 @@ def q_local_revenue(sf_dir: str):
           .map_batches(li_ints, batch_format="pyarrow"))
     orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
               .map_batches(ord_ints, batch_format="pyarrow"))
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    jp = max(2, min(8, ncpu // 2))
+    jp = _join_parallelism()
     j = li.join(orders, "inner", jp, on=("l_orderkey",), right_on=("okey",))
 
     def local_only(t: pa.Table) -> pa.Table:
@@ -7171,12 +7307,28 @@ def q_snapshot_diff(sf_dir: str):
     from .functions.text import md5_token_hash64
 
     def fingerprint(t: pa.Table) -> np.ndarray:
+        # hash DISTINCT (status, priority, date) combos only — a few
+        # thousand vs one Python f-string + md5 per ROW (the established
+        # O(distinct) pattern of q_dataset_split): factorize each column,
+        # pack codes, unique, build + hash the unique strings, gather
         pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
         st = t["o_orderstatus"].to_numpy(zero_copy_only=False)
         od = (t["o_orderdate"].to_numpy().astype("datetime64[us]")
               .astype(np.int64))
-        keys = [f"{s}|{p}|{d}" for s, p, d in zip(st, pr, od)]
-        return (md5_token_hash64(keys) % np.uint64(2**31)).astype(np.int64)
+        pcod, pu = pd.factorize(pr)
+        scod, su = pd.factorize(st)
+        dcod, du = pd.factorize(od)
+        combo = ((pcod.astype(np.int64) * len(su) + scod) * len(du)
+                 + dcod)
+        uc, inv = np.unique(combo, return_inverse=True)
+        d_i = uc % len(du)
+        rem = uc // len(du)
+        s_i = rem % len(su)
+        p_i = rem // len(su)
+        ukeys = [f"{su[s]}|{pu[p]}|{du[d]}"
+                 for p, s, d in zip(p_i, s_i, d_i)]
+        uh = (md5_token_hash64(ukeys) % np.uint64(2**31)).astype(np.int64)
+        return uh[inv]
 
     def side_a(t: pa.Table) -> pa.Table:
         k = t["o_orderkey"].to_numpy().astype(np.int64)
@@ -9816,9 +9968,8 @@ def q_mis_rounds(sf_dir: str):
             return pa.table({"node": pa.array(v, pa.int64()),
                              "nbr": pa.array(w, pa.int64())})
 
-        mn = (und.map_batches(minnbr, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("nbr", alias_name="mn"))
-              .to_pandas())
+        mn = _fold_by_key(und.map_batches(minnbr, batch_format="pyarrow"),
+                          "node", [("nbr", "min", "mn")]).to_pandas()
         minnb = np.full(U, np.iinfo(np.int64).max, np.int64)
         if len(mn):
             minnb[mn["node"].to_numpy(np.int64)] = \
@@ -9836,9 +9987,8 @@ def q_mis_rounds(sf_dir: str):
                                   lo_t[jn[hi_t] & (st[lo_t] == 0)]])
             return pa.table({"node": pa.array(np.unique(out), pa.int64())})
 
-        rset = (und.map_batches(rm, batch_format="pyarrow")
-                .groupby("node").aggregate(Min("node", alias_name="_m"))
-                .to_pandas())
+        rset = _fold_by_key(und.map_batches(rm, batch_format="pyarrow"),
+                            "node", [("node", "min", "_m")]).to_pandas()
         if len(rset):
             status[rset["node"].to_numpy(np.int64)] = 2
     return pd.DataFrame({"host_idx": np.arange(U, dtype=np.int64),
@@ -9907,9 +10057,8 @@ def q_path_counts(sf_dir: str):
                                   lo_t[(dd[hi_t] == h - 1) & (dd[lo_t] < 0)]])
             return pa.table({"node": pa.array(np.unique(new), pa.int64())})
 
-        nxt = (und.map_batches(level, batch_format="pyarrow")
-               .groupby("node").aggregate(Sum("node", alias_name="_s"))
-               .to_pandas())
+        nxt = _fold_by_key(und.map_batches(level, batch_format="pyarrow"),
+                           "node", [("node", "min", "_s")]).to_pandas()
         if len(nxt) == 0:
             break
         frontier = nxt["node"].to_numpy(np.int64)
@@ -9929,9 +10078,8 @@ def q_path_counts(sf_dir: str):
             return pa.table({"node": pa.array(v, pa.int64()),
                              "s_p": pa.array(s, pa.int64())})
 
-        lv = (und.map_batches(contrib, batch_format="pyarrow")
-              .groupby("node").aggregate(Sum("s_p", alias_name="s"))
-              .to_pandas())
+        lv = _fold_by_key(und.map_batches(contrib, batch_format="pyarrow"),
+                          "node", [("s_p", "sum", "s")]).to_pandas()
         if len(lv):
             sigma[lv["node"].to_numpy(np.int64)] = lv["s"].to_numpy(np.int64)
     reached = np.flatnonzero(dist >= 0)
@@ -10063,7 +10211,10 @@ def q_two_hop_counts(sf_dir: str):
     import ray as _ray
 
     und, U = _link_graph_und(sf_dir)
-    et = pa.concat_tables(_ray.get(und.to_arrow_refs()))
+    # drop zero-column empty blocks (map_groups emits them for empty
+    # partitions and map_batches skips them, so they reach the concat)
+    et = pa.concat_tables(
+        [t for t in _ray.get(und.to_arrow_refs()) if t.num_rows])
     lo_a = et["lo"].to_numpy().astype(np.int64)
     hi_a = et["hi"].to_numpy().astype(np.int64)
     # symmetric CSR
@@ -10582,8 +10733,8 @@ def q_degree_assortativity_components(sf_dir: str):
         return pa.table({"node": pa.array(un, pa.int64()),
                          "d": pa.array(c.astype(np.int64), pa.int64())})
 
-    degs = (und.map_batches(deg_partial, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+    degs = _fold_by_key(und.map_batches(deg_partial, batch_format="pyarrow"),
+                        "node", [("d", "sum", "d")]).to_pandas()
     deg = np.zeros(U, np.int64)
     deg[degs["node"].to_numpy()] = degs["d"].to_numpy().astype(np.int64)
     deg_ref = _ray.put(deg)
@@ -11188,9 +11339,8 @@ def q_link_bfs_hops(sf_dir: str):
                                   lo_t[fs[hi_t] & ~visited[lo_t]]])
             return pa.table({"node": pa.array(np.unique(new), pa.int64())})
 
-        nxt = (und.map_batches(expand, batch_format="pyarrow")
-               .groupby("node").aggregate(Min("node", alias_name="_m"))
-               .to_pandas())
+        nxt = _fold_by_key(und.map_batches(expand, batch_format="pyarrow"),
+                           "node", [("node", "min", "_m")]).to_pandas()
         frontier = nxt["node"].to_numpy().astype(np.int64) if len(nxt) \
             else np.array([], np.int64)
         frontier = frontier[dist[frontier] < 0]
@@ -11984,6 +12134,69 @@ FROM k GROUP BY packed
 """
 
 
+def _fold_by_key(ds: rd.Dataset, key: str, spec: list) -> rd.Dataset:
+    """Per-int-key aggregate via the engine's 64-way key-hash fold
+    (SURVEY §4: Ray's native per-key Aggregate pays ~2 ms/key of Python
+    accumulate — ruinous on scale-growing keys like nodes/orderkeys).
+
+    ``spec``: (src_col, op, out_name) triples, op in sum|min|count.
+    Two levels: vectorized per-batch partials -> ONE 64-way hash
+    partition of (key, partials) -> vectorized per-partition combine.
+    sum/min are decomposable as themselves; count folds as sum of
+    per-batch sizes. All columns must be numeric."""
+    agg1 = {out: (key if op == "count" else src,
+                  "size" if op == "count" else op)
+            for src, op, out in spec}
+    agg2 = {out: (out, "sum" if op == "count" else op)
+            for _src, op, out in spec}
+    need = sorted({key, *[s for s, op, _ in spec if op != "count"]})
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: t[c].to_numpy(zero_copy_only=False)
+                           for c in need})
+        g = df.groupby(key, sort=False).agg(**agg1).reset_index()
+        g["part"] = (g[key].to_numpy(np.int64) % 64).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, sort=False).agg(**agg2).reset_index()
+
+    # NOTE: map_groups can emit a ZERO-COLUMN empty block for an empty
+    # partition (and map_batches skips empty blocks, so it cannot be
+    # normalized here) — driver-side consumers that concat raw block
+    # refs must drop t.num_rows == 0 tables (see q_two_hop_counts)
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns([key] + [o for _, _, o in spec]))
+
+
+def _dedup_pairs(ds: rd.Dataset, a: str, b: str) -> rd.Dataset:
+    """Distinct (a, b) int64 pairs via the engine's 64-way pair-hash fold
+    (SURVEY §4): batches carry per-batch-distinct pairs, ONE exchange of
+    int pairs, per-partition np.unique — replacing the native per-pair
+    Count Aggregate that paid ~2 ms/key of Python accumulate on a
+    scale-growing edge key in the memoized link-graph builders (the
+    q_ks_distance measurement). Values must fit 32 bits (host indices)."""
+    def part_col(t: pa.Table) -> pa.Table:
+        av = t[a].to_numpy().astype(np.int64)
+        bv = t[b].to_numpy().astype(np.int64)
+        return pa.table({a: pa.array(av, pa.int64()),
+                         b: pa.array(bv, pa.int64()),
+                         "part": pa.array(((av * 31 + bv) % 64)
+                                          .astype(np.int32), pa.int32())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique((df[a].to_numpy(np.int64) << np.int64(32))
+                      | df[b].to_numpy(np.int64))
+        return pd.DataFrame({a: k >> np.int64(32),
+                             b: k & np.int64(0xFFFFFFFF)})
+
+    # zero-column empty blocks: see the note in _fold_by_key
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns([a, b]))
+
+
 # --------------------------------------------- graph: truss / core peeling ---
 
 _LINK_MEMO: dict = {}          # (pages_dir, kind) -> (edges Dataset, U)
@@ -12045,9 +12258,7 @@ def _und_degrees(und, U: int) -> np.ndarray:
 
 
 def _graph_join_parallelism() -> int:
-    import ray as _ray
-
-    return max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    return _join_parallelism()
 
 
 # wedge rows per driver-side expansion chunk (_edge_support_np): bounds the
@@ -12243,9 +12454,8 @@ def _link_graph_und(sf_dir: str):
         return pa.table({"lo": pa.array(key // big, pa.int64()),
                          "hi": pa.array(key % big, pa.int64())})
 
-    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
-             .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c"))
-             .select_columns(["lo", "hi"]).materialize())
+    edges = _dedup_pairs(ds.map_batches(edges_part, batch_format="pyarrow"),
+                         "lo", "hi").materialize()
     m = edges.aggregate(Max("lo"), Max("hi"))
     U = int(max(m["max(lo)"], m["max(hi)"])) + 1
     _link_memo_put(memo_key, (edges, U))
@@ -12317,8 +12527,8 @@ def q_k_core_rounds(sf_dir: str):
             return pa.table({"node": pa.array(un, pa.int64()),
                              "d": pa.array(c.astype(np.int64), pa.int64())})
 
-        dp = (und.map_batches(dpart, batch_format="pyarrow")
-              .groupby("node").aggregate(Sum("d", alias_name="d")).to_pandas())
+        dp = _fold_by_key(und.map_batches(dpart, batch_format="pyarrow"),
+                          "node", [("d", "sum", "d")]).to_pandas()
         dense = np.zeros(U, np.int64)
         if len(dp):
             dense[dp["node"].to_numpy()] = dp["d"].to_numpy().astype(np.int64)
@@ -12721,12 +12931,10 @@ def q_tree_rollup(sf_dir: str):
                          "c_p": pa.array(sub_c[nz], pa.int64()),
                          "n_p": pa.array(sub_n[nz], pa.int64())})
 
-    from ray.data.aggregate import Sum
-
-    return (_read(sf_dir, "events", ["event_id", "value"])
-            .map_batches(expand, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("c_p", alias_name="sub_cents"),
-                                       Sum("n_p", alias_name="sub_n")))
+    return _fold_by_key(
+        _read(sf_dir, "events", ["event_id", "value"])
+        .map_batches(expand, batch_format="pyarrow"),
+        "node", [("c_p", "sum", "sub_cents"), ("n_p", "sum", "sub_n")])
 
 
 SQL_TREE_ROLLUP = """
@@ -13188,9 +13396,8 @@ def q_hits_scores(sf_dir: str):
         df["dst"] = df["href"].str.extract(idx_re, expand=False).astype(np.int64)
         return df[df["src"] != df["dst"]][["src", "dst"]].drop_duplicates()
 
-    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-             .select_columns(["src", "dst"]).materialize())
+    edges = _dedup_pairs(ds.map_batches(edges_part, batch_format="pyarrow"),
+                         "src", "dst").materialize()
     m = edges.aggregate(Max("src"), Max("dst"))
     U = int(max(m["max(src)"], m["max(dst)"])) + 1
 
@@ -13206,9 +13413,8 @@ def q_hits_scores(sf_dir: str):
             return pa.table({"node": pa.array(nz, pa.int64()),
                              "s": pa.array(acc[nz], pa.int64())})
 
-        agg = (edges.map_batches(part, batch_format="pyarrow")
-               .groupby("node").aggregate(Sum("s", alias_name="t"))
-               .to_pandas())
+        agg = _fold_by_key(edges.map_batches(part, batch_format="pyarrow"),
+                           "node", [("s", "sum", "t")]).to_pandas()
         out = np.zeros(U, np.int64)
         out[agg["node"].to_numpy(np.int64)] = agg["t"].to_numpy(np.int64)
         return out
@@ -13335,31 +13541,44 @@ def q_reciprocal_links(sf_dir: str):
         df["dst"] = df["href"].str.extract(idx_re, expand=False).astype(np.int64)
         return df[df["src"] != df["dst"]][["src", "dst"]].drop_duplicates()
 
-    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-             .select_columns(["src", "dst"]).materialize())
+    edges = _dedup_pairs(ds.map_batches(edges_part, batch_format="pyarrow"),
+                         "src", "dst").materialize()
 
     def canon(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy()
-        d = t["dst"].to_numpy()
-        return pa.table({"lo": pa.array(np.minimum(s, d), pa.int64()),
-                         "hi": pa.array(np.maximum(s, d), pa.int64())})
+        # packed canonical edge key + per-batch direction counts — the
+        # 64-way fold sums them (nd == 2 <=> both directions present);
+        # no native per-pair Aggregate (SURVEY §4)
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        k = (np.minimum(s, d) << np.int64(32)) | np.maximum(s, d)
+        ku, c = np.unique(k, return_counts=True)
+        return pa.table({"ek": pa.array(ku, pa.int64()),
+                         "nd_p": pa.array(c.astype(np.int64), pa.int64())})
 
-    mut = (edges.map_batches(canon, batch_format="pyarrow")
-           .groupby(["lo", "hi"]).aggregate(Count(alias_name="nd")))
+    mut = _fold_by_key(edges.map_batches(canon, batch_format="pyarrow"),
+                       "ek", [("nd_p", "sum", "nd")])
 
     def credit(t: pa.Table) -> pa.Table:
         m = t["nd"].to_numpy() == 2
-        lo, hi = t["lo"].to_numpy()[m], t["hi"].to_numpy()[m]
-        return pa.table({"host": pa.array(np.concatenate([lo, hi]), pa.int64()),
-                         "r_p": pa.array(np.ones(2 * lo.size, np.int64),
-                                         pa.int64())})
+        k = t["ek"].to_numpy()[m]
+        lo = k >> np.int64(32)
+        hi = k & np.int64(0xFFFFFFFF)
+        host = np.concatenate([lo, hi])
+        hu, c = np.unique(host, return_counts=True)
+        return pa.table({"host": pa.array(hu, pa.int64()),
+                         "r_p": pa.array(c.astype(np.int64), pa.int64())})
 
-    rec = (mut.map_batches(credit, batch_format="pyarrow")
-           .groupby("host").aggregate(Sum("r_p", alias_name="n_recip"))
-           .to_pandas())
-    outd = (edges.groupby("src").aggregate(Count(alias_name="out_deg"))
-            .to_pandas())
+    rec = _fold_by_key(mut.map_batches(credit, batch_format="pyarrow"),
+                       "host", [("r_p", "sum", "n_recip")]).to_pandas()
+
+    def od_part(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["src"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"src": pa.array(u, pa.int64()),
+                         "d_p": pa.array(c.astype(np.int64), pa.int64())})
+
+    outd = _fold_by_key(edges.map_batches(od_part, batch_format="pyarrow"),
+                        "src", [("d_p", "sum", "out_deg")]).to_pandas()
     m = edges.aggregate(Max("src"), Max("dst"))
     U = int(max(m["max(src)"], m["max(dst)"])) + 1
     od = np.zeros(U, np.int64)
@@ -14217,9 +14436,9 @@ def q_graph_diameter_lb(sf_dir: str):
                 return pa.table({"node": pa.array(n[first], pa.int64()),
                                  "d_p": pa.array(dd[first], pa.int64())})
 
-            agg = (und.map_batches(relax, batch_format="pyarrow")
-                   .groupby("node").aggregate(Min("d_p", alias_name="d"))
-                   .to_pandas())
+            agg = _fold_by_key(
+                und.map_batches(relax, batch_format="pyarrow"),
+                "node", [("d_p", "min", "d")]).to_pandas()
             nd = agg["node"].to_numpy(np.int64)
             dv = agg["d"].to_numpy(np.int64)
             upd = (dist[nd] < 0) | (dv < dist[nd])
@@ -14503,7 +14722,7 @@ def q_ship_latency_hist(sf_dir: str):
                                   "o_orderpriority"])
     # join parallelism sized to the cluster (same sizing note as
     # q_join_lineitem_orders: aggregator actors deadlock past CPU count)
-    jp = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    jp = _join_parallelism()
     j = li.join(od, "inner", jp, on=("l_orderkey",),
                 right_on=("o_orderkey",))
 
@@ -15043,9 +15262,8 @@ def _link_graph_dir(sf_dir: str):
         df = df[df["src"] != df["dst"]][["src", "dst"]].drop_duplicates()
         return df
 
-    edges = (ds.map_batches(edges_part, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-             .select_columns(["src", "dst"]).materialize())
+    edges = _dedup_pairs(ds.map_batches(edges_part, batch_format="pyarrow"),
+                         "src", "dst").materialize()
     m = edges.aggregate(Max("src"), Max("dst"))
     U = int(max(m["max(src)"], m["max(dst)"])) + 1
     _link_memo_put(memo_key, (edges, U))
@@ -15115,9 +15333,8 @@ def q_sssp_rounds(sf_dir: str):
             return pa.table({"node": pa.array(g[m][better], pa.int64()),
                              "c_p": pa.array(cand[better], pa.int64())})
 
-        upd = (edges.map_batches(relax, batch_format="pyarrow")
-               .groupby("node").aggregate(Min("c_p", alias_name="c"))
-               .to_pandas())
+        upd = _fold_by_key(edges.map_batches(relax, batch_format="pyarrow"),
+                           "node", [("c_p", "min", "c")]).to_pandas()
         if not len(upd):
             break
         nd = upd["node"].to_numpy().astype(np.int64)
@@ -15165,8 +15382,8 @@ def _sssp_sharded(edges):
                .union(dist.map_batches(
                    lambda t: pa.table({"node": t["node"], "c_p": t["cost"]}),
                    batch_format="pyarrow")))
-        dist = (nxt.groupby("node").aggregate(Min("c_p", alias_name="cost"))
-                .materialize())
+        dist = _fold_by_key(nxt, "node",
+                            [("c_p", "min", "cost")]).materialize()
     return dist.map_batches(
         lambda t: pa.table({"host_idx": t["node"], "cost": t["cost"]}),
         batch_format="pyarrow")
@@ -17507,10 +17724,17 @@ def q_ppr_rounds(sf_dir: str):
     the loop, the O(nodes) rank vector broadcasts per round. Output:
     (host_idx, ppr_micro)."""
     import ray as _ray
-    from ray.data.aggregate import Count, Sum
 
     edges, U = _link_graph_dir(sf_dir)
-    deg = edges.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
+
+    def od_part(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["src"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"src": pa.array(u, pa.int64()),
+                         "d_p": pa.array(c.astype(np.int64), pa.int64())})
+
+    deg = _fold_by_key(edges.map_batches(od_part, batch_format="pyarrow"),
+                       "src", [("d_p", "sum", "d")]).to_pandas()
     outdeg = np.zeros(U, np.int64)
     outdeg[deg["src"].to_numpy()] = deg["d"].to_numpy()
     rank = np.zeros(U, np.int64)
@@ -17530,9 +17754,9 @@ def q_ppr_rounds(sf_dir: str):
             return pa.table({"dst": pa.array(uq, pa.int64()),
                              "c": pa.array(acc, pa.int64())})
 
-        agg = (edges.map_batches(contrib, batch_format="pyarrow")
-               .groupby("dst").aggregate(Sum("c", alias_name="s"))
-               .to_pandas())
+        agg = _fold_by_key(edges.map_batches(contrib,
+                                             batch_format="pyarrow"),
+                           "dst", [("c", "sum", "s")]).to_pandas()
         rank = np.zeros(U, np.int64)
         rank[0] = 150_000
         rank[agg["dst"].to_numpy()] += agg["s"].to_numpy().astype(np.int64)
